@@ -1,0 +1,104 @@
+"""Deterministic hash families, MinHash, and SimHash expressions.
+
+SURVEY.md §2.8 F6-F7 and §2.4 A10. The reference builds universal
+hashes ``(a*x + b) mod m`` with random (unseeded!) params
+(Assignment3/task1.py:40-48) and big-int string encodings via
+``binascii.hexlify`` (Assignment6/task1.py:30). The engine derives
+(a, b) deterministically from the hash index so signatures are stable
+across runs and processes, and keeps every expression JVM-side.
+
+ANSI-overflow note: Spark 4 runs with ANSI mode on (arithmetic
+overflow throws). We first fold xxhash64 into [0, 2^31) with pmod,
+then apply a*v+b with a, b < 2^31 — products stay < 2^62, never
+overflowing a long.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Fold prime: largest 31-bit prime (2^31 - 1, Mersenne).
+FOLD_PRIME = 2147483647
+# Knuth multiplicative constant for deriving per-index offsets.
+_GOLDEN = 2654435761
+
+
+def hash_params(i: int, m: int) -> tuple[int, int]:
+    """Deterministic universal-hash params for hash index ``i``:
+    a odd (so the map is a bijection mod 2^k), b spread by the golden
+    ratio; both bounded below 2^31 to keep ANSI-safe arithmetic."""
+    a = (2 * i + 1) % FOLD_PRIME
+    b = (i * _GOLDEN + 12345) % m if m > 1 else 0
+    return a, b
+
+
+def stable_int(col: Column | str) -> Column:
+    """F6: string (or any) → stable non-negative int in [0, 2^31):
+    ``pmod(xxhash64(x), 2^31-1)``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.pmod(F.xxhash64(c), F.lit(FOLD_PRIME))
+
+
+def universal_hash(col: Column, i: int, m: int) -> Column:
+    """F7: h_i(x) = (a_i * fold(x) + b_i) mod m."""
+    a, b = hash_params(i, m)
+    return F.pmod(F.lit(a) * stable_int(col) + F.lit(b), F.lit(m))
+
+
+def minhash_signature(items: Column, num_hashes: int, m: int = FOLD_PRIME) -> Column:
+    """A10: MinHash signature of an array<string> column —
+    array of ``num_hashes`` ints, element i = min over items of h_i.
+
+    One codegen'd expression; no shuffle, no UDF. Mirrors reference
+    Assignment3/task1.py:40-52 (32 hash functions, min over the
+    business's user set) with seeds derived from i, not RNG.
+    """
+    folded = F.transform(items, lambda x: F.pmod(F.xxhash64(x), F.lit(FOLD_PRIME)))
+    sigs = []
+    for i in range(num_hashes):
+        a, b = hash_params(i, m)
+        sigs.append(
+            F.array_min(
+                F.transform(folded, lambda v, a=a, b=b: F.pmod(F.lit(a) * v + F.lit(b), F.lit(m)))
+            )
+        )
+    return F.array(*sigs)
+
+
+def simhash64(tokens: Column) -> Column:
+    """64-bit SimHash of an array<string> token column.
+
+    For each bit j: sum over tokens of +1 if bit j of xxhash64(token)
+    is set else -1; result bit j = (sum > 0). Returned as bigint.
+    Pure array-expression aggregation — per row, JVM-side.
+    """
+    # counts[j] = sum of bit j over tokens (0..size)
+    counts = F.aggregate(
+        tokens,
+        F.array_repeat(F.lit(0).cast("int"), 64),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda j: F.shiftright(F.xxhash64(t), j).bitwiseAND(F.lit(1)).cast("int"),
+            ),
+            lambda x, y: x + y,
+        ),
+    )
+    n = F.size(tokens)
+    # bit j set iff counts[j]*2 > n  (i.e. majority of tokens set it)
+    return F.aggregate(
+        F.zip_with(
+            counts,
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda c, j: F.when(c * 2 > n, F.shiftleft(F.lit(1).cast("bigint"), j)).otherwise(F.lit(0).cast("bigint")),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit simhashes: popcount(a^b)."""
+    return F.bit_count(a.bitwiseXOR(b))

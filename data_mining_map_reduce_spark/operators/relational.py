@@ -1,0 +1,160 @@
+"""Relational operators (SURVEY.md §2.2-2.7).
+
+Each function is a parameterized, table-agnostic version of a query
+shape the reference hardwires to Yelp files. All are lazy DataFrame
+transformations; Catalyst handles partial aggregation, predicate
+pushdown, column pruning, and join-strategy selection. Shuffle
+surface is noted per operator — that is the 100 TB design review.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def count_rows(df: DataFrame) -> DataFrame:
+    """A1: global count. Partial counts per partition, single-row
+    final merge — no data shuffle, only counters."""
+    return df.agg(F.count(F.lit(1)).alias("n"))
+
+
+def count_by(df: DataFrame, *keys: str | Column, alias: str = "n") -> DataFrame:
+    """A2: count per key (reference ``reduceByKey(add)``,
+    Assignment1/task1.py:25). Map-side partial agg then one shuffle
+    on the group keys."""
+    return df.groupBy(*keys).agg(F.count(F.lit(1)).alias(alias))
+
+
+def distinct_count(df: DataFrame, col: str | Column, alias: str = "n") -> DataFrame:
+    """A3: exact distinct count (reference reduceByKey-then-count,
+    Assignment1/task1.py:29). Expands to a two-stage partial
+    aggregate in Catalyst."""
+    return df.agg(F.countDistinct(col).alias(alias))
+
+
+def approx_distinct_count(
+    df: DataFrame, col: str | Column, rsd: float = 0.05, alias: str = "n_approx"
+) -> DataFrame:
+    """A12 capability: HLL++ approximate distinct — the engine's
+    answer to Flajolet-Martin (Assignment6/task2.py:33-76). Constant
+    memory per partition; no shuffle of raw values, only sketches."""
+    return df.agg(F.approx_count_distinct(col, rsd).alias(alias))
+
+
+def avg_by(
+    df: DataFrame, keys: list[str | Column], value: str | Column, alias: str = "avg_value"
+) -> DataFrame:
+    """A4: algebraic average per key — (sum, count) partial state,
+    exactly the reference's two-field accumulator
+    (Assignment1/task2.py:37-43), but planned by Catalyst."""
+    return df.groupBy(*keys).agg(F.avg(value).alias(alias))
+
+
+def top_k_by_count(
+    df: DataFrame,
+    key: str | Column,
+    k: int,
+    count_alias: str = "n",
+) -> DataFrame:
+    """O1+O3: top-k keys by frequency, ties broken key-ascending
+    (A1 PDF §4.1.3 tie rule). Plans as TakeOrderedAndProject — each
+    partition keeps only k rows, driver merges k*p rows, never the
+    full table."""
+    key_col = F.col(key) if isinstance(key, str) else key
+    return (
+        df.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias(count_alias))
+        .orderBy(F.col(count_alias).desc(), key_col.asc())
+        .limit(k)
+    )
+
+
+def word_count(
+    df: DataFrame,
+    text_col: str,
+    stopwords: tuple[str, ...] = (),
+    alias: str = "n",
+) -> DataFrame:
+    """A7: tokenize + count per word (reference flatMap-split,
+    Assignment1/task1.py:52-53). Normalization + explode stay in
+    whole-stage codegen; one shuffle on the word key."""
+    from ..functions.text import normalize, tokenize
+
+    words = F.explode(tokenize(normalize(text_col))).alias("word")
+    out = df.select(words)
+    if stopwords:
+        out = out.where(~F.col("word").isin(*stopwords))
+    return out.groupBy("word").agg(F.count(F.lit(1)).alias(alias))
+
+
+def baskets(
+    df: DataFrame, key: str | Column, item: str | Column, alias: str = "items"
+) -> DataFrame:
+    """A5: market-basket build — key → sorted array of distinct items
+    (reference set-union reduce, Assignment2/task1.py:28-35).
+    ``array_sort`` makes downstream comparisons and oracles
+    order-insensitive. One shuffle on the basket key."""
+    return df.groupBy(key).agg(F.array_sort(F.collect_set(item)).alias(alias))
+
+
+def co_occurrence_pairs(
+    df: DataFrame,
+    key: str,
+    item: str,
+    min_shared: int,
+    left_alias: str = "a",
+    right_alias: str = "b",
+    count_alias: str = "n_shared",
+) -> DataFrame:
+    """J3: theta-join on set overlap rewritten as equi-join + HAVING.
+
+    The reference discovers graph edges with an O(V^2) driver loop
+    over a collected dict (Assignment4/task1.py:32-47). Here:
+    distinct (key,item) pairs self-joined on item, pair-counted,
+    filtered to >= min_shared, emitted once with a < b. Shuffles: one
+    on item for the join, one on the pair for the count — both scale
+    out; hot items are handled by AQE skew-join splitting.
+    """
+    base = df.select(F.col(key).alias("_k"), F.col(item).alias("_i")).distinct()
+    left = base.select(F.col("_k").alias(left_alias), "_i")
+    right = base.select(F.col("_k").alias(right_alias), "_i")
+    return (
+        left.join(right, "_i")
+        .where(F.col(left_alias) < F.col(right_alias))  # J6: unordered pair once
+        .groupBy(left_alias, right_alias)
+        .agg(F.count(F.lit(1)).alias(count_alias))
+        .where(F.col(count_alias) >= min_shared)
+    )
+
+
+def top_k_per_group(
+    df: DataFrame,
+    group: str | Column,
+    order: list[Column],
+    k: int,
+    rank_alias: str = "rnk",
+    ties: bool = True,
+) -> DataFrame:
+    """§2.5/A14: top-k within each group; ``ties=True`` uses
+    dense_rank (all ties kept, the reference's top-3-hashtags rule,
+    Assignment6/task3.py:86-97), else row_number."""
+    fn = F.dense_rank() if ties else F.row_number()
+    w = Window.partitionBy(group).orderBy(*order)
+    return df.withColumn(rank_alias, fn.over(w)).where(F.col(rank_alias) <= k)
+
+
+def dedup_rows(df: DataFrame, *cols: str) -> DataFrame:
+    """P5: distinct rows / drop duplicate key combos
+    (Assignment2/task1.py:27)."""
+    return df.dropDuplicates(list(cols)) if cols else df.distinct()
+
+
+def semantic_intersect(a: DataFrame, b: DataFrame) -> DataFrame:
+    """§2.7: relational INTERSECT (set)."""
+    return a.intersect(b)
+
+
+def semantic_except(a: DataFrame, b: DataFrame) -> DataFrame:
+    """§2.7: relational EXCEPT (set)."""
+    return a.exceptAll(b).distinct()

@@ -1,0 +1,45 @@
+"""Sinks (SURVEY.md §2.1 S7-S9) with deterministic ordering.
+
+The reference writes driver-side with ``json.dumps`` / csv module
+(Assignment1/task1.py:67-68, Assignment3/task1.py:110-113,
+Assignment2/task1.py:179-183). The engine writes distributed
+(``df.write``); determinism comes from an explicit ``orderBy`` +
+``coalesce(1)`` only when a single ordered file is demanded —
+otherwise parallel part-files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Column
+
+
+def write_json(df: DataFrame, path: str, order_by: list[str | Column] | None = None,
+               single_file: bool = False, mode: str = "overwrite") -> None:
+    """S7/S8: line-delimited JSON sink."""
+    if order_by:
+        df = df.orderBy(*order_by)
+    if single_file:
+        df = df.coalesce(1)
+    df.write.mode(mode).json(path)
+
+
+def write_csv(df: DataFrame, path: str, order_by: list[str | Column] | None = None,
+              single_file: bool = False, mode: str = "overwrite",
+              header: bool = True) -> None:
+    """S9: text/CSV report sink."""
+    if order_by:
+        df = df.orderBy(*order_by)
+    if single_file:
+        df = df.coalesce(1)
+    df.write.mode(mode).option("header", str(header).lower()).csv(path)
+
+
+def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None,
+                  mode: str = "overwrite") -> None:
+    """Columnar sink — the default for anything that feeds another
+    query. ``partition_by`` gives downstream partition pruning."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
