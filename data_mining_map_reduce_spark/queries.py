@@ -389,6 +389,301 @@ def event_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# P6+U1: membership predicate + bag union (reference stopword filter
+# Assignment1/task1.py:52; RS∪unassigned union Assignment5/bfr.py:371)
+# ---------------------------------------------------------------------------
+@query(
+    "union_filtered_event_counts",
+    """
+    SELECT event_type, COUNT(*) AS n FROM (
+        SELECT event_type FROM events WHERE event_type IN ('click', 'view')
+        UNION ALL
+        SELECT event_type FROM events WHERE value > 100.0
+    )
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def union_filtered_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    a = events.where(F.col("event_type").isin("click", "view")).select("event_type")
+    b = events.where(F.col("value") > 100.0).select("event_type")
+    return (
+        a.unionByName(b)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7: relational EXCEPT
+# ---------------------------------------------------------------------------
+@query(
+    "customers_never_final",
+    """
+    SELECT o_custkey FROM orders
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    ORDER BY o_custkey
+    """,
+)
+def customers_never_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.select("o_custkey").distinct()
+    b = orders.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    return a.exceptAll(b.distinct()).orderBy("o_custkey")
+
+
+# ---------------------------------------------------------------------------
+# Grouping-sets capability (absent in reference; free via Catalyst):
+# ROLLUP subtotals — TPC-H Q1 shape with hierarchy totals
+# ---------------------------------------------------------------------------
+@query(
+    "rollup_revenue",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot capability — status × priority counts as fixed columns
+# ---------------------------------------------------------------------------
+@query(
+    "pivot_status_by_priority",
+    """
+    SELECT o_orderpriority,
+           SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS status_o,
+           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS status_f,
+           SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS status_p
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["O", "F", "P"])
+        .withColumnsRenamed({"O": "status_o", "F": "status_f", "P": "status_p"})
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dictionary-encoding utility (SURVEY §4: replaces the reference's
+# driver-side list.index at Assignment3/task1.py:23-25)
+# ---------------------------------------------------------------------------
+@query(
+    "dict_encode_brands",
+    """
+    SELECT p_brand, CAST(DENSE_RANK() OVER (ORDER BY p_brand) AS INTEGER) AS brand_id
+    FROM (SELECT DISTINCT p_brand FROM part)
+    ORDER BY brand_id
+    """,
+)
+def dict_encode_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.encoding import dictionary_encode
+
+    part = load_table(spark, sf_dir, "part")
+    return dictionary_encode(part, "p_brand", "brand_id").orderBy("brand_id")
+
+
+# ---------------------------------------------------------------------------
+# A6 (ordered collect_list): items per order in line-number order,
+# serialized for stable hashing (reference Assignment3/task1.py:25)
+# ---------------------------------------------------------------------------
+@query(
+    "order_item_lists",
+    """
+    SELECT l_orderkey,
+           array_to_string(list(CAST(l_partkey AS VARCHAR) ORDER BY l_linenumber, l_partkey), ',') AS parts
+    FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey
+    """,
+)
+def order_item_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.groupBy("l_orderkey")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("l_linenumber", "l_partkey"))),
+                    lambda s: s.l_partkey.cast("string"),
+                ),
+            ).alias("parts")
+        )
+        .orderBy("l_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# F9+F11 vector math: pairwise cosine + L2 between low-id embeddings
+# (computed in double on both sides, rounded to kill sum-order noise)
+# ---------------------------------------------------------------------------
+@query(
+    "embedding_pair_distances",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos_sim,
+           ROUND(list_distance(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS l2_dist
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE a.vec_id < 20 AND b.vec_id < 20
+    ORDER BY id_a, id_b
+    """,
+)
+def embedding_pair_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.vectors import cosine, l2
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < 20)
+        .select(
+            "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+        )
+    )
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine("va", "vb"), 4).alias("cos_sim"),
+            F.round(l2("va", "vb"), 4).alias("l2_dist"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ST2 (batch form): tumbling event-time window — count + sum per
+# 1-hour bucket per type (reference windows on processing time,
+# Assignment6/task2.py:88; engine is event-time)
+# ---------------------------------------------------------------------------
+@query(
+    "window_tumbling_hourly",
+    """
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events GROUP BY window_start, event_type
+    ORDER BY window_start, event_type
+    """,
+)
+def window_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+        .orderBy("window_start", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ST2 sliding window (batch form): 1-hour window, 30-minute slide —
+# every event lands in exactly window/slide = 2 buckets
+# ---------------------------------------------------------------------------
+@query(
+    "window_sliding_hourly",
+    """
+    SELECT window_start, COUNT(*) AS n
+    FROM (
+        SELECT UNNEST([
+            time_bucket(INTERVAL '30 minutes', ts),
+            time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'
+        ]) AS window_start
+        FROM events
+    )
+    GROUP BY window_start ORDER BY window_start
+    """,
+)
+def window_sliding_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+        .orderBy("window_start")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization: session_window per user with 10-minute gap; SQL
+# oracle is the classic gaps-and-islands rewrite
+# ---------------------------------------------------------------------------
+@query(
+    "session_windows_per_user",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         <= INTERVAL '10 minutes' THEN 0 ELSE 1 END AS new_session
+        FROM events
+    ), islands AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING
+               ) AS session_no
+        FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+    FROM islands GROUP BY user_id, session_no
+    ORDER BY user_id, session_start
+    """,
+)
+def session_windows_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id", F.col("w.start").alias("session_start"), "n_events"
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A12: approximate distinct count (HLL++). No SQL oracle — estimator
+# differs by engine; accuracy vs exact is asserted in pytest
+# (tests/test_sketches.py), mirroring the reference's FM grading.
+# ---------------------------------------------------------------------------
+@query("approx_distinct_users")
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return R.approx_distinct_count(events, "user_id", rsd=0.02, alias="n_approx")
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(SPARK_QUERIES)
 

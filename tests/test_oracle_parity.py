@@ -46,7 +46,7 @@ def canon(value):
 def rows_canon(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     return sorted(
-        tuple(canon(r[i]) for i in order) for r in rows
+        (tuple(canon(r[i]) for i in order) for r in rows), key=repr
     )
 
 
