@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Driver simulation — the project verify recipe.
+
+Consumes __spark_entry__ exactly as the driver does: plain
+SparkSession (no engine defaults), entry() smoke, every queries()
+entry vs its oracle_sql() in DuckDB at sf0.01 (override with
+SPARK_GRAFT_SF_DIR), order-insensitive compare. Exits non-zero on any
+mismatch.
+
+Usage: python scripts/driver_sim.py [query_name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import duckdb
+from pyspark.sql import SparkSession
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def canon(v):
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else round(v, 6)
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, list):
+        return tuple(canon(x) for x in v)
+    return v
+
+
+def main() -> int:
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    only = set(sys.argv[1:])
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .appName("driver-sim")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    n = len(df.collect())
+    print(f"entry(): rows={n}")
+    assert n > 0
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    fails = []
+    for name in sorted(qs):
+        if only and name not in only:
+            continue
+        sdf = qs[name](spark, sf)
+        scols = [c.lower() for c in sdf.columns]
+        srows = [tuple(r) for r in sdf.collect()]
+        if name not in oracles:
+            print(f"  {name}: rows-only, {len(srows)} rows")
+            continue
+        res = con.execute(oracles[name])
+        dcols = [d[0].lower() for d in res.description]
+        drows = res.fetchall()
+        so = sorted(range(len(scols)), key=lambda i: scols[i])
+        do = sorted(range(len(dcols)), key=lambda i: dcols[i])
+        sset = sorted((tuple(canon(r[i]) for i in so) for r in srows), key=repr)
+        dset = sorted((tuple(canon(r[i]) for i in do) for r in drows), key=repr)
+        ok = sorted(scols) == sorted(dcols) and sset == dset
+        print(f"  {name}: {'OK' if ok else 'MISMATCH'} rows={len(srows)}")
+        if not ok:
+            fails.append(name)
+            for a, b in list(zip(sset, dset))[:3]:
+                if a != b:
+                    print("    spark:", a)
+                    print("    duck :", b)
+    print("FAILS:", fails if fails else "none")
+    spark.stop()
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
