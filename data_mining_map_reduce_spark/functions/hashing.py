@@ -55,14 +55,17 @@ def minhash_signature(items: Column, num_hashes: int, m: int = FOLD_PRIME) -> Co
     business's user set) with seeds derived from i, not RNG.
     """
     folded = F.transform(items, lambda x: F.pmod(F.xxhash64(x), F.lit(FOLD_PRIME)))
+
+    def _hash_i(a: int, b: int):
+        # closure factory: PySpark derives lambda arity by signature,
+        # so default-arg capture (lambda v, a=a: ...) would be read
+        # as a multi-argument higher-order function
+        return lambda v: F.pmod(F.lit(a) * v + F.lit(b), F.lit(m))
+
     sigs = []
     for i in range(num_hashes):
         a, b = hash_params(i, m)
-        sigs.append(
-            F.array_min(
-                F.transform(folded, lambda v, a=a, b=b: F.pmod(F.lit(a) * v + F.lit(b), F.lit(m)))
-            )
-        )
+        sigs.append(F.array_min(F.transform(folded, _hash_i(a, b))))
     return F.array(*sigs)
 
 

@@ -1,0 +1,272 @@
+"""Graph operators on edge DataFrames (SURVEY.md §2.10 G1-G5).
+
+The graph is relational: ``edges(src, dst)`` canonicalized src < dst,
+vertices derived. The reference builds graphs from co-review
+co-occurrence (reference Assignment4/task1.py:32-60) with an O(V^2)
+driver loop; the engine uses the equi-join formulation
+(operators/relational.co_occurrence_pairs) and keeps iteration in the
+DataFrame domain.
+
+Scale notes per operator:
+- connected_components / LPA: synchronous iterative joins; one
+  shuffle per round on the vertex id; ``localCheckpoint`` every few
+  rounds truncates lineage. Rounds ≤ graph diameter (CC) / fixed
+  (LPA). For web-scale graphs swap in the large-star/small-star
+  variant — same join primitives.
+- betweenness: exact Girvan-Newman needs all-pairs BFS — O(V·E)
+  total. Roots are distributed (one Spark task per batch of roots via
+  mapInPandas); each task holds the adjacency list in memory
+  (broadcast). This matches the reference's operating envelope (A4
+  graphs: thousands of vertices) and documents its memory bound:
+  adjacency must fit an executor. Beyond that, use sampled-root
+  approximate betweenness (same code, roots=sample).
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def canonical_edges(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Undirected edge list, one row per edge, src < dst, deduped."""
+    return (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("src"),
+            F.greatest(F.col(src), F.col(dst)).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def symmetric_edges(edges: DataFrame) -> DataFrame:
+    """Both directions of each undirected edge (for message passing)."""
+    return edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+def vertices_of(edges: DataFrame) -> DataFrame:
+    return (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+
+
+def degrees(edges: DataFrame) -> DataFrame:
+    """G1-adjacent diagnostic: degree per vertex of the undirected graph."""
+    return (
+        symmetric_edges(edges)
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+
+
+def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
+    """G4: (id, component) where component = min vertex id reachable.
+
+    Synchronous min-label propagation; converges in <= diameter
+    rounds. Each round: one shuffle (groupBy id). The reference does
+    a driver-side BFS flood fill (Assignment4/task2.py:123-146).
+    """
+    sym = symmetric_edges(edges).cache()
+    labels = vertices_of(edges).withColumn("component", F.col("id"))
+    for i in range(max_iter):
+        labels = labels.localCheckpoint(eager=True)
+        msgs = (
+            sym.join(labels, sym.src == labels.id)
+            .select(F.col("dst").alias("id"), "component")
+        )
+        new_labels = (
+            labels.select("id", "component")
+            .unionByName(msgs)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.localCheckpoint(eager=True)
+
+
+def label_propagation(edges: DataFrame, max_iter: int = 5) -> DataFrame:
+    """G2: deterministic synchronous LPA — each round every vertex
+    adopts its neighbors' most frequent label, ties to the smallest
+    label; isolated semantics follow the reference (GraphFrames LPA,
+    maxIter=5, Assignment4/task1.py:64-65) but with a deterministic
+    tie-break so results are stable for oracle checks."""
+    sym = symmetric_edges(edges).cache()
+    labels = vertices_of(edges).withColumn("label", F.col("id"))
+    for _ in range(max_iter):
+        labels = labels.localCheckpoint(eager=True)
+        neighbor_labels = (
+            sym.join(labels, sym.src == labels.id)
+            .select(F.col("dst").alias("id"), "label")
+            .groupBy("id", "label")
+            .agg(F.count(F.lit(1)).alias("votes"))
+        )
+        w = Window.partitionBy("id").orderBy(F.col("votes").desc(), F.col("label").asc())
+        labels = (
+            neighbor_labels.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("id", "label")
+        )
+    return labels
+
+
+def _bfs_edge_credits(adj: dict, root) -> dict[tuple, float]:
+    """Single-root Girvan-Newman credit pass (Brandes accumulation).
+
+    Mirrors the reference's per-root BFS + bottom-up credit
+    (Assignment4/task2.py:54-113): sigma = #shortest paths, credit of
+    edge (u,v) = sigma_u/sigma_v * (1 + sum of credits below v).
+    """
+    sigma = {root: 1.0}
+    dist = {root: 0}
+    order = [root]
+    preds: dict = {root: []}
+    q = deque([root])
+    while q:
+        u = q.popleft()
+        for v in adj.get(u, ()):
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                sigma[v] = 0.0
+                preds[v] = []
+                order.append(v)
+                q.append(v)
+            if dist[v] == dist[u] + 1:
+                sigma[v] += sigma[u]
+                preds[v].append(u)
+    delta = {v: 0.0 for v in order}
+    credits: dict[tuple, float] = {}
+    for v in reversed(order):
+        for u in preds[v]:
+            c = sigma[u] / sigma[v] * (1.0 + delta[v])
+            key = (u, v) if u < v else (v, u)
+            credits[key] = credits.get(key, 0.0) + c
+            delta[u] += c
+    return credits
+
+
+def edge_betweenness(edges: DataFrame) -> DataFrame:
+    """G3: exact edge betweenness (undirected, unweighted).
+
+    Adjacency is collected and broadcast (documented bound: graph
+    fits executor memory); roots fan out over the cluster via
+    mapInPandas, one BFS per root; per-edge credits are summed
+    distributed and halved (each shortest path counted from both
+    endpoints' roots).
+    """
+    edge_rows = edges.select("src", "dst").collect()
+    adj: dict = {}
+    for r in edge_rows:
+        adj.setdefault(r.src, []).append(r.dst)
+        adj.setdefault(r.dst, []).append(r.src)
+    for k in adj:
+        adj[k].sort()
+    spark = edges.sparkSession
+    adj_bc = spark.sparkContext.broadcast(adj)
+
+    roots = vertices_of(edges).repartition(spark.sparkContext.defaultParallelism)
+
+    def per_root(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        a = adj_bc.value
+        for pdf in batches:
+            out_src, out_dst, out_credit = [], [], []
+            for root in pdf["id"]:
+                for (u, v), c in _bfs_edge_credits(a, root).items():
+                    out_src.append(u)
+                    out_dst.append(v)
+                    out_credit.append(c)
+            yield pd.DataFrame({"src": out_src, "dst": out_dst, "credit": out_credit})
+
+    schema_src = dict(edges.select("src", "dst").dtypes)
+    credit_schema = f"src {schema_src['src']}, dst {schema_src['dst']}, credit double"
+    return (
+        roots.mapInPandas(per_root, schema=credit_schema)
+        .groupBy("src", "dst")
+        .agg((F.sum("credit") / F.lit(2.0)).alias("betweenness"))
+    )
+
+
+def modularity(edges: DataFrame, assignment: DataFrame) -> float:
+    """F16: Q = sum_c [ e_c/m - (d_c/2m)^2 ] — algebraically equal to
+    the reference's pairwise form (Assignment4/task2.py:149-165).
+    ``assignment``: (id, community)."""
+    m = edges.count()
+    if m == 0:
+        return 0.0
+    a_src = assignment.select(F.col("id").alias("src"), F.col("community").alias("_ca"))
+    a_dst = assignment.select(F.col("id").alias("dst"), F.col("community").alias("_cb"))
+    intra = (
+        edges.join(a_src, "src")
+        .join(a_dst, "dst")
+        .where(F.col("_ca") == F.col("_cb"))
+        .groupBy("_ca")
+        .agg(F.count(F.lit(1)).alias("e_c"))
+    )
+    deg = degrees(edges).join(assignment, "id").groupBy("community").agg(
+        F.sum("degree").alias("d_c")
+    )
+    parts = (
+        deg.join(intra, deg.community == intra._ca, "left")
+        .select(
+            (
+                F.coalesce(F.col("e_c"), F.lit(0)).cast("double") / F.lit(float(m))
+                - (F.col("d_c") / F.lit(2.0 * m)) * (F.col("d_c") / F.lit(2.0 * m))
+            ).alias("q")
+        )
+        .agg(F.sum("q"))
+        .collect()[0][0]
+    )
+    return float(parts or 0.0)
+
+
+def girvan_newman(
+    edges: DataFrame, max_removals: int = 50, q_drop_stop: float = 0.1
+) -> tuple[DataFrame, float]:
+    """G5: modularity-guided edge removal (driver loop, inherently
+    iterative — reference Assignment4/task2.py:185-215). Removes the
+    max-betweenness edge (ties: smallest (src,dst)), recomputes, and
+    returns the assignment with max modularity. Stops when Q drops
+    more than ``q_drop_stop`` below the best, on full fragmentation,
+    or after ``max_removals``."""
+    spark = edges.sparkSession
+    current = canonical_edges(edges).cache()
+    best_q = -1.0
+    best_assign = connected_components(current).withColumnRenamed("component", "community")
+    original = current
+    for _ in range(max_removals):
+        if current.limit(1).count() == 0:
+            break
+        top = (
+            edge_betweenness(current)
+            .orderBy(F.col("betweenness").desc(), F.col("src").asc(), F.col("dst").asc())
+            .limit(1)
+            .collect()[0]
+        )
+        current = current.where(
+            ~((F.col("src") == top.src) & (F.col("dst") == top.dst))
+        ).localCheckpoint(eager=True)
+        assign = connected_components(current).withColumnRenamed("component", "community")
+        q = modularity(original, assign)
+        if q > best_q:
+            best_q = q
+            best_assign = assign
+        elif best_q - q > q_drop_stop:
+            break
+    return best_assign, best_q

@@ -1,0 +1,138 @@
+"""Set-similarity self-joins: exact Jaccard and MinHash+LSH.
+
+SURVEY.md §2.11 M3 / §2.3 J4. The reference pipeline (reference
+Assignment3/task1.py:20-105): dictionary-encode users, 32-function
+MinHash signature per business, b=32 bands × r=1 rows, bucket
+candidates, verify exact Jaccard ≥ 0.05.
+
+Engine design (fully distributed, no driver dicts):
+- exact path: explode (key, item), self-join on item, pair-count
+  |A∩B|, then |A∪B| = |A|+|B|-|A∩B| via broadcast of per-key sizes —
+  the ground truth / oracle twin.
+- LSH path: codegen'd MinHash signature (functions/hashing.py), band
+  explode, bucket equi-join, distinct candidates, exact verify.
+  Shuffles: one on band bucket, one on pair dedup — both key-partition
+  friendly. Hot buckets (skew) are the known hazard at scale; AQE
+  skew-join handles moderate skew, and ``max_bucket`` hard-caps
+  pathological buckets (dropping only buckets that LSH theory says are
+  near-useless anyway).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.hashing import minhash_signature
+from ..functions.vectors import jaccard
+
+
+def exact_jaccard_pairs(
+    df: DataFrame,
+    key: str,
+    item: str,
+    threshold: float,
+    key_a: str = "a",
+    key_b: str = "b",
+    sim_alias: str = "jaccard",
+) -> DataFrame:
+    """All unordered key pairs with Jaccard(items_a, items_b) >= t.
+
+    |∩| via equi-join on item + pair count; |∪| from per-key set
+    sizes. O(sum of item-frequency^2) pair rows — exact, so only for
+    oracle/verify use at scale; the LSH path is the scale path.
+    """
+    base = df.select(F.col(key).alias("_k"), F.col(item).alias("_i")).distinct()
+    sizes = base.groupBy("_k").agg(F.count(F.lit(1)).alias("_sz"))
+    left = base.select(F.col("_k").alias(key_a), "_i")
+    right = base.select(F.col("_k").alias(key_b), "_i")
+    inter = (
+        left.join(right, "_i")
+        .where(F.col(key_a) < F.col(key_b))
+        .groupBy(key_a, key_b)
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    sz_a = sizes.select(F.col("_k").alias(key_a), F.col("_sz").alias("_sza"))
+    sz_b = sizes.select(F.col("_k").alias(key_b), F.col("_sz").alias("_szb"))
+    return (
+        inter.join(F.broadcast(sz_a), key_a)
+        .join(F.broadcast(sz_b), key_b)
+        .withColumn(
+            sim_alias,
+            F.col("_inter").cast("double")
+            / (F.col("_sza") + F.col("_szb") - F.col("_inter")).cast("double"),
+        )
+        .where(F.col(sim_alias) >= threshold)
+        .select(key_a, key_b, F.round(sim_alias, 6).alias(sim_alias))
+    )
+
+
+def minhash_lsh_pairs(
+    baskets: DataFrame,
+    key: str,
+    items: str,
+    threshold: float,
+    num_hashes: int = 32,
+    bands: int = 16,
+    key_a: str = "a",
+    key_b: str = "b",
+    sim_alias: str = "jaccard",
+    max_bucket: int | None = 5000,
+) -> DataFrame:
+    """MinHash+LSH candidate generation + exact-Jaccard verification.
+
+    ``baskets``: one row per key with an array<string> column
+    ``items``. Output: pairs with true Jaccard >= threshold that
+    shared at least one LSH bucket (precision 1.0 by construction;
+    recall is governed by (bands, rows-per-band) — asserted >= 0.9 in
+    tests against the exact path, mirroring A3 PDF §4.1.4's >= 0.8).
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must divide evenly into bands")
+    rows_per_band = num_hashes // bands
+
+    sig = baskets.select(
+        F.col(key).alias("_k"),
+        F.col(items).alias("_items"),
+        minhash_signature(F.col(items), num_hashes).alias("_sig"),
+    )
+
+    # Explode signature into (band_id, band_signature) bucket keys.
+    banded = sig.select(
+        "_k",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band),
+            )
+        ).alias("_band", "_bsig"),
+    ).withColumn("_bucket", F.xxhash64(F.col("_band"), F.col("_bsig")))
+
+    if max_bucket is not None:
+        # Cap pathological buckets: a bucket with B keys yields B^2/2
+        # candidate rows; beyond max_bucket the bucket carries almost
+        # no signal (everything collides) and only destroys the
+        # shuffle. Window-free count+join keeps it scalable.
+        bucket_sizes = banded.groupBy("_bucket").agg(F.count(F.lit(1)).alias("_bsz"))
+        banded = banded.join(
+            bucket_sizes.where(F.col("_bsz") <= max_bucket).select("_bucket"),
+            "_bucket",
+        )
+
+    lhs = banded.select(F.col("_k").alias(key_a), "_bucket")
+    rhs = banded.select(F.col("_k").alias(key_b), "_bucket")
+    candidates = (
+        lhs.join(rhs, "_bucket")
+        .where(F.col(key_a) < F.col(key_b))
+        .select(key_a, key_b)
+        .distinct()
+    )
+
+    sets_a = sig.select(F.col("_k").alias(key_a), F.col("_items").alias("_ia"))
+    sets_b = sig.select(F.col("_k").alias(key_b), F.col("_items").alias("_ib"))
+    return (
+        candidates.join(sets_a, key_a)
+        .join(sets_b, key_b)
+        .withColumn(sim_alias, jaccard("_ia", "_ib"))
+        .where(F.col(sim_alias) >= threshold)
+        .select(key_a, key_b, F.round(sim_alias, 6).alias(sim_alias))
+    )

@@ -684,6 +684,208 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.approx_distinct_count(events, "user_id", rsd=0.02, alias="n_approx")
 
 
+# ---------------------------------------------------------------------------
+# Shared builders for similarity/graph queries
+# ---------------------------------------------------------------------------
+def _customer_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(customer, part) distinct pairs — the (key, item) relation that
+    plays the reference's (user, business) co-review table."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    lineitem = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .select(F.col("o_custkey").alias("k"), F.col("l_partkey").alias("i"))
+        .distinct()
+    )
+
+
+_BASE_SQL = """
+        SELECT DISTINCT o.o_custkey AS k, l.l_partkey AS i
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+"""
+
+
+def _cooccurrence_edges(spark: SparkSession, sf_dir: str, tau: int) -> DataFrame:
+    return R.co_occurrence_pairs(
+        _customer_part_pairs(spark, sf_dir), "k", "i", min_shared=tau,
+        left_alias="src", right_alias="dst",
+    ).select("src", "dst")
+
+
+_EDGES_SQL = f"""
+        SELECT a.k AS src, b.k AS dst
+        FROM ({_BASE_SQL}) a JOIN ({_BASE_SQL}) b ON a.i = b.i AND a.k < b.k
+        GROUP BY 1, 2 HAVING COUNT(*) >= {{tau}}
+"""
+
+
+# ---------------------------------------------------------------------------
+# M3 ground truth: exact Jaccard similarity self-join at the
+# reference's 0.05 threshold (Assignment3/task1.py:104)
+# ---------------------------------------------------------------------------
+@query(
+    "jaccard_pairs_exact",
+    f"""
+    WITH base AS ({_BASE_SQL}),
+    sizes AS (SELECT k, COUNT(*) AS sz FROM base GROUP BY k),
+    inter AS (
+        SELECT a.k AS a, b.k AS b, COUNT(*) AS i
+        FROM base a JOIN base b ON a.i = b.i AND a.k < b.k
+        GROUP BY 1, 2
+    )
+    SELECT inter.a, inter.b,
+           ROUND(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
+    FROM inter JOIN sizes sa ON inter.a = sa.k JOIN sizes sb ON inter.b = sb.k
+    WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.05
+    ORDER BY inter.a, inter.b
+    """,
+)
+def jaccard_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import exact_jaccard_pairs
+
+    return exact_jaccard_pairs(
+        _customer_part_pairs(spark, sf_dir), "k", "i", threshold=0.05
+    ).orderBy("a", "b")
+
+
+# ---------------------------------------------------------------------------
+# M3: MinHash+LSH near-neighbor pairs (b=32, r=1 — the reference's
+# banding at threshold 0.05, Assignment3/task1.py:59-61). Approximate
+# candidate recall ⇒ no SQL oracle; pytest asserts recall >= 0.8 vs
+# the exact path (A3 PDF §4.1.4 grading rule).
+# ---------------------------------------------------------------------------
+@query("minhash_lsh_pairs")
+def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import baskets
+    from .operators.similarity import minhash_lsh_pairs
+
+    b = baskets(
+        _customer_part_pairs(spark, sf_dir).select(
+            "k", F.col("i").cast("string").alias("i")
+        ),
+        "k",
+        "i",
+    )
+    return minhash_lsh_pairs(
+        b, "k", "items", threshold=0.05, num_hashes=32, bands=32
+    ).orderBy("a", "b")
+
+
+# ---------------------------------------------------------------------------
+# G4: connected components vs a recursive-CTE reachability oracle
+# (component = min reachable vertex id) on the tau=3 graph
+# ---------------------------------------------------------------------------
+@query(
+    "graph_components",
+    f"""
+    WITH RECURSIVE undirected AS (
+        SELECT src, dst FROM ({_EDGES_SQL.format(tau=3)})
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM ({_EDGES_SQL.format(tau=3)})
+    ),
+    reach(id, r) AS (
+        SELECT DISTINCT src AS id, src AS r FROM undirected
+        UNION
+        SELECT u.dst AS id, reach.r
+        FROM reach JOIN undirected u ON reach.id = u.src
+    )
+    SELECT id, MIN(r) AS component FROM reach GROUP BY id ORDER BY id
+    """,
+)
+def graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import connected_components
+
+    edges = _cooccurrence_edges(spark, sf_dir, tau=3)
+    return connected_components(edges).orderBy("id")
+
+
+# ---------------------------------------------------------------------------
+# G1 diagnostic: degree distribution of the co-occurrence graph
+# ---------------------------------------------------------------------------
+@query(
+    "graph_degree_distribution",
+    f"""
+    WITH edges AS ({_EDGES_SQL.format(tau=3)}),
+    deg AS (
+        SELECT id, COUNT(*) AS degree FROM (
+            SELECT src AS id FROM edges UNION ALL SELECT dst AS id FROM edges
+        ) GROUP BY id
+    )
+    SELECT degree, COUNT(*) AS n_vertices
+    FROM deg GROUP BY degree ORDER BY degree
+    """,
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import degrees
+
+    edges = _cooccurrence_edges(spark, sf_dir, tau=3)
+    return (
+        degrees(edges)
+        .groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_vertices"))
+        .orderBy("degree")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Triangle count — three-way self-join on canonical edges
+# ---------------------------------------------------------------------------
+@query(
+    "graph_triangle_count",
+    f"""
+    WITH edges AS ({_EDGES_SQL.format(tau=3)})
+    SELECT COUNT(*) AS n_triangles
+    FROM edges e1
+    JOIN edges e2 ON e1.dst = e2.src
+    JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _cooccurrence_edges(spark, sf_dir, tau=3)
+    e1 = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = edges.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    e3 = edges.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    return (
+        e1.join(e2, "b")
+        .join(e3, ["a", "c"])
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# G2: deterministic LPA community sizes (rows-only: iterative,
+# not SQL-expressible; determinism via min-label tie-break)
+# ---------------------------------------------------------------------------
+@query("graph_lpa_community_sizes")
+def graph_lpa_community_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import label_propagation
+
+    edges = _cooccurrence_edges(spark, sf_dir, tau=3)
+    return (
+        label_propagation(edges, max_iter=5)
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .orderBy(F.col("size").desc(), F.col("label").asc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# G3: top edge betweenness on the sparser tau=5 graph (rows-only;
+# golden-checked on a planted graph in tests/test_graph.py)
+# ---------------------------------------------------------------------------
+@query("graph_betweenness_top")
+def graph_betweenness_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import edge_betweenness
+
+    edges = _cooccurrence_edges(spark, sf_dir, tau=5)
+    return (
+        edge_betweenness(edges)
+        .select("src", "dst", F.round("betweenness", 4).alias("betweenness"))
+        .orderBy(F.col("betweenness").desc(), "src", "dst")
+        .limit(20)
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(SPARK_QUERIES)
 

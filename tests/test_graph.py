@@ -1,0 +1,70 @@
+"""Golden tests on a planted graph (FIXTURES.md §6: two cliques
+bridged by one high-betweenness edge), mirroring the reference's A4
+semantics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_mining_map_reduce_spark.operators import graph as G
+
+CLIQUE_A = [1, 2, 3, 4]
+CLIQUE_B = [5, 6, 7, 8]
+
+
+@pytest.fixture(scope="module")
+def planted_edges(spark):
+    edges = []
+    for clique in (CLIQUE_A, CLIQUE_B):
+        edges += [(a, b) for a in clique for b in clique if a < b]
+    edges.append((4, 5))  # bridge
+    return spark.createDataFrame(edges, "src int, dst int").cache()
+
+
+def test_connected_components_single(spark, planted_edges):
+    cc = G.connected_components(planted_edges)
+    comps = {r.component for r in cc.collect()}
+    assert comps == {1}  # all reachable from min id 1
+
+
+def test_connected_components_split(spark, planted_edges):
+    no_bridge = planted_edges.where(~((F.col("src") == 4) & (F.col("dst") == 5)))
+    cc = G.connected_components(no_bridge)
+    got = {r.id: r.component for r in cc.collect()}
+    assert all(got[v] == 1 for v in CLIQUE_A)
+    assert all(got[v] == 5 for v in CLIQUE_B)
+
+
+def test_bridge_has_max_betweenness(spark, planted_edges):
+    bt = G.edge_betweenness(planted_edges).collect()
+    top = max(bt, key=lambda r: r.betweenness)
+    assert (top.src, top.dst) == (4, 5)
+    # all 4x4 cross-clique shortest paths cross the bridge
+    assert top.betweenness == pytest.approx(16.0)
+
+
+def test_girvan_newman_recovers_cliques(spark, planted_edges):
+    assign, q = G.girvan_newman(planted_edges, max_removals=3)
+    got = {r.id: r.community for r in assign.collect()}
+    assert len({got[v] for v in CLIQUE_A}) == 1
+    assert len({got[v] for v in CLIQUE_B}) == 1
+    assert got[1] != got[5]
+    assert q > 0.3  # clean 2-community split has high modularity
+
+
+def test_modularity_hand_value(spark, planted_edges):
+    # Perfect split: m=13, e_c=6 each, d_c = 13 each (12 intra-degree
+    # + 1 bridge endpoint per side) => Q = 2*(6/13 - (13/26)^2) = 0.4231
+    assign = planted_edges.sparkSession.createDataFrame(
+        [(v, 1) for v in CLIQUE_A] + [(v, 5) for v in CLIQUE_B],
+        "id int, community int",
+    )
+    q = G.modularity(planted_edges, assign)
+    assert q == pytest.approx(2 * (6 / 13 - (13 / 26) ** 2), abs=1e-9)
+
+
+def test_lpa_deterministic(spark, planted_edges):
+    a = sorted(map(tuple, G.label_propagation(planted_edges, 5).collect()))
+    b = sorted(map(tuple, G.label_propagation(planted_edges, 5).collect()))
+    assert a == b
