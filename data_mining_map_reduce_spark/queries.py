@@ -886,6 +886,153 @@ def graph_betweenness_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# A11 ground truth (size-1): frequent single items at support 3
+# ---------------------------------------------------------------------------
+@query(
+    "frequent_items",
+    """
+    SELECT l_partkey AS item, COUNT(*) AS support
+    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    GROUP BY l_partkey HAVING COUNT(*) >= 3
+    ORDER BY item
+    """,
+)
+def frequent_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    return (
+        li.groupBy(F.col("l_partkey").alias("item"))
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= 3)
+        .orderBy("item")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A11 ground truth (size-2): frequent pairs at support 3 — the SQL
+# twin of SON/FPGrowth pair output
+# ---------------------------------------------------------------------------
+@query(
+    "frequent_pairs",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey o, l_partkey p FROM lineitem)
+    SELECT a.p AS item1, b.p AS item2, COUNT(*) AS support
+    FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+    GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    ORDER BY item1, item2
+    """,
+)
+def frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a = li.select(F.col("o"), F.col("p").alias("item1"))
+    b = li.select(F.col("o"), F.col("p").alias("item2"))
+    return (
+        a.join(b, "o")
+        .where(F.col("item1") < F.col("item2"))
+        .groupBy("item1", "item2")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= 3)
+        .orderBy("item1", "item2")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A11: full SON two-phase over order baskets (rows-only: SON output
+# spans all itemset sizes; equality with FPGrowth and DuckDB pair
+# brute-force is pytest-asserted in tests/test_itemsets.py)
+# ---------------------------------------------------------------------------
+@query("son_itemsets")
+def son_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.itemsets import son_frequent_itemsets
+    from .operators.relational import baskets
+
+    li = load_table(spark, sf_dir, "lineitem")
+    b = baskets(
+        li.select("l_orderkey", F.col("l_partkey").cast("string").alias("i")),
+        "l_orderkey",
+        "i",
+    )
+    return son_frequent_itemsets(b, support=3).orderBy("itemset")
+
+
+# ---------------------------------------------------------------------------
+# A11 capability twin: FPGrowth (rows-only)
+# ---------------------------------------------------------------------------
+@query("fpgrowth_itemsets")
+def fpgrowth_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.itemsets import fpgrowth_frequent_itemsets
+    from .operators.relational import baskets
+
+    li = load_table(spark, sf_dir, "lineitem")
+    b = baskets(
+        li.select("l_orderkey", F.col("l_partkey").cast("string").alias("i")),
+        "l_orderkey",
+        "i",
+    )
+    return fpgrowth_frequent_itemsets(b, support=3).orderBy("itemset")
+
+
+# ---------------------------------------------------------------------------
+# A8/A9: per-group per-dimension sufficient statistics over the
+# vector column — N, mean, population std (the var_pop identity the
+# BFR summaries use, reference Assignment5/bfr.py:122-128)
+# ---------------------------------------------------------------------------
+@query(
+    "suffstats_by_label",
+    """
+    SELECT label, dim, COUNT(*) AS n,
+           ROUND(AVG(x), 6) AS mean,
+           ROUND(STDDEV_POP(x), 6) AS std
+    FROM (
+        SELECT label,
+               CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS dim,
+               UNNEST(embedding::DOUBLE[]) AS x
+        FROM embeddings
+    )
+    GROUP BY label, dim ORDER BY label, dim
+    """,
+)
+def suffstats_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            "label",
+            F.posexplode(
+                F.transform("embedding", lambda x: x.cast("double"))
+            ).alias("dim", "x"),
+        )
+        .groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("x"), 6).alias("mean"),
+            F.round(F.stddev_pop("x"), 6).alias("std"),
+        )
+        .orderBy("label", "dim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# M1: K-Means cluster sizes (rows-only: iterative; parity with an
+# in-memory NumPy Lloyd run is pytest-asserted)
+# ---------------------------------------------------------------------------
+@query("kmeans_cluster_sizes")
+def kmeans_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.clustering import kmeans
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
+    )
+    assigned, _ = kmeans(emb, "vec", k=8, max_iter=20, seed=7)
+    return (
+        assigned.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .orderBy("cluster")
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(SPARK_QUERIES)
 
