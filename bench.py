@@ -5,8 +5,11 @@
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query is timed end-to-end (plan + execute + collect). A warmup
-run of the flagship query absorbs JVM/codegen startup so per-query
+Each query is timed end-to-end (plan + execute + collect) and runs
+inside its own try/except: one failing query records an error entry
+instead of destroying the whole run, and a dead JVM (py4j connection
+loss) triggers a session restart before the next query. A warmup run
+of the flagship query absorbs JVM/codegen startup so per-query
 numbers reflect steady-state execution.
 """
 
@@ -17,6 +20,15 @@ import os
 import re
 import sys
 import time
+import traceback
+
+
+def _alive(spark) -> bool:
+    try:
+        spark.sql("SELECT 1").collect()
+        return True
+    except Exception:
+        return False
 
 
 def main() -> None:
@@ -30,27 +42,49 @@ def main() -> None:
     spark = get_spark(app_name="bench")
 
     # Warmup: JVM JIT + codegen + parquet footer caches.
-    SPARK_QUERIES["flagship_category_avg"](spark, sf_dir).collect()
+    try:
+        SPARK_QUERIES["flagship_category_avg"](spark, sf_dir).collect()
+    except Exception:
+        pass
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, fn in sorted(SPARK_QUERIES.items()):
         t0 = time.perf_counter()
-        fn(spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        try:
+            fn(spark, sf_dir).collect()
+            timings[name] = round(time.perf_counter() - t0, 4)
+        except Exception as exc:  # noqa: BLE001 — bench must survive anything
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(
+                f"[bench] {name} FAILED after "
+                f"{time.perf_counter() - t0:.1f}s: {errors[name]}",
+                file=sys.stderr,
+            )
+            traceback.print_exc(file=sys.stderr)
+            if not _alive(spark):
+                print(f"[bench] JVM dead after {name}; restarting", file=sys.stderr)
+                try:
+                    spark.stop()
+                except Exception:
+                    pass
+                spark = get_spark(app_name="bench")
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
-    spark.stop()
+    out = {
+        "metric": "total_query_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
+    try:
+        spark.stop()
+    except Exception:
+        pass
 
 
 if __name__ == "__main__":

@@ -17,12 +17,26 @@ Engine mapping:
 - FPGrowth (`pyspark.ml.fpm`) is the built-in capability twin used as
   a cross-check in tests.
 
-Scale: the only driver-resident state is the candidate list, which
-A-Priori keeps small at sane supports. Baskets never leave executors.
+Scale design (the round-1 crash and its fix):
+- The local threshold scales with the partition's actual share of
+  baskets: ``ceil(support * part_baskets / total_baskets)``. Counts
+  are integers, so any globally-frequent itemset clears this bound in
+  at least one partition (pigeonhole) — exactness is preserved, and
+  the threshold no longer collapses to 1 when support < partitions.
+- Pair candidates are counted from pairs that *occur in baskets*
+  (Σ C(|basket|,2) work), never enumerated from frequent-singleton
+  cross products (O(f²) — the round-1 JVM killer at sf0.1).
+- A candidate circuit breaker fails fast with a clear error instead
+  of OOM-ing the driver when support is set unreasonably low for the
+  data.
+The only driver-resident state is the candidate list. Baskets never
+leave executors.
 """
 
 from __future__ import annotations
 
+import math
+from collections import Counter
 from itertools import combinations
 from typing import Iterator
 
@@ -30,21 +44,51 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Per-partition frequent-set cap: beyond this, phase 2 (baskets ×
+# candidates subset scan) and the driver collect stop being bounded.
+DEFAULT_CANDIDATE_CAP = 200_000
+
 
 def _apriori_local(
-    baskets: list[frozenset], threshold: int, max_size: int | None
+    baskets: list[frozenset],
+    threshold: int,
+    max_size: int | None,
+    candidate_cap: int = DEFAULT_CANDIDATE_CAP,
 ) -> set[tuple]:
     """In-memory A-Priori (reference Assignment2/task1.py:47-83):
     frequent k-sets seed candidate (k+1)-sets; counts via subset
-    scan. Returns frequent itemsets as sorted tuples."""
+    scan. Returns frequent itemsets as sorted tuples.
+
+    k=2 counts occurring pairs directly (Σ C(|b|,2)) rather than
+    generating all pairs of frequent singletons — at low thresholds
+    the cross-product form is O(f²) and melts memory.
+    """
     threshold = max(threshold, 1)
-    counts: dict = {}
+    counts: Counter = Counter()
     for basket in baskets:
-        for item in basket:
-            counts[item] = counts.get(item, 0) + 1
+        counts.update(basket)
     frequent = {(i,) for i, c in counts.items() if c >= threshold}
     result = set(frequent)
-    k = 1
+    if max_size is not None and max_size < 2:
+        return result
+
+    freq_items = {t[0] for t in frequent}
+    pair_counts: Counter = Counter()
+    for basket in baskets:
+        if len(basket) < 2:
+            continue
+        kept = sorted(i for i in basket if i in freq_items)
+        pair_counts.update(combinations(kept, 2))
+    frequent = {p for p, c in pair_counts.items() if c >= threshold}
+    result |= frequent
+    if len(result) > candidate_cap:
+        raise RuntimeError(
+            f"A-Priori candidate explosion: {len(result)} frequent sets at "
+            f"local threshold {threshold} exceeds cap {candidate_cap}; "
+            "raise `support` for this data size"
+        )
+
+    k = 2
     while frequent and (max_size is None or k < max_size):
         k += 1
         prev_items = sorted({i for tup in frequent for i in tup})
@@ -60,15 +104,21 @@ def _apriori_local(
                         candidates.add(cand)
         if not candidates:
             break
-        counts = {}
+        cand_sets = [(c, frozenset(c)) for c in candidates]
+        counts = Counter()
         for basket in baskets:
             if len(basket) < k:
                 continue
-            for cand in candidates:
-                if basket.issuperset(cand):
-                    counts[cand] = counts.get(cand, 0) + 1
+            for cand, cset in cand_sets:
+                if basket >= cset:
+                    counts[cand] += 1
         frequent = {c for c, n in counts.items() if n >= threshold}
         result |= frequent
+        if len(result) > candidate_cap:
+            raise RuntimeError(
+                f"A-Priori candidate explosion at k={k}: {len(result)} "
+                f"frequent sets exceeds cap {candidate_cap}"
+            )
     return result
 
 
@@ -78,48 +128,83 @@ def son_frequent_itemsets(
     support: int = 3,
     num_partitions: int = 8,
     max_size: int | None = None,
+    candidate_cap: int = DEFAULT_CANDIDATE_CAP,
 ) -> DataFrame:
     """SON over a (key, items array<string>) DataFrame →
     (itemset csv-string, support long), exact at ``support``.
 
     ``num_partitions`` is pinned (SURVEY §7 watch-list 4): phase-1
     thresholds depend on the partition count, so it is an explicit
-    parameter, not cluster-dependent state.
+    parameter, not cluster-dependent state. The phase-1 threshold is
+    ``ceil(support * partition_share)`` — exact by pigeonhole (see
+    module docstring), never the degenerate ``support // p`` of the
+    reference (Assignment2/task1.py:42) which floors to 0-1 whenever
+    support < p.
     """
     spark = baskets_df.sparkSession
-    total = baskets_df.count()
-    local_threshold = max(1, support // num_partitions)
-    parts = baskets_df.select(F.col(items_col).alias("items")).repartition(
-        num_partitions, F.crc32(F.concat_ws(",", F.col(items_col)))
+    parts = (
+        baskets_df.select(F.col(items_col).alias("items"))
+        .repartition(num_partitions, F.crc32(F.concat_ws(",", F.col(items_col))))
+        .persist()
     )
+    # One materializing pass warms the cache for the two mapInPandas
+    # jobs (phase 1 + phase 2) AND supplies the basket total that the
+    # partition-share threshold needs.
+    total = parts.count()
+    if total == 0:
+        return spark.createDataFrame([], "itemset string, support long")
 
     def phase1(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         baskets = []
         for pdf in batches:
             baskets.extend(frozenset(row) for row in pdf["items"])
-        found = _apriori_local(baskets, local_threshold, max_size)
+        local_threshold = max(
+            1, math.ceil(support * len(baskets) / total)
+        )
+        found = _apriori_local(baskets, local_threshold, max_size, candidate_cap)
         yield pd.DataFrame({"itemset": [",".join(t) for t in found]})
 
     candidates = [
         r.itemset for r in parts.mapInPandas(phase1, "itemset string").distinct().collect()
     ]
+    if len(candidates) > candidate_cap:
+        raise RuntimeError(
+            f"SON phase-1 produced {len(candidates)} candidates "
+            f"(cap {candidate_cap}); raise `support` for this data size"
+        )
     cand_bc = spark.sparkContext.broadcast(
         [tuple(c.split(",")) for c in candidates]
     )
 
     def phase2(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cands = cand_bc.value
-        counts = {c: 0 for c in cands}
+        # Exact counting pass. Singletons count directly; k>=2
+        # candidates sit in an inverted index keyed by their first
+        # (sorted) item so each basket only tests candidates it could
+        # possibly contain — never the full candidate list (the
+        # O(baskets x candidates) scan does not survive wide
+        # candidate sets).
+        singles = set()
+        by_first: dict = {}
+        for c in cand_bc.value:
+            if len(c) == 1:
+                singles.add(c[0])
+            else:
+                by_first.setdefault(c[0], []).append((c, frozenset(c)))
+        counts: Counter = Counter()
         for pdf in batches:
             for row in pdf["items"]:
                 b = frozenset(row)
-                for cand in cands:
-                    if b.issuperset(cand):
-                        counts[cand] += 1
+                for item in b & singles:
+                    counts[(item,)] += 1
+                for item in b:
+                    for cand, cset in by_first.get(item, ()):
+                        if b >= cset:
+                            counts[cand] += 1
+        all_cands = [tuple(c) for c in cand_bc.value]
         yield pd.DataFrame(
             {
-                "itemset": [",".join(c) for c in counts],
-                "cnt": list(counts.values()),
+                "itemset": [",".join(c) for c in all_cands],
+                "cnt": [counts.get(c, 0) for c in all_cands],
             }
         )
 
@@ -139,8 +224,13 @@ def fpgrowth_frequent_itemsets(
     from pyspark.ml.fpm import FPGrowth
 
     total = baskets_df.count()
+    # minCount = ceil(minSupport * total); nudge below the exact
+    # fraction so float round-up can never raise the effective count
+    # to support+1 — the final filter restores exactness.
     model = FPGrowth(
-        itemsCol=items_col, minSupport=support / total, minConfidence=0.5
+        itemsCol=items_col,
+        minSupport=max(support - 0.5, 0.5) / max(total, 1),
+        minConfidence=0.5,
     ).fit(baskets_df)
     return model.freqItemsets.select(
         F.concat_ws(",", F.array_sort("items")).alias("itemset"),

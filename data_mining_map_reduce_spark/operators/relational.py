@@ -156,5 +156,8 @@ def semantic_intersect(a: DataFrame, b: DataFrame) -> DataFrame:
 
 
 def semantic_except(a: DataFrame, b: DataFrame) -> DataFrame:
-    """§2.7: relational EXCEPT (set)."""
-    return a.exceptAll(b).distinct()
+    """§2.7: relational EXCEPT (set semantics): rows of ``a`` not in
+    ``b``, deduped — ``subtract`` is Spark's set-EXCEPT. (The bag form
+    ``a.exceptAll(b).distinct()`` is wrong: a row in both inputs
+    survives when its multiplicity in ``a`` exceeds that in ``b``.)"""
+    return a.subtract(b)

