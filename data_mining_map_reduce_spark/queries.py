@@ -738,6 +738,24 @@ def fm_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# M4/ST6 batch twin: uniform 100-row sample (distribution-identical
+# to a reservoir pass; plans as TakeOrderedAndProject over rand(seed)
+# — distributed, no driver sequential pass). The sequential streaming
+# reservoir with the reference's exact update rule lives in
+# streaming/reservoir.py and is pytest-verified
+# (tests/test_streaming.py). Rows-only: sampling is engine-specific.
+# ---------------------------------------------------------------------------
+@query("reservoir_sample_events")
+def reservoir_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.reservoir import uniform_sample
+
+    events = load_table(spark, sf_dir, "events")
+    return uniform_sample(events, 100, seed=7).select(
+        "event_id", "user_id", "event_type"
+    )
+
+
+# ---------------------------------------------------------------------------
 # ST4 exact twin: per-window exact distinct users (SQL-expressible →
 # full oracle); the approx variant below mirrors the reference's
 # per-window FM emission (Assignment6/task2.py:91).

@@ -1,0 +1,70 @@
+"""Reservoir sampling (SURVEY §2.9 ST6 / §2.11 M4).
+
+The reference keeps a global 100-slot reservoir fed by a tweepy
+callback: keep the first 100 items, then keep the n-th with
+probability 100/n, evicting a uniform-random slot (reference
+Assignment6/task3.py:38-78). That is inherently sequential driver
+state — the engine reproduces those exact semantics as a seeded
+driver-side sampler fed by ``foreachBatch`` (the shape SURVEY §2.9
+sanctions), and ALSO provides the distributed batch equivalent: a
+uniform k-row sample via ``ORDER BY rand(seed) LIMIT k``, which has
+the identical uniform-k-subset distribution and plans as
+TakeOrderedAndProject (per-partition top-k, no full sort, no driver
+sequential pass) — the 100 TB path.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class ReservoirSampler:
+    """Sequential reservoir with the reference's exact update rule.
+
+    Deterministic under ``seed``. ``feed`` accepts any iterable of
+    items; use as the body of a ``foreachBatch`` callback (stream) or
+    feed batch partitions in order (test harness).
+    """
+
+    def __init__(self, capacity: int = 100, seed: int = 7):
+        self.capacity = capacity
+        self.count = 0
+        self.items: list = []
+        self._rng = random.Random(seed)
+
+    def feed(self, items) -> None:
+        for item in items:
+            self.count += 1
+            if len(self.items) < self.capacity:
+                self.items.append(item)
+            # n-th item kept with probability capacity/n, evicting a
+            # uniform slot (Assignment6/task3.py:52-60 semantics)
+            elif self._rng.random() < self.capacity / self.count:
+                self.items[self._rng.randrange(self.capacity)] = item
+
+    def foreach_batch(self, order_col: str):
+        """ST6: foreachBatch callback feeding rows in a deterministic
+        per-batch order (micro-batch content is deterministic under
+        availableNow file replay; ordering within the batch must be
+        pinned for reproducibility)."""
+
+        def _fn(batch_df: DataFrame, batch_id: int) -> None:
+            rows = batch_df.orderBy(order_col).collect()
+            self.feed(rows)
+
+        return _fn
+
+
+def uniform_sample(df: DataFrame, k: int, seed: int = 7) -> DataFrame:
+    """M4 batch twin: uniform k-row sample, distribution-identical to
+    a reservoir pass, fully distributed (rand is per-row codegen;
+    ORDER BY + LIMIT plans as TakeOrderedAndProject)."""
+    return (
+        df.withColumn("_r", F.rand(seed))
+        .orderBy("_r")
+        .limit(k)
+        .drop("_r")
+    )

@@ -1,0 +1,153 @@
+"""Structured Streaming slice (SURVEY §2.9): batch-stream parity,
+watermark late-row drop, foreachBatch sink, reservoir sampling.
+
+Parity is the contract: Structured Streaming incrementalizes the same
+logical plan, so a bounded file replay must reproduce the batch
+answer exactly (mirrors the reference's Assignment6/task2 windowed
+counting, upgraded to event time)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_mining_map_reduce_spark.sources.catalog import TABLES, load_table
+from data_mining_map_reduce_spark.streaming.reservoir import (
+    ReservoirSampler,
+    uniform_sample,
+)
+from data_mining_map_reduce_spark.streaming.streams import (
+    file_stream,
+    foreach_batch_sink,
+    run_stream_to_memory,
+    windowed_event_counts,
+)
+
+
+def _events_dir(spark, sf_dir, tmp_path, n_files=4) -> str:
+    """Materialize events (micros timestamps) as a multi-file parquet
+    dir so maxFilesPerTrigger=1 yields several micro-batches."""
+    out = str(tmp_path / "events_stream")
+    load_table(spark, sf_dir, "events").repartition(n_files).write.parquet(out)
+    return out
+
+
+def test_stream_batch_parity_sliding_window(spark, sf_dir, tmp_path):
+    path = _events_dir(spark, sf_dir, tmp_path)
+    stream = file_stream(spark, path, TABLES["events"])
+    agg = windowed_event_counts(
+        stream, window="1 hour", slide="30 minutes", watermark="365 days"
+    )
+    got = {
+        (r.window_start, r.n)
+        for r in run_stream_to_memory(agg, "parity_sliding", output_mode="complete")
+    }
+    events = load_table(spark, sf_dir, "events")
+    want = {
+        (r.window_start, r.n)
+        for r in events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """ST3: a row older than the watermark is discarded, so its
+    window never appears in append-mode output."""
+    path = str(tmp_path / "wm_stream")
+    schema = "ts timestamp, user_id long"
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "ts string, user_id long")
+
+    # batch 1: on-time rows 12:00-12:59
+    mk(
+        [("2024-01-01 12:0%d:00" % i, i) for i in range(5)]
+        + [("2024-01-01 12:59:00", 99)]
+    ).selectExpr("CAST(ts AS timestamp) ts", "user_id").write.mode(
+        "overwrite"
+    ).parquet(path)
+
+    stream = spark.readStream.schema(schema).parquet(path)
+    agg = windowed_event_counts(
+        stream, window="10 minutes", watermark="10 minutes"
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wm_test")
+        .start()
+    )
+    q.processAllAvailable()
+    # batch 2: one VERY late row (10:00 — hours behind the 12:49
+    # watermark) plus a fresh row that advances the clock
+    mk([("2024-01-01 10:00:00", 1), ("2024-01-01 13:10:00", 2)]).selectExpr(
+        "CAST(ts AS timestamp) ts", "user_id"
+    ).write.mode("append").parquet(path)
+    q.processAllAvailable()
+    q.stop()
+
+    rows = {r.window_start.isoformat(): r.n for r in spark.sql("SELECT * FROM wm_test").collect()}
+    assert not any(k.startswith("2024-01-01T10:") for k in rows), rows
+    assert rows.get("2024-01-01T12:00:00") == 5, rows
+
+
+def test_foreach_batch_sink_sees_all_rows(spark, sf_dir, tmp_path):
+    path = _events_dir(spark, sf_dir, tmp_path)
+    stream = file_stream(spark, path, TABLES["events"])
+    seen: list[tuple[int, int]] = []
+
+    q = foreach_batch_sink(
+        stream.select("event_id"),
+        lambda df, bid: seen.append((bid, df.count())),
+        output_mode="append",
+    )
+    q.awaitTermination()
+    total = load_table(spark, sf_dir, "events").count()
+    assert sum(n for _, n in seen) == total
+    assert len(seen) >= 2  # maxFilesPerTrigger=1 => several batches
+
+
+def test_reservoir_stream_deterministic_and_bounded(spark, sf_dir, tmp_path):
+    path = _events_dir(spark, sf_dir, tmp_path)
+
+    def run():
+        sampler = ReservoirSampler(capacity=100, seed=7)
+        stream = file_stream(spark, path, TABLES["events"]).select("event_id")
+        q = foreach_batch_sink(
+            stream, sampler.foreach_batch("event_id"), output_mode="append"
+        )
+        q.awaitTermination()
+        return sampler
+
+    a, b = run(), run()
+    total = load_table(spark, sf_dir, "events").count()
+    assert a.count == total
+    assert len(a.items) == min(100, total)
+    assert [r.event_id for r in a.items] == [r.event_id for r in b.items]
+
+
+def test_reservoir_uniformity_smoke(spark, sf_dir, tmp_path):
+    """Sampled ids should span the id range, not cluster at the
+    start (the keep-first-100 failure mode)."""
+    path = _events_dir(spark, sf_dir, tmp_path)
+    sampler = ReservoirSampler(capacity=100, seed=11)
+    stream = file_stream(spark, path, TABLES["events"]).select("event_id")
+    q = foreach_batch_sink(
+        stream, sampler.foreach_batch("event_id"), output_mode="append"
+    )
+    q.awaitTermination()
+    ids = [r.event_id for r in sampler.items]
+    n = sampler.count
+    mean = sum(ids) / len(ids)
+    # uniform mean ~ n/2 with sd ~ n/sqrt(12*100) ~ 0.029n; allow 4 sd
+    assert abs(mean - n / 2) < 0.12 * n, (mean, n)
+
+
+def test_uniform_sample_batch_twin(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    a = uniform_sample(events, 100, seed=7).select("event_id").collect()
+    b = uniform_sample(events, 100, seed=7).select("event_id").collect()
+    assert len(a) == 100
+    assert {r.event_id for r in a} == {r.event_id for r in b}
