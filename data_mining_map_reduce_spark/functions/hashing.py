@@ -76,26 +76,36 @@ def simhash64(tokens: Column) -> Column:
     is set else -1; result bit j = (sum > 0). Returned as bigint.
     Pure array-expression aggregation — per row, JVM-side.
     """
-    # counts[j] = sum of bit j over tokens (0..size)
+    # counts[j] = sum of bit j over tokens (0..size). Shift amounts
+    # must be Python ints for F.shiftright, so the 64 lanes unroll at
+    # expression-build time.
+    def _bit_vec(t: Column) -> Column:
+        h = F.xxhash64(t)
+        return F.array(
+            *[
+                F.shiftright(h, j).bitwiseAND(F.lit(1)).cast("int")
+                for j in range(64)
+            ]
+        )
+
     counts = F.aggregate(
         tokens,
         F.array_repeat(F.lit(0).cast("int"), 64),
-        lambda acc, t: F.zip_with(
-            acc,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(63)),
-                lambda j: F.shiftright(F.xxhash64(t), j).bitwiseAND(F.lit(1)).cast("int"),
-            ),
-            lambda x, y: x + y,
-        ),
+        lambda acc, t: F.zip_with(acc, _bit_vec(t), lambda x, y: x + y),
     )
     n = F.size(tokens)
-    # bit j set iff counts[j]*2 > n  (i.e. majority of tokens set it)
+    # bit j set iff counts[j]*2 > n (i.e. majority of tokens set it);
+    # shiftleft-by-column goes through the SQL function, which
+    # accepts a column shift amount.
+    idx = F.array(*[F.lit(j).cast("int") for j in range(64)])
     return F.aggregate(
         F.zip_with(
             counts,
-            F.sequence(F.lit(0), F.lit(63)),
-            lambda c, j: F.when(c * 2 > n, F.shiftleft(F.lit(1).cast("bigint"), j)).otherwise(F.lit(0).cast("bigint")),
+            idx,
+            lambda c, j: F.when(
+                c * 2 > n,
+                F.call_function("shiftleft", F.lit(1).cast("bigint"), j),
+            ).otherwise(F.lit(0).cast("bigint")),
         ),
         F.lit(0).cast("bigint"),
         lambda acc, x: acc.bitwiseOR(x),

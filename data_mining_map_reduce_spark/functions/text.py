@@ -45,20 +45,29 @@ def word_ngrams(tokens: Column, n: int) -> Column:
     Built as slice+concat over an index sequence — stays in codegen.
     Returns array<string> of space-joined shingles (distinct not
     applied; compose with ``array_distinct`` for set semantics).
+    Inputs shorter than ``n`` yield an empty array (guarded: Spark's
+    ``sequence(1, 0)`` counts DOWN, which would fabricate shingles).
     """
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(tokens) - F.lit(n - 1), F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
-    )
+    return F.when(
+        F.size(tokens) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tokens) - F.lit(n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def char_ngrams(col: Column | str, n: int) -> Column:
-    """Character n-gram shingles of a string column."""
+    """Character n-gram shingles of a string column (same short-input
+    guard as word_ngrams)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(c) - F.lit(n - 1), F.lit(0))),
-        lambda i: F.substring(c, i, n),
-    )
+    return F.when(
+        F.length(c) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.length(c) - F.lit(n - 1)),
+            lambda i: F.substring(c, i, n),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def year_of(col: Column | str) -> Column:

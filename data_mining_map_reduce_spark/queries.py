@@ -1152,6 +1152,108 @@ def kmeans_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# LLM-pipeline dedup block (SURVEY §7 phase 5). The documents table
+# carries generator-planted near-duplicates; word-3-gram shingles
+# separate them cleanly (random-pair Jaccard ~0.001, planted ~0.5-1).
+# ---------------------------------------------------------------------------
+_DOC_SHINGLES_SQL = r"""
+        SELECT doc_id,
+               list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                              for i in range(1, len(w)-1)]) AS s
+        FROM (
+            SELECT doc_id,
+                   list_filter(
+                       string_split_regex(
+                           translate(lower(text), '([,.!?:;])', ''), '\s+'),
+                       x -> x <> '') AS w
+            FROM documents
+        )
+"""
+
+
+# Exact dedup via content hash: every doc mapped to its duplicate
+# group (canonical = min doc_id). Spark groups on xxhash64(normalized
+# text); the oracle groups on the normalized text itself — identical
+# equivalence classes barring a 64-bit collision.
+@query(
+    "exact_dup_doc_groups",
+    """
+    WITH h AS (
+        SELECT doc_id, translate(lower(text), '([,.!?:;])', '') AS norm
+        FROM documents
+    ),
+    g AS (
+        SELECT norm, MIN(doc_id) AS canonical_id, COUNT(*) AS group_size
+        FROM h GROUP BY norm
+    )
+    SELECT h.doc_id, g.canonical_id, g.group_size
+    FROM h JOIN g USING (norm)
+    ORDER BY h.doc_id
+    """,
+)
+def exact_dup_doc_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import exact_duplicate_groups
+
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_duplicate_groups(docs).orderBy("doc_id")
+
+
+# Near-dup ground truth: exact shingle-set Jaccard >= 0.5 (the
+# planted pairs). This is the oracle twin the LSH path is graded
+# against (A3 PDF §4.1.4 pattern).
+@query(
+    "near_dup_docs_exact",
+    f"""
+    WITH sh AS ({_DOC_SHINGLES_SQL})
+    SELECT a.doc_id AS a, b.doc_id AS b,
+           ROUND(len(list_intersect(a.s, b.s)) * 1.0
+                 / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.s, b.s)) * 1.0
+          / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+    ORDER BY a, b
+    """,
+)
+def near_dup_docs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import doc_shingles
+    from .operators.similarity import exact_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = doc_shingles(docs).select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
+    return exact_jaccard_pairs(pairs, "doc_id", "shingle", threshold=0.5).orderBy(
+        "a", "b"
+    )
+
+
+# Near-dup scale path: MinHash LSH over the same shingle sets
+# (64 hashes, 32 bands x 2 rows — collision prob ~1.0 at s=0.5).
+# Rows-only; recall >= 0.9 vs the exact twin is pytest-asserted.
+@query("near_dup_docs_lsh")
+def near_dup_docs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import doc_shingles
+    from .operators.similarity import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        doc_shingles(docs), "doc_id", "shingles",
+        threshold=0.5, num_hashes=64, bands=32,
+    ).orderBy("a", "b")
+
+
+# SimHash near-dup pairs: 64-bit fingerprints, 4x16-bit bands,
+# hamming <= 3 (pigeonhole => recall 1.0 at that radius). Rows-only;
+# planted-pair behavior pytest-asserted.
+@query("simhash_doc_pairs")
+def simhash_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import simhash_near_dup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(docs).orderBy("a", "b")
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(SPARK_QUERIES)
 
