@@ -1,0 +1,171 @@
+"""Similarity search over embedding vectors: exact cosine top-k and
+random-hyperplane-LSH approximate top-k (the LLM-pipeline ANN block;
+SURVEY §7 phase 5).
+
+The reference has no vector search; its nearest analogue is the
+point×centroid argmin (reference Assignment5/bfr.py:54-62). The
+engine provides:
+- ``cosine_topk``: exact brute force — probes broadcast against the
+  candidate table, codegen'd dot products, per-probe window rank.
+  Correct at any scale in the *probe* dimension (cost is
+  |probes| × |candidates|); the ground-truth/oracle path.
+- ``hyperplane_lsh_topk``: sign-of-dot-product signatures (SimHash
+  for vectors — Charikar's rounding scheme), banded exactly like the
+  MinHash pipeline: probes only meet candidates sharing a band
+  bucket, so cost is |probes| × E[bucket size] — the 100 TB path.
+  Hyperplanes are seeded, generated once on the driver (H×d floats —
+  tiny) and inlined as literal arrays into codegen expressions; no
+  UDF, no collect of data.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine
+
+
+def _as_double_vec(col: str) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _lit_vec(values) -> Column:
+    return F.array(*[F.lit(float(v)) for v in values])
+
+
+def _dot_lit(vec: Column, plane) -> Column:
+    """dot(vector column, literal hyperplane) — zip/aggregate codegen."""
+    return F.aggregate(
+        F.zip_with(vec, _lit_vec(plane), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine_topk(
+    emb: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per probe →
+    (probe_id, neighbor_id, cos_sim, rnk).
+
+    Rank on the ROUNDED similarity with id tie-break so the ordering
+    is reproducible across engines (float tie hazard at rank
+    boundaries). Probes broadcast: the scan of the candidate table
+    never shuffles.
+    """
+    cands = emb.select(
+        F.col(id_col).alias("neighbor_id"), _as_double_vec(vec_col).alias("_cv")
+    )
+    pr = probes.select(
+        F.col(id_col).alias("probe_id"), _as_double_vec(vec_col).alias("_pv")
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cands.crossJoin(F.broadcast(pr))
+        .where(F.col("neighbor_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "neighbor_id",
+            F.round(cosine("_pv", "_cv"), 6).alias("cos_sim"),
+        )
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= k)
+    )
+
+
+def hyperplane_signature(
+    vec: Column, planes: np.ndarray, bands: int
+) -> Column:
+    """Array of ``bands`` bucket values; band b packs ``H/bands``
+    sign bits of dot(vec, plane) into an int."""
+    num_planes = len(planes)
+    if num_planes % bands:
+        raise ValueError("num_planes must divide evenly into bands")
+    r = num_planes // bands
+    bits = [
+        F.when(_dot_lit(vec, planes[i]) > 0, F.lit(1)).otherwise(F.lit(0))
+        for i in range(num_planes)
+    ]
+    band_vals = []
+    for b in range(bands):
+        v = F.lit(0)
+        for i in range(r):
+            v = v + bits[b * r + i] * F.lit(1 << i)
+        band_vals.append(v)
+    return F.array(*band_vals)
+
+
+def hyperplane_lsh_topk(
+    emb: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 16,
+    bands: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """Approximate top-k cosine neighbors: candidates = vectors
+    sharing ≥1 hyperplane-sign band with the probe, then exact cosine
+    + rank over that candidate set only.
+
+    Collision probability per band for angle θ: (1-θ/π)^r — banding
+    trades recall for bucket size exactly like MinHash banding
+    (same analysis, reference Assignment3/task1.py:59-71's b×r
+    tradeoff). Recall vs the exact path is pytest-asserted.
+    """
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((num_planes, len(_first_vec(emb, vec_col))))
+
+    def banded(df: DataFrame, role: str) -> DataFrame:
+        # ids + band keys only — the 64-double vectors stay out of
+        # the bucket shuffle and the pair-dedup; they re-join by id
+        # after the candidate set is deduped.
+        v = _as_double_vec(vec_col)
+        return df.select(
+            F.col(id_col).alias(f"{role}_id"),
+            F.posexplode(hyperplane_signature(v, planes, bands)).alias(
+                "_band", "_bval"
+            ),
+        )
+
+    pairs = (
+        banded(probes, "probe")
+        .join(banded(emb, "neighbor"), ["_band", "_bval"])
+        .where(F.col("neighbor_id") != F.col("probe_id"))
+        .select("probe_id", "neighbor_id")
+        .distinct()
+    )
+    pv = probes.select(
+        F.col(id_col).alias("probe_id"), _as_double_vec(vec_col).alias("_pv")
+    )
+    cv = emb.select(
+        F.col(id_col).alias("neighbor_id"), _as_double_vec(vec_col).alias("_cv")
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.join(F.broadcast(pv), "probe_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "probe_id",
+            "neighbor_id",
+            F.round(cosine("_pv", "_cv"), 6).alias("cos_sim"),
+        )
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= k)
+    )
+
+
+def _first_vec(emb: DataFrame, vec_col: str):
+    """Vector dimensionality probe (one-row action on a pruned scan)."""
+    return emb.select(vec_col).first()[0]

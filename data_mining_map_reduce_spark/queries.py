@@ -1254,6 +1254,53 @@ def simhash_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dup_pairs(docs).orderBy("a", "b")
 
 
+# ---------------------------------------------------------------------------
+# LLM-pipeline ANN block: exact cosine top-k (ground truth, oracled)
+# + hyperplane-LSH approximate top-k (the scale path; recall
+# pytest-asserted). Retires the all-pairs demo as the engine's only
+# similarity-search path.
+# ---------------------------------------------------------------------------
+@query(
+    "ann_topk_exact",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 10),
+    s AS (
+        SELECT p.probe_id, e.vec_id AS neighbor_id,
+               ROUND(list_cosine_similarity(p.pv, e.v), 6) AS cos_sim
+        FROM p JOIN e ON e.vec_id <> p.probe_id
+    )
+    SELECT probe_id, neighbor_id, cos_sim,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY probe_id ORDER BY cos_sim DESC, neighbor_id
+           ) AS INTEGER) AS rnk
+    FROM s
+    QUALIFY rnk <= 5
+    ORDER BY probe_id, rnk
+    """,
+)
+def ann_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.ann import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < 10)
+    return cosine_topk(emb, probes, k=5).orderBy("probe_id", "rnk")
+
+
+@query("ann_topk_lsh")
+def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.ann import hyperplane_lsh_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < 10)
+    # 8 bands x 3 bits: recall ~0.88 at this corpus's weak neighbor
+    # angles (top-5 cosine ~0.33); tighter banding trades recall for
+    # bucket size — tune r up as clusters tighten.
+    return hyperplane_lsh_topk(
+        emb, probes, k=5, num_planes=24, bands=8
+    ).orderBy("probe_id", "rnk")
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(SPARK_QUERIES)
 
