@@ -68,3 +68,28 @@ def test_lpa_deterministic(spark, planted_edges):
     a = sorted(map(tuple, G.label_propagation(planted_edges, 5).collect()))
     b = sorted(map(tuple, G.label_propagation(planted_edges, 5).collect()))
     assert a == b
+
+
+def test_lpa_recovers_planted_communities(spark):
+    """Two 5-cliques joined by a single bridge: LPA must converge to
+    one label per clique, different across cliques."""
+    big_a = [1, 2, 3, 4, 9]
+    big_b = [5, 6, 7, 8, 10]
+    edges = []
+    for clique in (big_a, big_b):
+        edges += [(a, b) for a in clique for b in clique if a < b]
+    edges.append((4, 5))
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {r.id: r.label for r in G.label_propagation(df, max_iter=5).collect()}
+    assert len({got[v] for v in big_a}) == 1
+    assert len({got[v] for v in big_b}) == 1
+    assert got[1] != got[6]
+
+
+def test_betweenness_sampled_roots_approximates(spark, planted_edges):
+    """Half the roots, rescaled: the bridge must still dominate and
+    its estimate must land near the exact 16.0."""
+    bt = G.edge_betweenness(planted_edges, sample_fraction=0.5, seed=3).collect()
+    top = max(bt, key=lambda r: r.betweenness)
+    assert (top.src, top.dst) == (4, 5)
+    assert 8.0 <= top.betweenness <= 32.0
