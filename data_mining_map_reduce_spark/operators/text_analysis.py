@@ -1,0 +1,142 @@
+"""Text-analysis operators: TF-IDF profiles, document quality stats,
+language-ID heuristic (SURVEY §2.4 A16 + the LLM-pipeline text block).
+
+A16 is spec-only in the reference (A3 PDF §4.2: concat reviews per
+business, top-200 TF-IDF terms with tf normalized by the doc's max
+term frequency) — no code to mirror, so the engine implements the
+PDF's formula directly: tfidf(t, d) = (tf(t,d) / max_tf(d)) ·
+ln(N / df(t)).
+
+Everything is DataFrame-native: tokenization explodes in codegen,
+TF is one groupBy, max-tf a window max (no extra join), DF a
+broadcast-joined term table (vocabulary ≪ corpus), ranking a window.
+At 100 TB the only big shuffle is the (doc, term) TF groupBy, which
+partitions on the pair key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import STOPWORDS, normalize, tokenize
+
+
+def doc_terms(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, term) — one row per token occurrence."""
+    return docs.select(
+        F.col(id_col),
+        F.explode(tokenize(normalize(F.col(text_col)))).alias("term"),
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k TF-IDF terms per document →
+    (doc_id, term, tfidf, rnk). Rank on the rounded score with term
+    tie-break for cross-engine reproducibility."""
+    terms = doc_terms(docs, id_col, text_col)
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    max_tf = F.max("tf").over(Window.partitionBy(id_col))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.withColumn("max_tf", max_tf)
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "term",
+            F.round(
+                (F.col("tf") / F.col("max_tf"))
+                * F.log(F.col("n_docs") / F.col("df")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= k)
+    )
+
+
+def doc_quality_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc quality signals for corpus filtering: token count,
+    mean token length, stopword ratio, distinct-token ratio. One
+    codegen projection — array aggregates, no shuffle."""
+    toks = tokenize(normalize(F.col(text_col)))
+    n_tok = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    return docs.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        F.round(
+            F.aggregate(
+                toks, F.lit(0).cast("bigint"), lambda a, t: a + F.length(t)
+            )
+            / F.greatest(n_tok, F.lit(1)),
+            6,
+        ).alias("avg_token_len"),
+        F.round(
+            F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+            / F.greatest(n_tok, F.lit(1)).cast("double"),
+            6,
+        ).alias("stopword_ratio"),
+        F.round(
+            F.size(F.array_distinct(toks))
+            / F.greatest(n_tok, F.lit(1)).cast("double"),
+            6,
+        ).alias("distinct_ratio"),
+    )
+
+
+# Tiny per-language stopword profiles for the heuristic classifier.
+_LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to", "in", "is", "it", "for", "on"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "zu", "nicht", "mit"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "pas", "pour"),
+    "es": ("el", "la", "los", "y", "es", "un", "una", "no", "para"),
+}
+
+
+def language_id(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Heuristic language ID: the language whose stopword profile
+    covers the largest fraction of the doc's tokens ('und' for
+    unknown when nothing matches). Pure codegen scoring — the
+    standard cheap first-pass filter in corpus pipelines."""
+    toks = tokenize(normalize(F.col(text_col)))
+    n_tok = F.greatest(F.size(toks), F.lit(1)).cast("double")
+
+    def _in_profile(profile):
+        # closure factory: PySpark derives lambda arity from the
+        # signature, so default-arg capture would be misread as a
+        # two-argument (value, index) higher-order function
+        arr = F.array(*[F.lit(w) for w in profile])
+        return lambda t: F.array_contains(arr, t)
+
+    scores = [
+        (lang, F.size(F.filter(toks, _in_profile(profile))) / n_tok)
+        for lang, profile in _LANG_PROFILES.items()
+    ]
+    best_score = F.greatest(*[s for _, s in scores])
+    pred = F.when(best_score <= 0, F.lit("und"))
+    for lang, s in scores:
+        pred = pred.when(s == best_score, F.lit(lang))
+    return docs.select(
+        F.col(id_col),
+        pred.alias("pred_lang"),
+        F.round(best_score, 6).alias("score"),
+    )

@@ -1301,6 +1301,189 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("probe_id", "rnk")
 
 
+# ---------------------------------------------------------------------------
+# A16: TF-IDF top terms per document (A3 PDF §4.2 formula — tf
+# normalized by the doc's max term frequency, idf = ln(N/df)).
+# ---------------------------------------------------------------------------
+_TOKENS_SQL = r"""
+        SELECT doc_id,
+               UNNEST(list_filter(
+                   string_split_regex(
+                       translate(lower(text), '([,.!?:;])', ''), '\s+'),
+                   x -> x <> '')) AS term
+        FROM documents
+"""
+
+
+@query(
+    "tfidf_top_terms",
+    f"""
+    WITH tok AS ({_TOKENS_SQL}),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+    mx AS (SELECT doc_id, MAX(tf) AS max_tf FROM tf GROUP BY 1),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               ROUND((tf.tf * 1.0 / mx.max_tf) * ln(n.n_docs * 1.0 / dfreq.df), 6) AS tfidf
+        FROM tf JOIN mx USING (doc_id) JOIN dfreq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY tfidf DESC, term
+           ) AS INTEGER) AS rnk
+    FROM scored
+    QUALIFY rnk <= 5
+    ORDER BY doc_id, rnk
+    """,
+)
+def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text_analysis import tfidf_top_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, k=5).orderBy("doc_id", "rnk")
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline text block: per-doc quality stats (corpus filtering
+# signals) — fully SQL-expressible.
+# ---------------------------------------------------------------------------
+@query(
+    "doc_quality_stats",
+    f"""
+    WITH w AS (
+        SELECT doc_id,
+               list_filter(
+                   string_split_regex(
+                       translate(lower(text), '([,.!?:;])', ''), '\\s+'),
+                   x -> x <> '') AS toks
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS INTEGER) AS n_tokens,
+           ROUND(list_sum([length(x) for x in toks]) * 1.0
+                 / GREATEST(len(toks), 1), 6) AS avg_token_len,
+           ROUND(len(list_filter(toks, x -> x IN {_STOPWORDS_SQL})) * 1.0
+                 / GREATEST(len(toks), 1), 6) AS stopword_ratio,
+           ROUND(len(list_distinct(toks)) * 1.0
+                 / GREATEST(len(toks), 1), 6) AS distinct_ratio
+    FROM w
+    ORDER BY doc_id
+    """,
+)
+def doc_quality_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text_analysis import doc_quality_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return doc_quality_stats(docs).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Language-ID heuristic (rows-only: the profile scoring is
+# engine-specific; behavior pytest-asserted on known-language text).
+# ---------------------------------------------------------------------------
+@query("language_id_docs")
+def language_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text_analysis import language_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        language_id(docs)
+        .groupBy("pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("pred_lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A15 full: item-item CF — Pearson similarities over co-rated pairs
+# and top-N-neighbor weighted prediction (A3 PDF §4.3). Rating =
+# avg quantity a customer ordered of a part.
+# ---------------------------------------------------------------------------
+_RATINGS_SQL = """
+        SELECT o.o_custkey AS u, l.l_partkey AS i,
+               ROUND(AVG(l.l_quantity), 6) AS rating
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY 1, 2
+"""
+
+
+def _ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i"))
+        .agg(F.round(F.avg("l_quantity"), 6).alias("rating"))
+    )
+
+
+@query(
+    "cf_item_similarities",
+    f"""
+    WITH r AS ({_RATINGS_SQL})
+    SELECT a.i AS i1, b.i AS i2,
+           ROUND(corr(a.rating, b.rating), 6) AS sim,
+           COUNT(*) AS n_co
+    FROM r a JOIN r b ON a.u = b.u AND a.i < b.i
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 3 AND corr(a.rating, b.rating) IS NOT NULL
+    ORDER BY i1, i2
+    """,
+)
+def cf_item_similarities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.recommend import item_similarities
+
+    return item_similarities(_ratings(spark, sf_dir), min_co=3).orderBy("i1", "i2")
+
+
+@query(
+    "cf_predictions",
+    f"""
+    WITH r AS ({_RATINGS_SQL}),
+    s0 AS (
+        SELECT a.i AS i1, b.i AS i2,
+               ROUND(corr(a.rating, b.rating), 6) AS sim
+        FROM r a JOIN r b ON a.u = b.u AND a.i < b.i
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 3 AND corr(a.rating, b.rating) IS NOT NULL
+    ),
+    s AS (
+        SELECT i1, i2, sim FROM s0
+        UNION ALL
+        SELECT i2 AS i1, i1 AS i2, sim FROM s0
+    ),
+    t AS (SELECT u, i FROM r WHERE u < 50),
+    cand AS (
+        SELECT t.u, t.i, s.i2 AS nbr, s.sim, r2.rating
+        FROM t
+        JOIN s ON s.i1 = t.i
+        JOIN r r2 ON r2.u = t.u AND r2.i = s.i2
+        WHERE s.sim > 0
+    ),
+    top AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY u, i ORDER BY sim DESC, nbr
+        ) AS rk
+        FROM cand
+    )
+    SELECT u, i, ROUND(SUM(sim * rating) / SUM(sim), 4) AS pred
+    FROM top WHERE rk <= 5
+    GROUP BY u, i
+    ORDER BY u, i
+    """,
+)
+def cf_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.recommend import item_similarities, predict_ratings
+
+    ratings = _ratings(spark, sf_dir).cache()
+    sims = item_similarities(ratings, min_co=3)
+    targets = ratings.where(F.col("u") < 50).select("u", "i")
+    return predict_ratings(ratings, sims, targets, top_n=5).orderBy("u", "i")
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(SPARK_QUERIES)
 
