@@ -1484,6 +1484,65 @@ def cf_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return predict_ratings(ratings, sims, targets, top_n=5).orderBy("u", "i")
 
 
+# ---------------------------------------------------------------------------
+# F2: split + trim + explode (reference category split,
+# Assignment1/task2.py:37) — on the dash-delimited order priority.
+# ---------------------------------------------------------------------------
+@query(
+    "priority_token_counts",
+    """
+    SELECT token, COUNT(*) AS n
+    FROM (
+        SELECT UNNEST(list_transform(
+            string_split(o_orderpriority, '-'), x -> trim(x))) AS token
+        FROM orders
+    )
+    GROUP BY token ORDER BY token
+    """,
+)
+def priority_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import split_trim
+
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.explode(split_trim("o_orderpriority", "-")).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("token")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing demo: documents' text re-encoded as an opaque
+# binary payload column, features extracted via Arrow-batched
+# mapInPandas (deterministic fake decoder — see operators/multimodal
+# for the stub contract). Rows-only: binary/UDF path is
+# engine-specific; shape and determinism pytest-asserted.
+# ---------------------------------------------------------------------------
+@query("media_feature_rollup")
+def media_feature_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import extract_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.col("source").alias("modality"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    feats = extract_features(media)
+    return (
+        feats.groupBy("modality")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.round(F.avg(F.element_at("features", 1)), 6).alias("f0_mean"),
+        )
+        .orderBy("modality")
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(SPARK_QUERIES)
 

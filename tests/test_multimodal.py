@@ -1,0 +1,64 @@
+"""Multimodal plumbing: binary payload schema, Arrow-batched feature
+extraction (stubbed decoder), metadata-only pruning."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_mining_map_reduce_spark.operators.multimodal import (
+    FEATURE_DIM,
+    MEDIA_SCHEMA,
+    decode_audio,
+    decode_image,
+    extract_features,
+    media_summary,
+)
+
+
+@pytest.fixture()
+def media(spark):
+    rows = [
+        (1, "image", "image/png", b"\x89PNG fake bytes here", 64, 48, None),
+        (2, "image", "image/jpeg", b"\xff\xd8 more fake bytes", 640, 480, None),
+        (3, "audio", "audio/wav", b"RIFF fake wav payload....", None, None, 2500),
+        (4, "video", "video/mp4", None, 1920, 1080, 60000),
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_decode_stubs_raise(media):
+    with pytest.raises(NotImplementedError):
+        decode_image(b"x")
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"x")
+
+
+def test_extract_features_shape_and_determinism(spark, media):
+    a = {r.media_id: (r.n_bytes, tuple(r.features)) for r in extract_features(media).collect()}
+    b = {r.media_id: (r.n_bytes, tuple(r.features)) for r in extract_features(media).collect()}
+    assert a == b
+    assert a[1][0] == len(b"\x89PNG fake bytes here")
+    assert a[4][0] == 0  # null payload -> 0 bytes
+    assert all(len(v[1]) == FEATURE_DIM for v in a.values())
+    assert all(0.0 <= x <= 1.0 for v in a.values() for x in v[1])
+
+
+def test_custom_feature_fn_slots_in(spark, media):
+    got = extract_features(
+        media, feature_fn=lambda p: [float(len(p or b""))] * FEATURE_DIM
+    ).collect()
+    by_id = {r.media_id: r.features[0] for r in got}
+    assert by_id[3] == float(len(b"RIFF fake wav payload...."))
+
+
+def test_media_summary_prunes_payload(spark, media, tmp_path):
+    """The metadata rollup's parquet scan must not read the payload
+    column — that pruning is the point of the typed-metadata layout."""
+    path = str(tmp_path / "media_parquet")
+    media.write.parquet(path)
+    back = spark.read.parquet(path)
+    plan = media_summary(back)._jdf.queryExecution().executedPlan().toString()
+    assert "payload" not in plan
+    rows = {r.modality: r.n_items for r in media_summary(back).collect()}
+    assert rows == {"audio": 1, "image": 2, "video": 1}
