@@ -996,6 +996,65 @@ def graph_betweenness_top(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# G5: Girvan-Newman modularity-guided communities (rows-only:
+# inherently iterative driver loop; golden-checked on a planted graph
+# in tests/test_graph.py). Bounded removals keep the driver loop
+# size-capped per the operator's documented envelope.
+# ---------------------------------------------------------------------------
+@query("girvan_newman_communities")
+def girvan_newman_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import girvan_newman
+
+    edges = _cooccurrence_edges(spark, sf_dir, tau=5)
+    assign, _q = girvan_newman(edges, max_removals=3)
+    return (
+        assign.groupBy("community")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .orderBy(F.col("size").desc(), F.col("community").asc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# M2/ST7: BFR per-round intermediate stats — the reference's graded
+# artifact (A5 PDF §4.3 intermediate CSV: round id, discard-set
+# size, cluster count, leftovers). Chunks = deterministic vec_id
+# ranges over embeddings (S4 ordered-chunk source). Rows-only;
+# structural/NMI checks live in tests/test_clustering.py.
+# ---------------------------------------------------------------------------
+@query("bfr_round_stats")
+def bfr_round_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.clustering import bfr
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
+    )
+    n = emb.count()
+    n_chunks = 4
+    bounds = [round(i * n / n_chunks) for i in range(n_chunks + 1)]
+    ids = emb.select("id").orderBy("id").collect()
+    cuts = [ids[min(b, n - 1)].id for b in bounds[1:-1]]
+    lo = None
+    chunks = []
+    for hi in cuts + [None]:
+        c = emb
+        if lo is not None:
+            c = c.where(F.col("id") >= lo)
+        if hi is not None:
+            c = c.where(F.col("id") < hi)
+        chunks.append(c)
+        lo = hi
+    _assign, state = bfr(chunks, vec_col="vec", id_col="id", k=8, seed=7)
+    return spark.createDataFrame(
+        [
+            (r["round_id"], r["n_ds_points"], r["n_clusters"], r["n_leftover"])
+            for r in state.rounds
+        ],
+        "round_id int, n_ds_points long, n_clusters int, n_leftover long",
+    )
+
+
+# ---------------------------------------------------------------------------
 # A11 ground truth (size-1): frequent single items at support 3
 # ---------------------------------------------------------------------------
 @query(
@@ -1482,6 +1541,40 @@ def cf_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
     sims = item_similarities(ratings, min_co=3)
     targets = ratings.where(F.col("u") < 50).select("u", "i")
     return predict_ratings(ratings, sims, targets, top_n=5).orderBy("u", "i")
+
+
+# ---------------------------------------------------------------------------
+# O4: sort by derived keys — (set size DESC, lexicographic ASC), the
+# reference's itemset/community ordering rule
+# (Assignment2/task1.py:133-135, Assignment4/task1.py:67-71).
+# ---------------------------------------------------------------------------
+@query(
+    "largest_baskets",
+    """
+    SELECT o.o_custkey,
+           array_to_string(list_sort(list(DISTINCT CAST(l.l_partkey AS VARCHAR))), ',') AS items,
+           COUNT(DISTINCT l.l_partkey) AS n_items
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_custkey
+    ORDER BY n_items DESC, items ASC
+    LIMIT 100
+    """,
+)
+def largest_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    lineitem = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.concat_ws(
+                ",", F.array_sort(F.collect_set(F.col("l_partkey").cast("string")))
+            ).alias("items"),
+            F.countDistinct("l_partkey").alias("n_items"),
+        )
+        .orderBy(F.col("n_items").desc(), F.col("items").asc())
+        .limit(100)
+    )
 
 
 # ---------------------------------------------------------------------------
