@@ -33,3 +33,53 @@ def dictionary_encode(df: DataFrame, col: str, id_alias: str = "id") -> DataFram
 def encode_column(df: DataFrame, col: str, dictionary: DataFrame, id_alias: str) -> DataFrame:
     """Replace ``col`` with its dictionary id via broadcast join."""
     return df.join(F.broadcast(dictionary), col).drop(col)
+
+
+def dictionary_encode_big(
+    df: DataFrame, col: str, id_alias: str = "id", partitions: int | None = None
+) -> DataFrame:
+    """Scale path for huge dictionary domains: dense ordered ids with
+    NO global single-task sort.
+
+    Two passes, both distributed:
+    1. distinct values → ``repartitionByRange`` on the value (range
+       partitioner samples boundaries) → sort WITHIN partitions →
+       per-partition ``row_number`` via a partition-local window.
+    2. per-partition counts (tiny: one row per partition) → cumulative
+       offsets on the driver → broadcast-joined back; global id =
+       offset + local row number.
+
+    Equivalent to RDD ``zipWithIndex`` on a sorted dataset, expressed
+    in the DataFrame domain. Ids are dense, start at 1, and follow
+    value order — identical output contract to ``dictionary_encode``
+    (pytest-asserted), so callers can swap paths by domain size.
+    """
+    spark = df.sparkSession
+    parts = partitions or spark.sparkContext.defaultParallelism
+    distinct = (
+        df.select(col)
+        .distinct()
+        .repartitionByRange(parts, F.col(col))
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    local = distinct.withColumn(
+        "_local",
+        F.row_number().over(
+            Window.partitionBy("_pid").orderBy(F.col(col))
+        ),
+    )
+    sizes = sorted(
+        (r._pid, r.n)
+        for r in local.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    offsets, acc = {}, 0
+    for pid, n in sizes:
+        offsets[pid] = acc
+        acc += n
+    offset_df = spark.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], "_pid int, _off long"
+    )
+    return (
+        local.join(F.broadcast(offset_df), "_pid")
+        .select(col, (F.col("_off") + F.col("_local")).cast("int").alias(id_alias))
+    )

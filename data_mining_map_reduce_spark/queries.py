@@ -512,6 +512,27 @@ def dict_encode_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Dictionary encoding, scale path: dense value-ordered ids with no
+# global single-task sort (range partition + local row_number +
+# offset join — the zipWithIndex shape in the DataFrame domain).
+# Same output contract as the window path, on a ~20k-value domain.
+# ---------------------------------------------------------------------------
+@query(
+    "dict_encode_partkeys_big",
+    """
+    SELECT l_partkey, CAST(DENSE_RANK() OVER (ORDER BY l_partkey) AS INTEGER) AS part_id
+    FROM (SELECT DISTINCT l_partkey FROM lineitem)
+    ORDER BY part_id
+    """,
+)
+def dict_encode_partkeys_big(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.encoding import dictionary_encode_big
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return dictionary_encode_big(li, "l_partkey", "part_id").orderBy("part_id")
+
+
+# ---------------------------------------------------------------------------
 # A6 (ordered collect_list): items per order in line-number order,
 # serialized for stable hashing (reference Assignment3/task1.py:25)
 # ---------------------------------------------------------------------------

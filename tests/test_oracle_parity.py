@@ -85,3 +85,18 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert [c for c in df.columns] == ["category", "avg_price", "n"]
+
+
+def test_dictionary_encode_paths_agree(spark, sf_dir):
+    """Window path and range-partitioned zipWithIndex path must emit
+    identical (value, id) dictionaries."""
+    from data_mining_map_reduce_spark.operators.encoding import (
+        dictionary_encode,
+        dictionary_encode_big,
+    )
+    from data_mining_map_reduce_spark.sources.catalog import load_table
+
+    part = load_table(spark, sf_dir, "part")
+    small = sorted(map(tuple, dictionary_encode(part, "p_brand", "id").collect()))
+    big = sorted(map(tuple, dictionary_encode_big(part, "p_brand", "id").collect()))
+    assert small == big
