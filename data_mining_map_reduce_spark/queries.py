@@ -1154,23 +1154,62 @@ def _order_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
 SON_QUERY_SUPPORT = 20
 
 
-@query("son_itemsets")
+# The registered query bounds max_size=3 so the oracle is exact: a
+# SQL oracle can only enumerate itemsets of bounded size (1/2/3-way
+# self-joins below), and by A-Priori monotonicity the two sides agree
+# exactly under the same bound. The UNBOUNDED path is pytest-verified
+# (SON == FPGrowth == brute force at sf0.001, tests/test_itemsets.py).
+_ITEMSET_ORACLE = f"""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey o, CAST(l_partkey AS VARCHAR) p FROM lineitem
+    ),
+    s1 AS (
+      SELECT p AS itemset, CAST(COUNT(*) AS BIGINT) AS support
+      FROM li GROUP BY p HAVING COUNT(*) >= {SON_QUERY_SUPPORT}
+    ),
+    s2 AS (
+      SELECT a.p || ',' || b.p AS itemset, CAST(COUNT(*) AS BIGINT) AS support
+      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+      GROUP BY 1 HAVING COUNT(*) >= {SON_QUERY_SUPPORT}
+    ),
+    s3 AS (
+      SELECT a.p || ',' || b.p || ',' || c.p AS itemset,
+             CAST(COUNT(*) AS BIGINT) AS support
+      FROM li a
+      JOIN li b ON a.o = b.o AND a.p < b.p
+      JOIN li c ON b.o = c.o AND b.p < c.p
+      GROUP BY 1 HAVING COUNT(*) >= {SON_QUERY_SUPPORT}
+    )
+    SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3
+    ORDER BY itemset
+"""
+
+
+@query("son_itemsets", _ITEMSET_ORACLE)
 def son_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.itemsets import son_frequent_itemsets
 
     b = _order_baskets(spark, sf_dir)
-    return son_frequent_itemsets(b, support=SON_QUERY_SUPPORT).orderBy("itemset")
+    return (
+        son_frequent_itemsets(b, support=SON_QUERY_SUPPORT, max_size=3)
+        .orderBy("itemset")
+    )
 
 
 # ---------------------------------------------------------------------------
-# A11 capability twin: FPGrowth (rows-only)
+# A11 capability twin: FPGrowth (same bounded-size oracle; FPGrowth
+# itself is unbounded, so the size bound is a post-filter)
 # ---------------------------------------------------------------------------
-@query("fpgrowth_itemsets")
+@query("fpgrowth_itemsets", _ITEMSET_ORACLE)
 def fpgrowth_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.itemsets import fpgrowth_frequent_itemsets
 
     b = _order_baskets(spark, sf_dir)
-    return fpgrowth_frequent_itemsets(b, support=SON_QUERY_SUPPORT).orderBy("itemset")
+    out = fpgrowth_frequent_itemsets(b, support=SON_QUERY_SUPPORT)
+    return (
+        out.where(F.size(F.split("itemset", ",")) <= 3)
+        .orderBy("itemset")
+    )
 
 
 # ---------------------------------------------------------------------------
