@@ -166,6 +166,65 @@ def hyperplane_lsh_topk(
     )
 
 
+def cosine_near_dup_pairs_exact(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding near-dup: all unordered pairs with cosine ≥
+    ``threshold`` → (a, b, cos_sim). Ground-truth/oracle path — the
+    O(n²) join is the verification twin, not the scale path (that is
+    ``cosine_near_dup_pairs_lsh``)."""
+    lhs = emb.select(F.col(id_col).alias("a"), _as_double_vec(vec_col).alias("_va"))
+    rhs = emb.select(F.col(id_col).alias("b"), _as_double_vec(vec_col).alias("_vb"))
+    return (
+        lhs.join(rhs, F.col("a") < F.col("b"))
+        .select("a", "b", F.round(cosine("_va", "_vb"), 6).alias("cos_sim"))
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
+def cosine_near_dup_pairs_lsh(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 36,
+    bands: int = 12,
+    seed: int = 7,
+) -> DataFrame:
+    """Embedding near-dup at scale: hyperplane-sign banding (r =
+    num_planes/bands sign bits per band) → bucket equi-join →
+    exact-cosine verify ≥ ``threshold``. Precision 1.0 (verified);
+    recall = 1-(1-p^r)^b with p = 1-θ/π — ~0.97 at cos 0.4 with
+    36×12. Candidate cost is Σ bucket² per band, never n²; the
+    vectors stay out of the bucket shuffle (ids re-join post-dedup).
+    """
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((num_planes, len(_first_vec(emb, vec_col))))
+    v = _as_double_vec(vec_col)
+    banded = emb.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(hyperplane_signature(v, planes, bands)).alias("_band", "_bval"),
+    )
+    pairs = (
+        banded.select(F.col("_id").alias("a"), "_band", "_bval")
+        .join(banded.select(F.col("_id").alias("b"), "_band", "_bval"), ["_band", "_bval"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    va = emb.select(F.col(id_col).alias("a"), _as_double_vec(vec_col).alias("_va"))
+    vb = emb.select(F.col(id_col).alias("b"), _as_double_vec(vec_col).alias("_vb"))
+    return (
+        pairs.join(va, "a")
+        .join(vb, "b")
+        .select("a", "b", F.round(cosine("_va", "_vb"), 6).alias("cos_sim"))
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
 def _first_vec(emb: DataFrame, vec_col: str):
     """Vector dimensionality probe (one-row action on a pruned scan)."""
     return emb.select(vec_col).first()[0]
