@@ -1,4 +1,6 @@
-"""Deterministic hash families, MinHash, and SimHash expressions.
+"""Deterministic hash families and MinHash expressions. (SimHash
+fingerprints are a groupBy aggregation, not a per-row expression —
+see operators/dedup.simhash_fingerprints.)
 
 SURVEY.md §2.8 F6-F7 and §2.4 A10. The reference builds universal
 hashes ``(a*x + b) mod m`` with random (unseeded!) params
@@ -67,49 +69,6 @@ def minhash_signature(items: Column, num_hashes: int, m: int = FOLD_PRIME) -> Co
         a, b = hash_params(i, m)
         sigs.append(F.array_min(F.transform(folded, _hash_i(a, b))))
     return F.array(*sigs)
-
-
-def simhash64(tokens: Column) -> Column:
-    """64-bit SimHash of an array<string> token column.
-
-    For each bit j: sum over tokens of +1 if bit j of xxhash64(token)
-    is set else -1; result bit j = (sum > 0). Returned as bigint.
-    Pure array-expression aggregation — per row, JVM-side.
-    """
-    # counts[j] = sum of bit j over tokens (0..size). Shift amounts
-    # must be Python ints for F.shiftright, so the 64 lanes unroll at
-    # expression-build time.
-    def _bit_vec(t: Column) -> Column:
-        h = F.xxhash64(t)
-        return F.array(
-            *[
-                F.shiftright(h, j).bitwiseAND(F.lit(1)).cast("int")
-                for j in range(64)
-            ]
-        )
-
-    counts = F.aggregate(
-        tokens,
-        F.array_repeat(F.lit(0).cast("int"), 64),
-        lambda acc, t: F.zip_with(acc, _bit_vec(t), lambda x, y: x + y),
-    )
-    n = F.size(tokens)
-    # bit j set iff counts[j]*2 > n (i.e. majority of tokens set it);
-    # shiftleft-by-column goes through the SQL function, which
-    # accepts a column shift amount.
-    idx = F.array(*[F.lit(j).cast("int") for j in range(64)])
-    return F.aggregate(
-        F.zip_with(
-            counts,
-            idx,
-            lambda c, j: F.when(
-                c * 2 > n,
-                F.call_function("shiftleft", F.lit(1).cast("bigint"), j),
-            ).otherwise(F.lit(0).cast("bigint")),
-        ),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc.bitwiseOR(x),
-    )
 
 
 def hamming64(a: Column, b: Column) -> Column:

@@ -1362,8 +1362,8 @@ def near_dup_docs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("a", "b")
 
 
-# SimHash near-dup pairs: 64-bit fingerprints, 4x16-bit bands,
-# hamming <= 3 (pigeonhole => recall 1.0 at that radius). Rows-only;
+# SimHash near-dup pairs: 64-bit fingerprints, 8x8-bit bands,
+# hamming <= 7 (pigeonhole => recall 1.0 at that radius). Rows-only;
 # planted-pair behavior pytest-asserted.
 @query("simhash_doc_pairs")
 def simhash_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
