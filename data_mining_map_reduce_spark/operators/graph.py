@@ -14,12 +14,13 @@ Scale notes per operator:
   (LPA). For web-scale graphs swap in the large-star/small-star
   variant — same join primitives.
 - betweenness: exact Girvan-Newman needs all-pairs BFS — O(V·E)
-  total. Roots are distributed (one Spark task per batch of roots via
-  mapInPandas); each task holds the adjacency list in memory
-  (broadcast). This matches the reference's operating envelope (A4
-  graphs: thousands of vertices) and documents its memory bound:
-  adjacency must fit an executor. Beyond that, use sampled-root
-  approximate betweenness (same code, roots=sample).
+  total. Roots are hashed into batches; the grouped adjacency is
+  replicated to each batch by an executor-side shuffle (never the
+  driver) and each task runs its roots' Brandes passes against a
+  locally assembled adjacency dict. This matches the reference's
+  operating envelope (A4 graphs: thousands of vertices) and documents
+  its memory bound: adjacency must fit one task. Beyond that, use
+  sampled-root approximate betweenness (same code, roots=sample).
 """
 
 from __future__ import annotations
@@ -181,59 +182,91 @@ def edge_betweenness(
     edges: DataFrame,
     sample_fraction: float | None = None,
     seed: int = 7,
+    num_batches: int | None = None,
 ) -> DataFrame:
     """G3: edge betweenness (undirected, unweighted) — exact by
     default, sampled-roots approximate above course scale.
 
     Scale design: the adjacency list is built DISTRIBUTED
-    (symmetrize → groupBy(id) → sorted collect_list — one shuffle);
-    only the per-vertex pre-aggregated lists reach the driver for
-    broadcast, never raw edge rows. The broadcast bound (adjacency
-    fits executor memory, O(V+E) compact) is inherent to per-root
-    BFS; beyond it, ``sample_fraction`` runs BFS from a seeded vertex
+    (symmetrize → groupBy(id) → sorted collect_list — one shuffle)
+    and never touches the driver. Roots are hashed into
+    ``num_batches`` batches; the per-vertex adjacency rows are
+    replicated once per batch (explode over the batch range — an
+    executor-to-executor shuffle, the distributed equivalent of a
+    broadcast fan-out), and ``groupBy(batch).applyInPandas``
+    assembles each task's adjacency dict locally and runs one Brandes
+    credit pass per root in its batch. The working-set bound
+    (adjacency O(V+E) fits one task) is inherent to per-root BFS;
+    beyond it, ``sample_fraction`` runs BFS from a seeded vertex
     sample and rescales credits by V/|sample| (Brandes-style
-    approximation) — same code path, bounded work: O(sample·E)
-    instead of O(V·E). Roots fan out via mapInPandas, one Brandes
-    pass per root; credits sum distributed and halve (each shortest
-    path is seen from both endpoint roots).
+    approximation) — same code path, O(sample·E) instead of O(V·E)
+    work and a sample-proportional replication cost. Credits sum
+    distributed and halve (each shortest path is seen from both
+    endpoint roots).
     """
     spark = edges.sparkSession
-    adj_rows = (
+    adj_df = (
         symmetric_edges(edges)
         .groupBy(F.col("src").alias("id"))
         .agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
-        .collect()
     )
-    adj = {r.id: list(r.nbrs) for r in adj_rows}
-    adj_bc = spark.sparkContext.broadcast(adj)
 
     roots = vertices_of(edges)
     scale = 1.0
     if sample_fraction is not None and sample_fraction < 1.0:
-        n_total = len(adj)
+        n_total = roots.count()
         roots = roots.sample(fraction=sample_fraction, seed=seed)
         n_sampled = roots.count()
         if n_sampled == 0:
             roots = vertices_of(edges).limit(1)
             n_sampled = 1
         scale = n_total / n_sampled
-    roots = roots.repartition(spark.sparkContext.defaultParallelism)
 
-    def per_root(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        a = adj_bc.value
-        for pdf in batches:
-            out_src, out_dst, out_credit = [], [], []
-            for root in pdf["id"]:
-                for (u, v), c in _bfs_edge_credits(a, root).items():
-                    out_src.append(u)
-                    out_dst.append(v)
-                    out_credit.append(c)
-            yield pd.DataFrame({"src": out_src, "dst": out_dst, "credit": out_credit})
+    n_batches = num_batches or spark.sparkContext.defaultParallelism
+    id_type = dict(edges.select("src", "dst").dtypes)["src"]
+    adj_rep = adj_df.select(
+        F.explode(F.sequence(F.lit(0), F.lit(n_batches - 1))).alias("_batch"),
+        "id",
+        "nbrs",
+    )
+    roots_b = roots.select(
+        F.pmod(F.xxhash64(F.col("id").cast("string")), F.lit(n_batches))
+        .cast("int")
+        .alias("_batch"),
+        F.lit(None).cast(id_type).alias("id"),
+        F.lit(None).cast(f"array<{id_type}>").alias("nbrs"),
+        F.col("id").alias("_root"),
+    )
+    payload = adj_rep.withColumn("_root", F.lit(None).cast(id_type)).unionByName(
+        roots_b
+    )
 
-    schema_src = dict(edges.select("src", "dst").dtypes)
-    credit_schema = f"src {schema_src['src']}, dst {schema_src['dst']}, credit double"
+    int_ids = id_type in ("tinyint", "smallint", "int", "bigint")
+
+    def per_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+        # The null-padded union makes Arrow deliver integer ids as
+        # float64 with NaN — normalize back to int so adjacency keys,
+        # BFS ids, and the output column share one type.
+        def norm(x):
+            return int(x) if int_ids else x
+
+        has_nbrs = pdf["id"].notna()
+        a = {
+            norm(i): [norm(x) for x in nb]
+            for i, nb in zip(pdf.loc[has_nbrs, "id"], pdf.loc[has_nbrs, "nbrs"])
+        }
+        out_src, out_dst, out_credit = [], [], []
+        for root in pdf.loc[pdf["_root"].notna(), "_root"]:
+            for (u, v), c in _bfs_edge_credits(a, norm(root)).items():
+                out_src.append(u)
+                out_dst.append(v)
+                out_credit.append(c)
+        return pd.DataFrame({"src": out_src, "dst": out_dst, "credit": out_credit})
+
+    credit_schema = f"src {id_type}, dst {id_type}, credit double"
     return (
-        roots.mapInPandas(per_root, schema=credit_schema)
+        payload.groupBy("_batch")
+        .applyInPandas(per_batch, schema=credit_schema)
         .groupBy("src", "dst")
         .agg((F.sum("credit") * F.lit(scale) / F.lit(2.0)).alias("betweenness"))
     )

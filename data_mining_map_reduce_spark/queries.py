@@ -1050,11 +1050,10 @@ def bfr_round_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("id"),
         F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
     )
-    n = emb.count()
-    n_chunks = 4
-    bounds = [round(i * n / n_chunks) for i in range(n_chunks + 1)]
-    ids = emb.select("id").orderBy("id").collect()
-    cuts = [ids[min(b, n - 1)].id for b in bounds[1:-1]]
+    # Chunk boundaries via exact quantiles (relativeError=0) — a
+    # fixed-size sketch merge on the driver, never the id column
+    # itself (the r2 version collected every id just to pick 3 cuts).
+    cuts = sorted(set(emb.stat.approxQuantile("id", [0.25, 0.5, 0.75], 0.0)))
     lo = None
     chunks = []
     for hi in cuts + [None]:
