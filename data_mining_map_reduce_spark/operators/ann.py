@@ -103,6 +103,21 @@ def hyperplane_signature(
     return F.array(*band_vals)
 
 
+def _cap_buckets(banded: DataFrame, max_bucket: int | None) -> DataFrame:
+    """Drop (band, value) buckets larger than ``max_bucket`` — the
+    same skew guard as MinHash LSH (operators/similarity.py): a
+    bucket with B members yields O(B²) candidate rows (self-join) or
+    B rows per colliding probe, while carrying almost no signal
+    (everything collides). Count + semi-join, window-free."""
+    if max_bucket is None:
+        return banded
+    sizes = banded.groupBy("_band", "_bval").agg(F.count(F.lit(1)).alias("_bsz"))
+    return banded.join(
+        sizes.where(F.col("_bsz") <= max_bucket).select("_band", "_bval"),
+        ["_band", "_bval"],
+    )
+
+
 def hyperplane_lsh_topk(
     emb: DataFrame,
     probes: DataFrame,
@@ -112,6 +127,7 @@ def hyperplane_lsh_topk(
     num_planes: int = 16,
     bands: int = 4,
     seed: int = 7,
+    max_bucket: int | None = 5000,
 ) -> DataFrame:
     """Approximate top-k cosine neighbors: candidates = vectors
     sharing ≥1 hyperplane-sign band with the probe, then exact cosine
@@ -121,6 +137,9 @@ def hyperplane_lsh_topk(
     trades recall for bucket size exactly like MinHash banding
     (same analysis, reference Assignment3/task1.py:59-71's b×r
     tradeoff). Recall vs the exact path is pytest-asserted.
+    Degenerate corpora (many near-identical vectors) pile into a few
+    buckets; ``max_bucket`` drops those corpus-side buckets so one
+    hot key can't blow up the probe join.
     """
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((num_planes, len(_first_vec(emb, vec_col))))
@@ -139,7 +158,7 @@ def hyperplane_lsh_topk(
 
     pairs = (
         banded(probes, "probe")
-        .join(banded(emb, "neighbor"), ["_band", "_bval"])
+        .join(_cap_buckets(banded(emb, "neighbor"), max_bucket), ["_band", "_bval"])
         .where(F.col("neighbor_id") != F.col("probe_id"))
         .select("probe_id", "neighbor_id")
         .distinct()
@@ -193,20 +212,28 @@ def cosine_near_dup_pairs_lsh(
     num_planes: int = 36,
     bands: int = 12,
     seed: int = 7,
+    max_bucket: int | None = 5000,
 ) -> DataFrame:
     """Embedding near-dup at scale: hyperplane-sign banding (r =
     num_planes/bands sign bits per band) → bucket equi-join →
     exact-cosine verify ≥ ``threshold``. Precision 1.0 (verified);
     recall = 1-(1-p^r)^b with p = 1-θ/π — ~0.97 at cos 0.4 with
-    36×12. Candidate cost is Σ bucket² per band, never n²; the
-    vectors stay out of the bucket shuffle (ids re-join post-dedup).
+    36×12. Candidate cost is Σ bucket² per band, never n² — and
+    ``max_bucket`` hard-caps the per-bucket quadratic term against
+    degenerate (near-identical-vector) corpora; the vectors stay out
+    of the bucket shuffle (ids re-join post-dedup).
     """
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((num_planes, len(_first_vec(emb, vec_col))))
     v = _as_double_vec(vec_col)
-    banded = emb.select(
-        F.col(id_col).alias("_id"),
-        F.posexplode(hyperplane_signature(v, planes, bands)).alias("_band", "_bval"),
+    banded = _cap_buckets(
+        emb.select(
+            F.col(id_col).alias("_id"),
+            F.posexplode(hyperplane_signature(v, planes, bands)).alias(
+                "_band", "_bval"
+            ),
+        ),
+        max_bucket,
     )
     pairs = (
         banded.select(F.col("_id").alias("a"), "_band", "_bval")
@@ -226,5 +253,15 @@ def cosine_near_dup_pairs_lsh(
 
 
 def _first_vec(emb: DataFrame, vec_col: str):
-    """Vector dimensionality probe (one-row action on a pruned scan)."""
-    return emb.select(vec_col).first()[0]
+    """Vector dimensionality probe (one-row action on a pruned scan).
+
+    All vectors are assumed to share this dimensionality — ragged
+    embedding columns surface downstream as zip_with null products.
+    """
+    row = emb.select(vec_col).first()
+    if row is None or row[0] is None:
+        raise ValueError(
+            f"empty embeddings table (no non-null '{vec_col}' row to "
+            "derive hyperplane dimensionality from)"
+        )
+    return row[0]

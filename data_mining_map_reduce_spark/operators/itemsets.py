@@ -220,10 +220,42 @@ def fpgrowth_frequent_itemsets(
     baskets_df: DataFrame, items_col: str = "items", support: int = 3
 ) -> DataFrame:
     """Built-in capability twin: ml.fpm.FPGrowth → same output shape
-    (itemset csv-string sorted, support)."""
+    (itemset csv-string sorted, support).
+
+    Baskets are pruned to globally-frequent items BEFORE the fit
+    (the A2-task2 pattern, reference Assignment2/task2.py:24-28):
+    any itemset containing an infrequent item cannot be frequent
+    (monotonicity), so the filter is exactness-preserving while
+    shrinking the FP-tree the fit must explore — at low relative
+    supports the unpruned tree dominates the runtime. Empty baskets
+    are kept so the relative minSupport denominator is unchanged.
+    """
     from pyspark.ml.fpm import FPGrowth
 
-    total = baskets_df.count()
+    keyed = baskets_df.select(
+        F.monotonically_increasing_id().alias("_bid"),
+        F.col(items_col).alias("_items"),
+    ).persist()
+    total = keyed.count()
+    exploded = keyed.select("_bid", F.explode("_items").alias("_i"))
+    freq_items = (
+        exploded.groupBy("_i")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") >= support)
+        .select("_i")
+    )
+    pruned = (
+        keyed.join(
+            exploded.join(F.broadcast(freq_items), "_i")
+            .groupBy("_bid")
+            .agg(F.collect_list("_i").alias("_kept")),
+            "_bid",
+            "left",
+        )
+        .select(
+            F.coalesce("_kept", F.array().cast("array<string>")).alias(items_col)
+        )
+    )
     # minCount = ceil(minSupport * total); nudge below the exact
     # fraction so float round-up can never raise the effective count
     # to support+1 — the final filter restores exactness.
@@ -231,8 +263,9 @@ def fpgrowth_frequent_itemsets(
         itemsCol=items_col,
         minSupport=max(support - 0.5, 0.5) / max(total, 1),
         minConfidence=0.5,
-    ).fit(baskets_df)
-    return model.freqItemsets.select(
+    ).fit(pruned)
+    out = model.freqItemsets.select(
         F.concat_ws(",", F.array_sort("items")).alias("itemset"),
         F.col("freq").alias("support"),
     ).where(F.col("support") >= support)
+    return out

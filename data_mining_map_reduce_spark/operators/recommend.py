@@ -75,11 +75,19 @@ def predict_ratings(
     items (positive similarity only). Targets with no positive-sim
     co-rated neighbor get no row (the reference falls back to item
     averages; callers can coalesce against one)."""
-    both = sims.select("i1", "i2", "sim").unionByName(
-        sims.select(
-            F.col("i2").alias("i1"), F.col("i1").alias("i2"), "sim"
+    # The filtered similarity table is the small side (pairs with
+    # >= min_co co-raters, positive sim only): broadcast it so the
+    # target/ratings sides never shuffle for the candidate build. At
+    # 100 TB the sims table is bounded by item-pair density, not by
+    # ratings volume — it stays broadcastable long after ratings
+    # don't.
+    both = F.broadcast(
+        sims.select("i1", "i2", "sim")
+        .unionByName(
+            sims.select(F.col("i2").alias("i1"), F.col("i1").alias("i2"), "sim")
         )
-    ).where(F.col("sim") > 0)
+        .where(F.col("sim") > 0)
+    )
     cand = (
         targets.select(F.col(user_col).alias("_u"), F.col(item_col).alias("_ti"))
         .join(both, F.col("_ti") == both.i1)

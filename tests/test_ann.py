@@ -61,6 +61,37 @@ def test_lsh_recall_vs_exact(spark):
     assert recall >= 0.8, recall
 
 
+def test_lsh_degenerate_corpus_capped(spark):
+    """An all-identical-vector corpus piles every row into one bucket
+    per band; max_bucket must drop those buckets so the probe join
+    stays bounded instead of going |probes|x|corpus|."""
+    n = 2000
+    base = [0.3, -1.2, 0.8, 0.05]
+    df = spark.createDataFrame(
+        [(i, base) for i in range(n)], "vec_id int, embedding array<double>"
+    )
+    probes = df.where(F.col("vec_id") < 3)
+    capped = hyperplane_lsh_topk(
+        df, probes, k=5, num_planes=8, bands=4, max_bucket=100
+    ).collect()
+    # every bucket exceeds the cap -> no candidates survive (the
+    # right outcome: a degenerate bucket carries no ranking signal)
+    assert capped == []
+    uncapped = hyperplane_lsh_topk(
+        df, probes, k=5, num_planes=8, bands=4, max_bucket=None
+    ).collect()
+    assert len(uncapped) == 3 * 5
+
+
+def test_empty_embeddings_raises_clear_error(spark):
+    import pytest
+
+    empty = spark.createDataFrame([], "vec_id int, embedding array<double>")
+    probes = empty
+    with pytest.raises(ValueError, match="empty embeddings"):
+        hyperplane_lsh_topk(empty, probes, k=3)
+
+
 def test_lsh_deterministic(spark):
     emb, probes = _probe_set(spark, n=5)
     a = sorted(
