@@ -1,19 +1,27 @@
-"""Item-item collaborative filtering (SURVEY §2.4 A15 — spec-only in
-the reference: A3 PDF §4.3's Pearson-over-co-rated-pairs model with
-top-N-neighbor weighted prediction; no reference code exists, so the
-engine implements the PDF's math).
+"""Collaborative filtering, item-based and user-based (SURVEY §2.4
+A15 — spec-only in the reference: A3 PDF §4.3 requires BOTH models:
+Pearson-over-co-rated-pairs similarity with top-N-neighbor weighted
+prediction, and a MinHash-LSH candidate pre-filter for the user-based
+model; no reference code exists, so the engine implements the PDF's
+math).
 
 Pipeline shapes, all relational:
-- similarities: self-join ratings on the user, Pearson ``corr`` per
-  item pair with >= min_co co-raters (corr's partial aggregation is
-  Catalyst-native). One shuffle on the user join + one on the pair
-  groupBy — the same equi-join rewrite as J3.
-- prediction: for each (user, target-item), candidate neighbors are
-  the user's OTHER rated items joined through the similarity table
-  (positive sims only), top-N by similarity (window), then the
+- similarities: self-join ratings on the co-key (user for item-item,
+  item for user-user), Pearson per pair with >= min_co co-ratings
+  (covar/stddev partial aggregation is Catalyst-native). One shuffle
+  on the co-key join + one on the pair groupBy — the same equi-join
+  rewrite as J3.
+- prediction: candidate neighbors joined through the similarity
+  table (positive sims only), top-N by similarity (window), then the
   weighted average Σ(sim·r)/Σ(sim) — reference formula, A3 PDF §4.3.
-Skew note: hot items fan out in the user self-join; AQE skew-join
-plus the min_co filter keep pair counts bounded at scale.
+- LSH pre-filter (user-based): user→rated-item baskets through the
+  MinHash-LSH pair pipeline (operators/similarity.py) — the Pearson
+  self-join then runs only over candidate pairs, turning the O(Σ
+  raters_i²) pair blow-up into LSH bucket cost. Probabilistic recall
+  (banding curve), so the engine keeps it as a separate code path
+  from the exact model; agreement is pytest-asserted.
+Skew note: hot keys fan out in the self-join; AQE skew-join plus the
+min_co filter keep pair counts bounded at scale.
 """
 
 from __future__ import annotations
@@ -99,6 +107,133 @@ def predict_ratings(
                 F.col(rating_col).alias("_r"),
             ),
             ["_u", "_nbr"],
+        )
+    )
+    w = Window.partitionBy("_u", "_ti").orderBy(
+        F.col("sim").desc(), F.col("_nbr").asc()
+    )
+    return (
+        cand.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= top_n)
+        .groupBy("_u", "_ti")
+        .agg(
+            F.round(F.sum(F.col("sim") * F.col("_r")) / F.sum("sim"), 4).alias(
+                "pred"
+            )
+        )
+        .select(
+            F.col("_u").alias(user_col),
+            F.col("_ti").alias(item_col),
+            "pred",
+        )
+    )
+
+
+def user_candidate_pairs_lsh(
+    ratings: DataFrame,
+    user_col: str = "u",
+    item_col: str = "i",
+    threshold: float = 0.02,
+    num_hashes: int = 32,
+    bands: int = 32,
+) -> DataFrame:
+    """(u1, u2) candidate user pairs whose rated-item sets collide in
+    MinHash-LSH buckets AND verify at exact Jaccard >= ``threshold``
+    (u1 < u2). The A3 §4.3 pre-filter: user similarity only gets
+    computed for pairs that plausibly co-rate. Defaults are b=32, r=1
+    — sparse-overlap regime (collision 1-(1-s)^32 ≈ 0.5 at s=0.02);
+    for denser corpora raise r to keep buckets selective."""
+    from .similarity import minhash_lsh_pairs
+
+    baskets = ratings.groupBy(user_col).agg(
+        F.collect_set(F.col(item_col).cast("string")).alias("_items")
+    )
+    return minhash_lsh_pairs(
+        baskets,
+        user_col,
+        "_items",
+        threshold=threshold,
+        num_hashes=num_hashes,
+        bands=bands,
+        key_a="u1",
+        key_b="u2",
+    ).select("u1", "u2")
+
+
+def user_similarities(
+    ratings: DataFrame,
+    user_col: str = "u",
+    item_col: str = "i",
+    rating_col: str = "rating",
+    min_co: int = 3,
+    candidate_pairs: DataFrame | None = None,
+) -> DataFrame:
+    """(u1, u2, sim, n_co) — Pearson correlation over co-ratings for
+    unordered user pairs with >= min_co co-rated items; zero-variance
+    pairs dropped. ``candidate_pairs`` (u1, u2, u1 < u2 — e.g. from
+    ``user_candidate_pairs_lsh``) restricts the pair aggregation to
+    those pairs; exact mode (None) considers every co-rating pair."""
+    a = ratings.select(
+        F.col(item_col).alias("_i"),
+        F.col(user_col).alias("u1"),
+        F.col(rating_col).alias("_ra"),
+    )
+    b = ratings.select(
+        F.col(item_col).alias("_i"),
+        F.col(user_col).alias("u2"),
+        F.col(rating_col).alias("_rb"),
+    )
+    joined = a.join(b, "_i").where(F.col("u1") < F.col("u2"))
+    if candidate_pairs is not None:
+        joined = joined.join(
+            candidate_pairs.select("u1", "u2"), ["u1", "u2"], "left_semi"
+        )
+    # Same ANSI-safe Pearson as item_similarities: try_divide keeps
+    # zero-variance pairs NULL instead of throwing.
+    return (
+        joined.groupBy("u1", "u2")
+        .agg(
+            F.try_divide(
+                F.covar_samp("_ra", "_rb"),
+                F.stddev_samp("_ra") * F.stddev_samp("_rb"),
+            ).alias("_c"),
+            F.count(F.lit(1)).alias("n_co"),
+        )
+        .where((F.col("n_co") >= min_co) & F.col("_c").isNotNull() & ~F.isnan("_c"))
+        .select("u1", "u2", F.round("_c", 6).alias("sim"), "n_co")
+    )
+
+
+def predict_ratings_user_based(
+    ratings: DataFrame,
+    sims: DataFrame,
+    targets: DataFrame,
+    user_col: str = "u",
+    item_col: str = "i",
+    rating_col: str = "rating",
+    top_n: int = 5,
+) -> DataFrame:
+    """(u, i, pred) for each (user, item) row in ``targets``:
+    weighted average of the target item's ratings by the top-N users
+    most similar to u (positive similarity only) — the user-based
+    mirror of ``predict_ratings``. The user-pair similarity table is
+    NOT broadcast (user pairs outnumber item pairs at scale); the
+    candidate build shuffles on the user key and AQE handles hot
+    users."""
+    both = sims.select("u1", "u2", "sim").unionByName(
+        sims.select(F.col("u2").alias("u1"), F.col("u1").alias("u2"), "sim")
+    ).where(F.col("sim") > 0)
+    cand = (
+        targets.select(F.col(user_col).alias("_u"), F.col(item_col).alias("_ti"))
+        .join(both, F.col("_u") == both.u1)
+        .select("_u", "_ti", F.col("u2").alias("_nbr"), "sim")
+        .join(
+            ratings.select(
+                F.col(user_col).alias("_nbr"),
+                F.col(item_col).alias("_ti"),
+                F.col(rating_col).alias("_r"),
+            ),
+            ["_nbr", "_ti"],
         )
     )
     w = Window.partitionBy("_u", "_ti").orderBy(

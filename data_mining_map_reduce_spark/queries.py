@@ -1603,6 +1603,77 @@ def cf_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# A15 user-based (A3 PDF §4.3 requires both models): user-user
+# Pearson over co-rated items + top-N-similar-user weighted
+# prediction. Exact mode is the oracle-backed entry; the LSH
+# pre-filtered variant below is the scale path (rows-only —
+# probabilistic banding recall; agreement pytest-asserted).
+# ---------------------------------------------------------------------------
+@query(
+    "cf_user_predictions",
+    f"""
+    WITH r AS ({_RATINGS_SQL}),
+    s0 AS (
+        SELECT a.u AS u1, b.u AS u2,
+               ROUND(corr(a.rating, b.rating), 6) AS sim
+        FROM r a JOIN r b ON a.i = b.i AND a.u < b.u
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 3 AND corr(a.rating, b.rating) IS NOT NULL
+    ),
+    s AS (
+        SELECT u1, u2, sim FROM s0
+        UNION ALL
+        SELECT u2 AS u1, u1 AS u2, sim FROM s0
+    ),
+    t AS (SELECT u, i FROM r WHERE u < 50),
+    cand AS (
+        SELECT t.u, t.i, s.u2 AS nbr, s.sim, r2.rating
+        FROM t
+        JOIN s ON s.u1 = t.u
+        JOIN r r2 ON r2.u = s.u2 AND r2.i = t.i
+        WHERE s.sim > 0
+    ),
+    top AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY u, i ORDER BY sim DESC, nbr
+        ) AS rk
+        FROM cand
+    )
+    SELECT u, i, ROUND(SUM(sim * rating) / SUM(sim), 4) AS pred
+    FROM top WHERE rk <= 5
+    GROUP BY u, i
+    ORDER BY u, i
+    """,
+)
+def cf_user_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.recommend import predict_ratings_user_based, user_similarities
+
+    ratings = _ratings(spark, sf_dir).cache()
+    sims = user_similarities(ratings, min_co=3)
+    targets = ratings.where(F.col("u") < 50).select("u", "i")
+    return predict_ratings_user_based(ratings, sims, targets, top_n=5).orderBy(
+        "u", "i"
+    )
+
+
+@query("cf_user_predictions_lsh")
+def cf_user_predictions_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.recommend import (
+        predict_ratings_user_based,
+        user_candidate_pairs_lsh,
+        user_similarities,
+    )
+
+    ratings = _ratings(spark, sf_dir).cache()
+    cand = user_candidate_pairs_lsh(ratings, threshold=0.02)
+    sims = user_similarities(ratings, min_co=3, candidate_pairs=cand)
+    targets = ratings.where(F.col("u") < 50).select("u", "i")
+    return predict_ratings_user_based(ratings, sims, targets, top_n=5).orderBy(
+        "u", "i"
+    )
+
+
+# ---------------------------------------------------------------------------
 # O4: sort by derived keys — (set size DESC, lexicographic ASC), the
 # reference's itemset/community ordering rule
 # (Assignment2/task1.py:133-135, Assignment4/task1.py:67-71).

@@ -9,6 +9,9 @@ from pyspark.sql import functions as F
 from data_mining_map_reduce_spark.operators.recommend import (
     item_similarities,
     predict_ratings,
+    predict_ratings_user_based,
+    user_candidate_pairs_lsh,
+    user_similarities,
 )
 from data_mining_map_reduce_spark.operators.text_analysis import (
     doc_quality_stats,
@@ -96,6 +99,57 @@ def test_predict_from_top_neighbor(spark, tiny_ratings):
     # rating 3.0) => prediction exactly 3.0
     assert len(got) == 1
     assert got[0].pred == pytest.approx(3.0)
+
+
+def test_user_similarities_hand_values(spark, tiny_ratings):
+    # u1 and u2 rate items 1,2,3 as (5,5,1) vs (4,4,2): Pearson over
+    # the 3 co-rated items is exactly -? compute: a=(5,5,1) b=(4,4,2)
+    # both perfectly linearly related (b = 0.5a + 1.5) => sim 1.0
+    sims = {
+        (r.u1, r.u2): (r.sim, r.n_co)
+        for r in user_similarities(tiny_ratings, min_co=3).collect()
+    }
+    assert sims[(1, 2)][0] == pytest.approx(1.0)
+    assert sims[(1, 2)][1] == 3
+    # u4 has a single rating -> no pair reaches min_co
+    assert not any(4 in k for k in sims)
+
+
+def test_user_based_prediction_from_top_neighbor(spark, tiny_ratings):
+    sims = user_similarities(tiny_ratings, min_co=3)
+    # predict u1's rating of item 2 from similar users who rated it
+    targets = spark.createDataFrame([(1, 2)], "u long, i long")
+    got = predict_ratings_user_based(
+        tiny_ratings, sims, targets, top_n=5
+    ).collect()
+    assert len(got) == 1
+    # u1's only positive-sim neighbor who rated item 2 is u2 (sim 1.0,
+    # r=4.0); u3 is anti-correlated ((5,5,1) vs (1,1,5)) and excluded
+    # => prediction exactly 4.0
+    assert got[0].pred == pytest.approx(4.0)
+
+
+def test_lsh_prefilter_restricts_to_exact_subset(spark):
+    """LSH-prefiltered user sims must be a subset of exact user sims
+    (precision 1.0: candidates are verified at exact Jaccard), with
+    usable recall on the real-data regime."""
+    from data_mining_map_reduce_spark.queries import _ratings
+
+    ratings = _ratings(spark, "/root/testdata/sf0.001").cache()
+    cand = user_candidate_pairs_lsh(ratings, threshold=0.05)
+    exact = {
+        (r.u1, r.u2): r.sim
+        for r in user_similarities(ratings, min_co=3).collect()
+    }
+    filtered = {
+        (r.u1, r.u2): r.sim
+        for r in user_similarities(
+            ratings, min_co=3, candidate_pairs=cand
+        ).collect()
+    }
+    assert set(filtered) <= set(exact)
+    assert all(exact[k] == pytest.approx(v) for k, v in filtered.items())
+    assert len(filtered) > 0
 
 
 def test_predictions_track_actuals(spark):
