@@ -1656,6 +1656,88 @@ def cf_user_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# A16 second half (A3 PDF §4.2): content-based recommendation —
+# boolean top-k TF-IDF item profiles (part description text), user
+# profiles aggregated from rated items' profiles, boolean-cosine
+# prediction keeping pairs >= 0.01.
+# ---------------------------------------------------------------------------
+@query(
+    "content_based_scores",
+    f"""
+    WITH it AS (
+        SELECT p_partkey AS i,
+               translate(lower(p_name || ' ' || p_type), '([,.!?:;])', '') AS text
+        FROM part
+    ),
+    tok AS (
+        SELECT i, UNNEST(list_filter(
+            string_split_regex(text, '\\s+'), x -> x <> '')) AS term
+        FROM it
+    ),
+    tf AS (SELECT i, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+    mx AS (SELECT i, MAX(tf) AS max_tf FROM tf GROUP BY 1),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM it),
+    scored AS (
+        SELECT tf.i, tf.term,
+               ROUND((tf.tf * 1.0 / mx.max_tf) * ln(n.n_docs * 1.0 / dfreq.df), 6) AS tfidf
+        FROM tf JOIN mx USING (i) JOIN dfreq USING (term) CROSS JOIN n
+    ),
+    iprof AS (
+        SELECT i, term FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY i ORDER BY tfidf DESC, term
+            ) AS rnk FROM scored
+        ) WHERE rnk <= 5
+    ),
+    r AS ({_RATINGS_SQL}),
+    uterm AS (
+        SELECT r.u, ip.term, COUNT(*) AS c
+        FROM (SELECT DISTINCT u, i FROM r) r JOIN iprof ip ON ip.i = r.i
+        GROUP BY 1, 2
+    ),
+    uprof AS (
+        SELECT u, term FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY u ORDER BY c DESC, term
+            ) AS rnk FROM uterm
+        ) WHERE rnk <= 20
+    ),
+    usz AS (SELECT u, COUNT(*) AS nu FROM uprof GROUP BY 1),
+    isz AS (SELECT i, COUNT(*) AS ni FROM iprof GROUP BY 1),
+    t AS (SELECT u, i FROM r WHERE u < 50),
+    inter AS (
+        SELECT t.u, t.i, COUNT(*) AS c
+        FROM t
+        JOIN uprof up ON up.u = t.u
+        JOIN iprof ip ON ip.i = t.i AND ip.term = up.term
+        GROUP BY 1, 2
+    )
+    SELECT inter.u AS u, inter.i AS i,
+           ROUND(c / sqrt(usz.nu * isz.ni), 6) AS cos_sim
+    FROM inter JOIN usz ON usz.u = inter.u JOIN isz ON isz.i = inter.i
+    WHERE c / sqrt(usz.nu * isz.ni) >= 0.01
+    ORDER BY inter.u, inter.i
+    """,
+)
+def content_based_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.content import content_based_scores, item_profiles, user_profiles
+
+    part = load_table(spark, sf_dir, "part")
+    item_docs = part.select(
+        F.col("p_partkey").alias("i"),
+        F.concat_ws(" ", "p_name", "p_type").alias("text"),
+    )
+    iprof = item_profiles(item_docs, k=5)
+    ratings = _ratings(spark, sf_dir).cache()
+    uprof = user_profiles(ratings, iprof, k=20)
+    targets = ratings.where(F.col("u") < 50).select("u", "i")
+    return content_based_scores(uprof, iprof, targets, min_cos=0.01).orderBy(
+        "u", "i"
+    )
+
+
 @query("cf_user_predictions_lsh")
 def cf_user_predictions_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.recommend import (

@@ -152,6 +152,45 @@ def test_lsh_prefilter_restricts_to_exact_subset(spark):
     assert len(filtered) > 0
 
 
+def test_content_based_hand_values(spark):
+    from data_mining_map_reduce_spark.operators.content import (
+        content_based_scores,
+        item_profiles,
+        user_profiles,
+    )
+
+    item_docs = spark.createDataFrame(
+        [
+            (1, "red metal box"),
+            (2, "red plastic cup"),
+            (3, "green glass jar"),
+        ],
+        "i long, text string",
+    )
+    iprof = item_profiles(item_docs, k=3)
+    # every item keeps its 3 terms ('red' has lower idf but k=3 keeps all)
+    assert {(r.i, r.term) for r in iprof.collect()} == {
+        (1, "red"), (1, "metal"), (1, "box"),
+        (2, "red"), (2, "plastic"), (2, "cup"),
+        (3, "green"), (3, "glass"), (3, "jar"),
+    }
+    interactions = spark.createDataFrame(
+        [(7, 1), (7, 2)], "u long, i long"
+    )
+    uprof = user_profiles(interactions, iprof, k=3)
+    # term counts for u7: red=2, box/cup/metal/plastic=1 -> top-3 by
+    # (count desc, term asc): red, box, cup
+    assert {r.term for r in uprof.collect()} == {"red", "box", "cup"}
+    targets = spark.createDataFrame([(7, 1), (7, 3)], "u long, i long")
+    got = {
+        (r.u, r.i): r.cos_sim
+        for r in content_based_scores(uprof, iprof, targets).collect()
+    }
+    # cos(u7, item1) = |{red, box}| / sqrt(3*3) = 2/3; item3 shares
+    # nothing -> filtered out
+    assert got == {(7, 1): pytest.approx(round(2 / 3, 6))}
+
+
 def test_predictions_track_actuals(spark):
     """On real data: predictions for already-rated (u,i) targets
     should land in the rating range and beat a null model grossly."""
