@@ -151,7 +151,8 @@ def fm_distinct_estimate(
     reference's exact combine (Assignment6/task2.py:33-76): per hash
     function, R = max trailing zeros; estimates 2^R are averaged
     within groups of ``group_size``; the median of group means is the
-    answer.
+    answer (statistics.median semantics: the two middle values are
+    averaged when the group count is even).
 
     One aggregate pass: 40 codegen'd MAX columns (partial max per
     partition — constant-size state), then the combine is pure array
@@ -178,12 +179,13 @@ def fm_distinct_estimate(
         )
         / group_size,
     )
-    return row.select(
-        F.round(
-            F.element_at(
-                F.array_sort(group_means),
-                (num_hashes // group_size + 1) // 2,
-            ),
-            4,
-        ).alias(alias)
-    )
+    g = num_hashes // group_size
+    sorted_means = F.array_sort(group_means)
+    if g % 2:
+        median = F.element_at(sorted_means, (g + 1) // 2)
+    else:
+        median = (
+            F.element_at(sorted_means, g // 2)
+            + F.element_at(sorted_means, g // 2 + 1)
+        ) / 2
+    return row.select(F.round(median, 4).alias(alias))

@@ -1768,7 +1768,7 @@ def cf_user_predictions_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(DISTINCT l.l_partkey) AS n_items
     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     GROUP BY o.o_custkey
-    ORDER BY n_items DESC, items ASC
+    ORDER BY n_items DESC, items ASC, o.o_custkey ASC
     LIMIT 100
     """,
 )
@@ -1784,7 +1784,9 @@ def largest_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("items"),
             F.countDistinct("l_partkey").alias("n_items"),
         )
-        .orderBy(F.col("n_items").desc(), F.col("items").asc())
+        .orderBy(
+            F.col("n_items").desc(), F.col("items").asc(), F.col("o_custkey").asc()
+        )
         .limit(100)
     )
 

@@ -15,8 +15,10 @@ Engine upgrades, per SURVEY §2.9's mapping:
   capability the reference lacks outright.
 - ST5 foreachRDD           → ``foreachBatch``.
 - S5 socket source         → file source w/ ``maxFilesPerTrigger``
-  (socket exists via format("socket") but is untestable headless; the
-  file source exercises identical plan incrementalization).
+  (the file source exercises identical plan incrementalization;
+  ``socket_stream`` below drives format("socket") directly and is
+  smoke-tested against a loopback server, skipped where sockets are
+  unavailable).
 
 Batch-stream parity is the correctness contract: the same windowed
 aggregation run as a stream over a bounded file replay must equal the
@@ -45,6 +47,22 @@ def file_stream(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return reader.format(fmt).load(path)
+
+
+def socket_stream(
+    spark: SparkSession, host: str = "127.0.0.1", port: int = 9999
+) -> DataFrame:
+    """S5: the reference's actual source shape — a line-text TCP
+    socket (reference Assignment6/task2.py:87 ``socketTextStream``).
+    One string column ``value`` per line; no replay, no fault
+    tolerance (inherent to the source — production feeds belong on a
+    replayable log, this exists for parity and demos)."""
+    return (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", port)
+        .load()
+    )
 
 
 def windowed_event_counts(
