@@ -50,6 +50,7 @@ def cosine_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_probes: int | None = 10_000,
 ) -> DataFrame:
     """Exact top-k cosine neighbors per probe →
     (probe_id, neighbor_id, cos_sim, rnk).
@@ -58,7 +59,22 @@ def cosine_topk(
     is reproducible across engines (float tie hazard at rank
     boundaries). Probes broadcast: the scan of the candidate table
     never shuffles.
+
+    Cost is |probes| × |corpus| — exact brute force is the ground
+    truth for FEW probes, not a batch self-join. ``max_probes`` fails
+    fast instead of silently degenerating; large probe sets belong on
+    ``hyperplane_lsh_topk`` (or cosine_near_dup_pairs_lsh for
+    all-pairs shapes).
     """
+    if max_probes is not None:
+        n_probes = probes.count()
+        if n_probes > max_probes:
+            raise ValueError(
+                f"cosine_topk got {n_probes} probes (> max_probes="
+                f"{max_probes}); brute-force cost is probes x corpus — "
+                "use hyperplane_lsh_topk for large probe sets, or raise "
+                "max_probes explicitly"
+            )
     cands = emb.select(
         F.col(id_col).alias("neighbor_id"), _as_double_vec(vec_col).alias("_cv")
     )
@@ -175,6 +191,97 @@ def hyperplane_lsh_topk(
     return (
         pairs.join(F.broadcast(pv), "probe_id")
         .join(cv, "neighbor_id")
+        .select(
+            "probe_id",
+            "neighbor_id",
+            F.round(cosine("_pv", "_cv"), 6).alias("cos_sim"),
+        )
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= k)
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_list: int = 16,
+    n_probe: int = 4,
+    seed: int = 7,
+    sample_fraction: float = 0.25,
+    kmeans_max_iter: int = 20,
+) -> DataFrame:
+    """IVF approximate top-k cosine neighbors — the coarse-quantizer
+    alternative to hyperplane LSH:
+
+    1. train: K-Means (operators/clustering.py) over a seeded sample
+       of L2-normalized vectors → ``n_list`` centroids (driver holds
+       n_list × d floats, inlined into codegen expressions);
+    2. index: every corpus vector is assigned to its nearest
+       centroid's inverted list (one codegen argmin projection — at
+       rest this would be the partitioning/bucketing column);
+    3. search: each probe explodes to its ``n_probe`` nearest lists
+       and equi-joins the corpus on the list id, so it scans
+       ~n_probe/n_list of the corpus instead of all of it; exact
+       cosine + per-probe rank over that candidate set.
+
+    Normalized-vector L2 argmin == cosine argmax, so the coarse
+    assignment is metric-consistent with the final scoring. List
+    sizes are skew-prone (real clusters are uneven) — AQE skew-join
+    handles the join; recall vs the exact path is pytest-asserted.
+    """
+    from .clustering import assign_clusters, kmeans
+
+    def norm(col: Column) -> Column:
+        n = F.sqrt(F.aggregate(col, F.lit(0.0), lambda a, x: a + x * x))
+        return F.transform(col, lambda x: F.when(n > 0, x / n).otherwise(F.lit(0.0)))
+
+    base = emb.select(
+        F.col(id_col), norm(_as_double_vec(vec_col)).alias("_nv")
+    )
+    sample = base.select("_nv").sample(sample_fraction, seed=seed)
+    _, centroids = kmeans(
+        sample, "_nv", k=n_list, seed=seed, max_iter=kmeans_max_iter
+    )
+
+    cands = assign_clusters(base, "_nv", centroids, alias="_list").select(
+        F.col(id_col).alias("neighbor_id"), F.col("_nv").alias("_cv"), "_list"
+    )
+
+    # n_probe nearest lists per probe, ranked by the SAME metric the
+    # index used (assign_clusters L2 argmin): for a unit-norm probe,
+    # ||v-c||^2 = 1 + ||c||^2 - 2 v.c, so the sort key is
+    # ||c||^2 - 2*dot — centroid norms vary, so plain dot-argmax would
+    # disagree with the list assignment and cost recall.
+    def probe_lists(vec: Column) -> Column:
+        dists = F.array(
+            *[
+                F.struct(
+                    (
+                        F.lit(sum(x * x for x in c)) - 2.0 * _dot_lit(vec, c)
+                    ).alias("_d2"),
+                    F.lit(i).alias("_i"),
+                )
+                for i, c in enumerate(centroids)
+            ]
+        )
+        return F.transform(
+            F.slice(F.array_sort(dists), 1, n_probe), lambda s: s["_i"]
+        )
+
+    pr = probes.select(
+        F.col(id_col).alias("probe_id"), norm(_as_double_vec(vec_col)).alias("_pv")
+    ).select(
+        "probe_id", "_pv", F.explode(probe_lists(F.col("_pv"))).alias("_list")
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pr.join(cands, "_list")
+        .where(F.col("neighbor_id") != F.col("probe_id"))
         .select(
             "probe_id",
             "neighbor_id",

@@ -44,16 +44,20 @@ def assign_clusters(
 
 
 def _mean_vectors(assigned: DataFrame, vec_col: str, k: int, dim: int) -> dict[int, list[float]]:
+    # dim avg(element_at(...)) aggregates instead of a posexplode:
+    # the partial aggregation happens map-side over unexploded rows,
+    # so the shuffle carries k rows of dim columns, not n*dim rows.
     rows = (
-        assigned.select("cluster", F.posexplode(vec_col).alias("dim", "x"))
-        .groupBy("cluster", "dim")
-        .agg(F.avg("x").alias("m"))
+        assigned.groupBy("cluster")
+        .agg(
+            *[
+                F.avg(F.element_at(F.col(vec_col), j + 1)).alias(f"_m{j}")
+                for j in range(dim)
+            ]
+        )
         .collect()
     )
-    out: dict[int, list[float]] = {}
-    for r in rows:
-        out.setdefault(r.cluster, [0.0] * dim)[r.dim] = r.m
-    return out
+    return {r["cluster"]: [r[f"_m{j}"] for j in range(dim)] for r in rows}
 
 
 def kmeans(
@@ -68,24 +72,32 @@ def kmeans(
     (equal centroids / movement <= tol / max 100 iterations,
     bfr.py:84-99). Deterministic: seeded sample init ordered by a
     stable hash. Returns (points + 'cluster' column, centroids)."""
-    first = points.select(vec_col).first()
+    # Lloyd re-reads the points every iteration: pin just the vector
+    # column in executor memory for the loop (at cluster scale this
+    # is the classic iterate-on-cached-projection pattern; spill-safe
+    # since only vec_col is kept).
+    loop_pts = points.select(vec_col).persist()
+    first = loop_pts.first()
     if first is None:
+        loop_pts.unpersist()
         raise ValueError("kmeans on empty DataFrame")
     dim = len(first[0])
 
     init = (
-        points.select(vec_col)
-        .withColumn("_h", F.xxhash64(F.col(vec_col).cast("array<string>"), F.lit(seed)))
+        loop_pts.withColumn(
+            "_h", F.xxhash64(F.col(vec_col).cast("array<string>"), F.lit(seed))
+        )
         .orderBy("_h")
         .limit(k)
         .collect()
     )
     centroids = [list(map(float, r[0])) for r in init]
     if len(centroids) < k:
+        loop_pts.unpersist()
         raise ValueError(f"fewer distinct points than k={k}")
 
     for _ in range(max_iter):
-        assigned = assign_clusters(points, vec_col, centroids)
+        assigned = assign_clusters(loop_pts, vec_col, centroids)
         means = _mean_vectors(assigned, vec_col, k, dim)
         new_centroids = [means.get(i, centroids[i]) for i in range(k)]
         move = max(
@@ -94,6 +106,7 @@ def kmeans(
         centroids = new_centroids
         if move <= tol:
             break
+    loop_pts.unpersist()
     return assign_clusters(points, vec_col, centroids), centroids
 
 

@@ -183,11 +183,19 @@ def user_similarities(
         F.col(user_col).alias("u2"),
         F.col(rating_col).alias("_rb"),
     )
-    joined = a.join(b, "_i").where(F.col("u1") < F.col("u2"))
     if candidate_pairs is not None:
-        joined = joined.join(
-            candidate_pairs.select("u1", "u2"), ["u1", "u2"], "left_semi"
+        # Candidates DRIVE the join — co-ratings are assembled only
+        # for candidate pairs (|cand| x items-per-user join rows),
+        # never via the full item-key self-join. Filtering after the
+        # self-join would do strictly more work than exact mode,
+        # defeating the pre-filter's entire point.
+        joined = (
+            candidate_pairs.select("u1", "u2")
+            .join(a, "u1")
+            .join(b, ["u2", "_i"])
         )
+    else:
+        joined = a.join(b, "_i").where(F.col("u1") < F.col("u2"))
     # Same ANSI-safe Pearson as item_similarities: try_divide keeps
     # zero-variance pairs NULL instead of throwing.
     return (

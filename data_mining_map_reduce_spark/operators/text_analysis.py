@@ -101,6 +101,30 @@ def doc_quality_stats(
     )
 
 
+# BPE-ish pre-tokenizer: letter runs, digit runs, and
+# punctuation/symbol runs as separate tokens (the GPT-2 pretokenizer
+# family, minus lookahead so the same pattern runs on Java regex and
+# RE2 — both support \p{L}/\p{N} classes). Counting these
+# approximates subword-token cost far better than whitespace words.
+BPE_ISH_PATTERN = r"\p{L}+|\p{N}+|[^\s\p{L}\p{N}]+"
+
+
+def token_counts(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc token counting for pipeline cost estimation:
+    whitespace word count and BPE-ish regex token count. One codegen
+    projection — no shuffle, no UDF."""
+    txt = F.col(text_col)
+    return docs.select(
+        F.col(id_col),
+        F.size(tokenize(txt)).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(txt, F.lit(BPE_ISH_PATTERN), 0)).alias(
+            "n_bpe_tokens"
+        ),
+    )
+
+
 # Tiny per-language stopword profiles for the heuristic classifier.
 _LANG_PROFILES: dict[str, tuple[str, ...]] = {
     "en": ("the", "a", "and", "of", "to", "in", "is", "it", "for", "on"),

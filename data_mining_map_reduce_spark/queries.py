@@ -1419,6 +1419,20 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("probe_id", "rnk")
 
 
+# IVF variant: coarse k-means quantizer + inverted-list probe — the
+# partition-pruning ANN path (each probe scans ~n_probe/n_list of
+# the corpus). Rows-only; recall vs exact pytest-asserted.
+@query("ann_topk_ivf")
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.ann import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < 10)
+    return ivf_topk(
+        emb, probes, k=5, n_list=16, n_probe=8
+    ).orderBy("probe_id", "rnk")
+
+
 # ---------------------------------------------------------------------------
 # A16: TF-IDF top terms per document (A3 PDF §4.2 formula — tf
 # normalized by the doc's max term frequency, idf = ln(N/df)).
@@ -1494,6 +1508,31 @@ def doc_quality_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return doc_quality_stats(docs).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline token counting: whitespace words + BPE-ish regex
+# tokens (letter runs / digit runs / punctuation runs — the
+# lookahead-free GPT-2-pretokenizer family, identical under Java
+# regex and RE2 so the oracle is exact).
+# ---------------------------------------------------------------------------
+@query(
+    "token_counts_docs",
+    r"""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+                AS INTEGER) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '\p{L}+|\p{N}+|[^\s\p{L}\p{N}]+'))
+                AS INTEGER) AS n_bpe_tokens
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def token_counts_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text_analysis import token_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_counts(docs).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------
