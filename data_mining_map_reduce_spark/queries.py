@@ -1373,6 +1373,106 @@ def simhash_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Winnowing rolling-hash fingerprints (Schleimer et al. SIGMOD 2003).
+# The polynomial hash (base 257 mod 2^31-1) is computed IDENTICALLY
+# in Spark and DuckDB — same BIGINT fold per k-gram — so both the
+# per-doc stats and the overlap pairs are value-exact oracles.
+# ---------------------------------------------------------------------------
+_WINNOW_FP_SQL = r"""
+    WITH s AS (
+      SELECT doc_id,
+             regexp_replace(translate(lower(text), '([,.!?:;])', ''),
+                            '\s+', '', 'g') AS s
+      FROM documents
+    ),
+    g0 AS (
+      SELECT doc_id, s, length(s) - 7 AS ng,
+             unnest(range(1, length(s) - 6)) AS pos
+      FROM s WHERE length(s) >= 8
+    ),
+    g AS (
+      SELECT doc_id, pos, ng,
+             list_reduce(
+               list_transform(range(0, 8),
+                 j -> CAST(ascii(substr(s, CAST(pos + j AS INTEGER), 1))
+                           AS BIGINT)),
+               (a, b) -> (a * 257 + b) % 2147483647) AS h
+      FROM g0
+    ),
+    f AS (
+      SELECT doc_id, pos, ng,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      FROM g
+    ),
+    fp AS (SELECT DISTINCT doc_id, fp FROM f WHERE pos <= ng - 3 OR pos = 1)
+"""
+
+
+@query(
+    "doc_fingerprint_stats",
+    _WINNOW_FP_SQL
+    + """
+    SELECT d.doc_id,
+           CAST(COALESCE(c.n_fps, 0) AS BIGINT) AS n_fps,
+           c.min_fp, c.max_fp
+    FROM documents d
+    LEFT JOIN (
+        SELECT doc_id, COUNT(*) AS n_fps, MIN(fp) AS min_fp,
+               MAX(fp) AS max_fp
+        FROM fp GROUP BY doc_id
+    ) c USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)
+def doc_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import winnow_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    fps = winnow_fingerprints(docs)
+    stats = fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fps"),
+        F.min("fp").alias("min_fp"),
+        F.max("fp").alias("max_fp"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_fps", F.lit(0).cast("bigint")).alias("n_fps"),
+            "min_fp",
+            "max_fp",
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "fingerprint_overlap_pairs",
+    _WINNOW_FP_SQL
+    + """
+    , kept AS (
+      SELECT fp FROM fp GROUP BY fp
+      HAVING COUNT(*) BETWEEN 2 AND 100
+    ),
+    sh AS (SELECT doc_id, fp.fp FROM fp JOIN kept USING (fp))
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           COUNT(*) AS n_shared
+    FROM sh a JOIN sh b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY doc_a, doc_b
+    HAVING COUNT(*) >= 10
+    ORDER BY doc_a, doc_b
+    """,
+)
+def fingerprint_overlap_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import fingerprint_overlap_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return fingerprint_overlap_pairs(docs).orderBy("doc_a", "doc_b")
+
+
+# ---------------------------------------------------------------------------
 # LLM-pipeline ANN block: exact cosine top-k (ground truth, oracled)
 # + hyperplane-LSH approximate top-k (the scale path; recall
 # pytest-asserted). Retires the all-pairs demo as the engine's only

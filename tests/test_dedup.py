@@ -9,7 +9,9 @@ from pyspark.sql import functions as F
 from data_mining_map_reduce_spark.operators.dedup import (
     doc_shingles,
     exact_duplicate_groups,
+    fingerprint_overlap_pairs,
     simhash_near_dup_pairs,
+    winnow_fingerprints,
 )
 from data_mining_map_reduce_spark.operators.similarity import (
     exact_jaccard_pairs,
@@ -86,6 +88,70 @@ def test_simhash_query_finds_planted_docs(spark):
     assert len(pairs) >= 15
     # every reported pair is within the radius
     assert all(r.hamming <= 7 for r in pairs)
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    """Winnowing's defining property (Schleimer et al. SIGMOD 2003
+    thm.): any shared substring of length >= k + w - 1 (= 11 chars
+    here) produces at least one shared fingerprint. Disjoint-alphabet
+    docs share nothing."""
+    shared = "zqxjkvwpbyfgmdhn"  # 16 chars >> 11, no ws/punct
+    docs = spark.createDataFrame(
+        [
+            (1, f"aaaa {shared} bbbb"),
+            (2, f"cccc dddd {shared}"),
+            (3, "eeee ffff gggg hhhh iiii jjjj"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = {
+        did: {r.fp for r in grp}
+        for did, grp in __import__("itertools").groupby(
+            sorted(winnow_fingerprints(docs).collect(), key=lambda r: r.doc_id),
+            key=lambda r: r.doc_id,
+        )
+    }
+    assert fps[1] & fps[2], "shared substring must share a fingerprint"
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+
+
+def test_winnow_short_doc_edge_cases(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "abc"),          # < k chars: no fingerprints
+            (2, "abcdefgh"),     # exactly k: one gram, one fp (pos=1)
+            (3, "abcdefghi"),    # 2 grams < window: global min via pos=1
+        ],
+        "doc_id long, text string",
+    )
+    got = winnow_fingerprints(docs).groupBy("doc_id").count().collect()
+    counts = {r.doc_id: r["count"] for r in got}
+    assert 1 not in counts
+    assert counts[2] == 1
+    assert counts[3] == 1
+
+
+def test_fingerprint_overlap_finds_planted_near_dups(spark):
+    """The planted near-dup doc pairs share long verbatim substrings,
+    so fingerprint overlap must recover most of the exact-Jaccard
+    ground-truth pairs (>= 0.8, the A3 grading bar)."""
+    docs = load_table(spark, SF_CORRECT, "documents")
+    shingled = doc_shingles(docs).select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
+    truth = {
+        (r.a, r.b)
+        for r in exact_jaccard_pairs(
+            shingled, "doc_id", "shingle", threshold=0.5
+        ).collect()
+    }
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in fingerprint_overlap_pairs(docs).collect()
+    }
+    assert truth, "planted pairs missing from testdata?"
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.8, recall
 
 
 def test_word_ngrams_short_input_guard(spark):
