@@ -54,6 +54,11 @@ def main() -> None:
         try:
             fn(spark, sf_dir).collect()
             timings[name] = round(time.perf_counter() - t0, 4)
+            # Several operators legitimately cache intermediates whose
+            # lifetime is the caller's collect (SON partitions, CF
+            # ratings, graph edge sets). Drop them so query N's leftovers
+            # never contaminate query N+1's measurement.
+            spark.catalog.clearCache()
         except Exception as exc:  # noqa: BLE001 — bench must survive anything
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             print(

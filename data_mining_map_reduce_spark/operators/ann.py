@@ -211,7 +211,7 @@ def ivf_topk(
     n_probe: int = 4,
     seed: int = 7,
     sample_fraction: float = 0.25,
-    kmeans_max_iter: int = 20,
+    kmeans_max_iter: int = 8,
 ) -> DataFrame:
     """IVF approximate top-k cosine neighbors — the coarse-quantizer
     alternative to hyperplane LSH:

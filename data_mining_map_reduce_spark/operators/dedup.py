@@ -144,51 +144,42 @@ def winnow_fingerprints(
     Guarantees any shared substring of length >= k + window - 1
     yields a shared fingerprint — the classic copy-detection primitive.
 
-    Plan shape: one projection computes the normalized string, an
-    explode yields one row per gram position whose hash is a FLAT
-    8-element fold (nested per-row HOF trees fall out of codegen —
-    the simhash lesson), the window-min runs per doc partition, and
-    distinct dedups. Work is O(chars) per doc; the only shuffle keys
+    Plan shape: explode to one row per CHARACTER, then both the
+    k-gram hash (a fold over ``lead(code, j)`` for j < k) and the
+    winnowing min run as window expressions over the same
+    (doc_id, pos) sort — one shuffle, everything whole-stage-codegen
+    (a per-row substring+fold HOF tree would run interpreted; the
+    simhash lesson). Work is O(chars) per doc; the only shuffle keys
     on doc_id. Docs shorter than ``k`` chars produce no rows.
 
     Returns (doc_id, fp).
     """
     s = F.regexp_replace(normalize(F.col(text_col)), r"\s+", "")
-    base = docs.select(F.col(id_col), s.alias("_s"), F.length(s).alias("_len"))
-    grams = (
-        base.where(F.col("_len") >= k)
+    chars = (
+        docs.select(F.col(id_col), s.alias("_s"), F.length(s).alias("_len"))
+        .where(F.col("_len") >= k)
         .select(
             id_col,
-            "_s",
             (F.col("_len") - (k - 1)).alias("_ng"),
-            F.explode(
-                F.sequence(F.lit(1), F.col("_len") - (k - 1))
-            ).alias("pos"),
+            F.posexplode(F.split("_s", "")).alias("pos", "_c"),
         )
-        .select(
-            id_col,
-            "pos",
-            "_ng",
-            F.aggregate(
-                F.split(F.col("_s").substr(F.col("pos"), F.lit(k)), ""),
-                F.lit(0).cast("bigint"),
-                lambda acc, c: F.pmod(
-                    acc * WINNOW_BASE + F.ascii(c), F.lit(WINNOW_MOD)
-                ),
-            ).alias("_h"),
-        )
+        .select(id_col, "pos", "_ng", F.ascii("_c").cast("bigint").alias("_code"))
     )
-    win = W.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
-    return (
-        grams.select(
-            id_col,
-            "pos",
-            "_ng",
-            F.min("_h").over(win).alias("fp"),
+    ord_win = W.partitionBy(id_col).orderBy("pos")
+    h = F.lit(0).cast("bigint")
+    for j in range(k):
+        h = F.pmod(
+            h * WINNOW_BASE + F.lead("_code", j).over(ord_win), F.lit(WINNOW_MOD)
         )
-        # keep only full windows (plus pos=1 so short docs with fewer
+    grams = chars.select(
+        id_col, "pos", "_ng", h.alias("_h")
+    ).where(F.col("pos") < F.col("_ng"))  # full grams only (pos 0-based)
+    min_win = W.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
+    return (
+        grams.select(id_col, "pos", "_ng", F.min("_h").over(min_win).alias("fp"))
+        # keep only full windows (plus pos=0 so short docs with fewer
         # than `window` grams still emit their global min)
-        .where((F.col("pos") <= F.col("_ng") - (window - 1)) | (F.col("pos") == 1))
+        .where((F.col("pos") < F.col("_ng") - (window - 1)) | (F.col("pos") == 0))
         .select(id_col, "fp")
         .distinct()
     )

@@ -1636,10 +1636,47 @@ def token_counts_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Language-ID heuristic (rows-only: the profile scoring is
-# engine-specific; behavior pytest-asserted on known-language text).
+# Language-ID heuristic. The scoring is deterministic (stopword-
+# profile coverage argmax with first-profile tie-break), so the
+# oracle replays it exactly: same tokenizer, same profile literals,
+# same CASE order as the Spark when-chain.
 # ---------------------------------------------------------------------------
-@query("language_id_docs")
+@query(
+    "language_id_docs",
+    r"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(
+                 translate(lower(text), '([,.!?:;])', ''), '\s+'),
+                 x -> x <> '') AS w
+      FROM documents
+    ),
+    sc AS (
+      SELECT doc_id,
+        greatest(len(w), 1) * 1.0 AS n,
+        len(list_filter(w, x -> list_contains(
+            ['the','a','and','of','to','in','is','it','for','on'], x))) AS c_en,
+        len(list_filter(w, x -> list_contains(
+            ['der','die','das','und','ist','ein','zu','nicht','mit'], x))) AS c_de,
+        len(list_filter(w, x -> list_contains(
+            ['le','la','les','et','est','un','une','pas','pour'], x))) AS c_fr,
+        len(list_filter(w, x -> list_contains(
+            ['el','la','los','y','es','un','una','no','para'], x))) AS c_es
+      FROM tok
+    ),
+    s AS (
+      SELECT doc_id,
+             CASE WHEN greatest(c_en, c_de, c_fr, c_es) <= 0 THEN 'und'
+                  WHEN c_en/n = greatest(c_en/n, c_de/n, c_fr/n, c_es/n) THEN 'en'
+                  WHEN c_de/n = greatest(c_en/n, c_de/n, c_fr/n, c_es/n) THEN 'de'
+                  WHEN c_fr/n = greatest(c_en/n, c_de/n, c_fr/n, c_es/n) THEN 'fr'
+                  ELSE 'es' END AS pred_lang
+      FROM sc
+    )
+    SELECT pred_lang, COUNT(*) AS n_docs
+    FROM s GROUP BY pred_lang ORDER BY pred_lang
+    """,
+)
 def language_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text_analysis import language_id
 
@@ -1967,7 +2004,27 @@ def priority_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # for the stub contract). Rows-only: binary/UDF path is
 # engine-specific; shape and determinism pytest-asserted.
 # ---------------------------------------------------------------------------
-@query("media_feature_rollup")
+# The fake feature vector is deterministic byte arithmetic
+# (sum of every-8th payload byte mod 997), and the documents corpus
+# is ASCII (asserted by the oracle-parity test), so the oracle can
+# replay it on character positions — proving the mapInPandas plumbing
+# end-to-end, not just row counts.
+@query(
+    "media_feature_rollup",
+    """
+    WITH f AS (
+      SELECT source AS modality, strlen(text) AS n_bytes,
+             (list_sum(list_transform(range(1, strlen(text) + 1, 8),
+                  i -> CAST(ascii(substr(text, CAST(i AS INTEGER), 1))
+                            AS BIGINT)))
+              % 997) / 997.0 AS f0
+      FROM documents
+    )
+    SELECT modality, COUNT(*) AS n_items, SUM(n_bytes) AS total_bytes,
+           ROUND(AVG(f0), 6) AS f0_mean
+    FROM f GROUP BY modality ORDER BY modality
+    """,
+)
 def media_feature_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.multimodal import extract_features
 

@@ -27,6 +27,19 @@ def media(spark):
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+def test_documents_ascii_assumption_for_oracle(spark):
+    """The media_feature_rollup oracle replays the byte-stat fake
+    features on DuckDB CHARACTER positions — valid only while the
+    documents corpus is pure ASCII (byte == char). Guard it."""
+    from data_mining_map_reduce_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    n_multibyte = docs.where(
+        F.length(F.encode("text", "utf-8")) != F.length("text")
+    ).count()
+    assert n_multibyte == 0
+
+
 def test_decode_stubs_raise(media):
     with pytest.raises(NotImplementedError):
         decode_image(b"x")
