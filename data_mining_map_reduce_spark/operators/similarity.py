@@ -6,9 +6,9 @@ MinHash signature per business, b=32 bands × r=1 rows, bucket
 candidates, verify exact Jaccard ≥ 0.05.
 
 Engine design (fully distributed, no driver dicts):
-- exact path: explode (key, item), self-join on item, pair-count
-  |A∩B|, then |A∪B| = |A|+|B|-|A∩B| via broadcast of per-key sizes —
-  the ground truth / oracle twin.
+- exact path: threshold-gated dual plan — item-equi-join pair counting
+  at low t, Bayardo/Chaudhuri prefix filtering at high t — the ground
+  truth / oracle twin (see exact_jaccard_pairs docstring).
 - LSH path: codegen'd MinHash signature (functions/hashing.py), band
   explode, bucket equi-join, distinct candidates, exact verify.
   Shuffles: one on band bucket, one on pair dedup — both key-partition
@@ -20,7 +20,7 @@ Engine design (fully distributed, no driver dicts):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from ..functions.hashing import minhash_signature
 from ..functions.vectors import jaccard
@@ -34,32 +34,95 @@ def exact_jaccard_pairs(
     key_a: str = "a",
     key_b: str = "b",
     sim_alias: str = "jaccard",
+    prefix_filter: bool | None = None,
 ) -> DataFrame:
-    """All unordered key pairs with Jaccard(items_a, items_b) >= t.
+    """All unordered key pairs with Jaccard(items_a, items_b) >= t — EXACT.
 
-    |∩| via equi-join on item + pair count; |∪| from per-key set
-    sizes. O(sum of item-frequency^2) pair rows — exact, so only for
-    oracle/verify use at scale; the LSH path is the scale path.
+    Two physically different plans behind one contract, auto-selected
+    by threshold (``prefix_filter=None``):
+
+    - **Count-join** (t < 0.3): explode (key, item), self-join on item,
+      pair-count |A∩B| map-side-combined, |A∪B| = |A|+|B|-|A∩B| via a
+      broadcast of per-key sizes. One pass, no arrays, no window. At
+      low thresholds nothing can be pruned anyway (measured: the prefix
+      plan is ~8× SLOWER than this at t=0.05), so the straight join is
+      the right plan. On the synthetic docs corpus (flat shingle
+      frequencies, no hot items) it also wins at t=0.5 by ~2.5× —
+      but that advantage inverts on natural text, where df is Zipfian
+      and the count-join's Σ df(i)² cost turns quadratic; the prefix
+      plan is the one that holds at corpus scale, so it stays the
+      high-threshold default.
+    - **Prefix-filtered** (t >= 0.3): Chaudhuri et al. ICDE'06 /
+      Bayardo et al. WWW'07 "Scaling Up All Pairs Similarity Search".
+      Candidates come from joining only each set's PREFIX — its
+      ``n - ceil(t*n) + 1`` globally-rarest items (rarity order =
+      (document frequency, item)). Jaccard >= t forces |∩| >= ceil(t*n)
+      on each side, so two qualifying sets must collide inside both
+      prefixes — lossless. The frequency^2 join blow-up lives entirely
+      in the frequent items the prefixes exclude, which is what lets
+      the exact path survive corpus scale at meaningful thresholds;
+      survivors are verified with one array_intersect each.
     """
     base = df.select(F.col(key).alias("_k"), F.col(item).alias("_i")).distinct()
     sizes = base.groupBy("_k").agg(F.count(F.lit(1)).alias("_sz"))
-    left = base.select(F.col("_k").alias(key_a), "_i")
-    right = base.select(F.col("_k").alias(key_b), "_i")
-    inter = (
-        left.join(right, "_i")
-        .where(F.col(key_a) < F.col(key_b))
-        .groupBy(key_a, key_b)
-        .agg(F.count(F.lit(1)).alias("_inter"))
+    if prefix_filter is None:
+        prefix_filter = threshold >= 0.3
+
+    if not prefix_filter:
+        left = base.select(F.col("_k").alias(key_a), "_i")
+        right = base.select(F.col("_k").alias(key_b), "_i")
+        inter = (
+            left.join(right, "_i")
+            .where(F.col(key_a) < F.col(key_b))
+            .groupBy(key_a, key_b)
+            .agg(F.count(F.lit(1)).alias("_inter"))
+        )
+        sz_a = sizes.select(F.col("_k").alias(key_a), F.col("_sz").alias("_sza"))
+        sz_b = sizes.select(F.col("_k").alias(key_b), F.col("_sz").alias("_szb"))
+        return (
+            inter.join(F.broadcast(sz_a), key_a)
+            .join(F.broadcast(sz_b), key_b)
+            .withColumn(
+                sim_alias,
+                F.col("_inter").cast("double")
+                / (F.col("_sza") + F.col("_szb") - F.col("_inter")).cast("double"),
+            )
+            .where(F.col(sim_alias) >= threshold)
+            .select(key_a, key_b, F.round(sim_alias, 6).alias(sim_alias))
+        )
+
+    dfreq = base.groupBy("_i").agg(F.count(F.lit(1)).alias("_df"))
+    rarity = Window.partitionBy("_k").orderBy("_df", "_i")
+    # round before ceil: float epsilon in t*n must never push ceil up
+    # a notch (that would shorten the prefix and break losslessness)
+    prefix_len = F.col("_sz") - F.ceil(
+        F.round(F.lit(threshold) * F.col("_sz"), 6)
+    ) + 1
+    prefix = (
+        base.join(dfreq, "_i")
+        .withColumn("_rn", F.row_number().over(rarity))
+        .join(F.broadcast(sizes), "_k")
+        .where(F.col("_rn") <= prefix_len)
+        .select("_k", "_i")
     )
-    sz_a = sizes.select(F.col("_k").alias(key_a), F.col("_sz").alias("_sza"))
-    sz_b = sizes.select(F.col("_k").alias(key_b), F.col("_sz").alias("_szb"))
+    candidates = (
+        prefix.select(F.col("_k").alias(key_a), "_i")
+        .join(prefix.select(F.col("_k").alias(key_b), "_i"), "_i")
+        .where(F.col(key_a) < F.col(key_b))
+        .select(key_a, key_b)
+        .distinct()
+    )
+    sets = base.groupBy("_k").agg(F.sort_array(F.collect_list("_i")).alias("_set"))
+    sets_a = sets.select(F.col("_k").alias(key_a), F.col("_set").alias("_ia"))
+    sets_b = sets.select(F.col("_k").alias(key_b), F.col("_set").alias("_ib"))
+    inter = F.size(F.array_intersect("_ia", "_ib"))
     return (
-        inter.join(F.broadcast(sz_a), key_a)
-        .join(F.broadcast(sz_b), key_b)
+        candidates.join(sets_a, key_a)
+        .join(sets_b, key_b)
         .withColumn(
             sim_alias,
-            F.col("_inter").cast("double")
-            / (F.col("_sza") + F.col("_szb") - F.col("_inter")).cast("double"),
+            inter.cast("double")
+            / (F.size("_ia") + F.size("_ib") - inter).cast("double"),
         )
         .where(F.col(sim_alias) >= threshold)
         .select(key_a, key_b, F.round(sim_alias, 6).alias(sim_alias))
