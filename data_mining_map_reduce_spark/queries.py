@@ -2046,6 +2046,48 @@ def media_feature_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Multimodal frame sampling: 1 media row → 4 frame rows inside
+# mapInPandas (the video-pipeline expansion shape). Payload is the
+# utf-8 text bytes, duration = byte length (docs are ASCII), so the
+# deterministic chunking fake is exactly replayable in SQL.
+@query(
+    "media_frame_sample",
+    """
+    WITH d AS (
+      SELECT doc_id AS media_id, strlen(text) AS n FROM documents
+    )
+    SELECT media_id, CAST(i AS INTEGER) AS frame_idx,
+           CAST((i * n) // 4 AS INTEGER) AS ts_ms,
+           CAST(CASE WHEN i < 3
+                THEN GREATEST(LEAST(n - i * GREATEST(n // 4, 1),
+                                    GREATEST(n // 4, 1)), 0)
+                ELSE GREATEST(n - 3 * GREATEST(n // 4, 1), 0)
+           END AS INTEGER) AS n_bytes
+    FROM d CROSS JOIN generate_series(0, 3) AS t(i)
+    ORDER BY media_id, frame_idx
+    """,
+)
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import sample_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.length("text").alias("meta_duration_ms"),
+    )
+    return (
+        sample_frames(media, n_frames=4)
+        .select(
+            "media_id",
+            "frame_idx",
+            "ts_ms",
+            F.length("frame_payload").cast("int").alias("n_bytes"),
+        )
+        .orderBy("media_id", "frame_idx")
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(SPARK_QUERIES)
 

@@ -13,6 +13,8 @@ from data_mining_map_reduce_spark.operators.multimodal import (
     decode_image,
     extract_features,
     media_summary,
+    resize_media,
+    sample_frames,
 )
 
 
@@ -63,6 +65,42 @@ def test_custom_feature_fn_slots_in(spark, media):
     ).collect()
     by_id = {r.media_id: r.features[0] for r in got}
     assert by_id[3] == float(len(b"RIFF fake wav payload...."))
+
+
+def test_resize_rewrites_payload_and_metadata(spark, media):
+    got = {r.media_id: r for r in resize_media(media, 16, 8).collect()}
+    assert len(got) == 4  # 1 row in -> 1 row out, nulls included
+    for r in got.values():
+        assert r.meta_width == 16 and r.meta_height == 8
+        assert len(r.payload) == 16 * 8
+    # deterministic: same input -> same bytes
+    again = {r.media_id: r.payload for r in resize_media(media, 16, 8).collect()}
+    assert {k: v.payload for k, v in got.items()} == again
+
+
+def test_resize_custom_fn_slots_in(spark, media):
+    got = resize_media(
+        media, 4, 4, resize_fn=lambda p, w, h: bytes([len(p or b"") % 256] * (w * h))
+    ).collect()
+    by_id = {r.media_id: r.payload for r in got}
+    assert by_id[1] == bytes([len(b"\x89PNG fake bytes here")] * 16)
+
+
+def test_sample_frames_expands_rows(spark, media):
+    got = sample_frames(media, n_frames=4).collect()
+    assert len(got) == 16  # 4 media x 4 frames, null payload included
+    by_key = {(r.media_id, r.frame_idx): r for r in got}
+    # frames partition the payload exactly (concatenation round-trips)
+    payload = b"RIFF fake wav payload...."
+    rejoined = b"".join(by_key[(3, i)].frame_payload for i in range(4))
+    assert rejoined == payload
+    # ts_ms spreads evenly across meta_duration_ms (2500 for media 3)
+    assert [by_key[(3, i)].ts_ms for i in range(4)] == [0, 625, 1250, 1875]
+    # null payload and null duration degrade to empty frames at ts 0
+    assert all(by_key[(4, i)].frame_payload == b"" for i in range(4)) or all(
+        len(by_key[(4, i)].frame_payload) == 0 for i in range(4)
+    )
+    assert [by_key[(1, i)].ts_ms for i in range(4)] == [0, 0, 0, 0]  # null dur
 
 
 def test_media_summary_prunes_payload(spark, media, tmp_path):
