@@ -15,6 +15,7 @@ numbers reflect steady-state execution.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import re
@@ -57,8 +58,13 @@ def main() -> None:
             # Several operators legitimately cache intermediates whose
             # lifetime is the caller's collect (SON partitions, CF
             # ratings, graph edge sets). Drop them so query N's leftovers
-            # never contaminate query N+1's measurement.
+            # never contaminate query N+1's measurement. The gc.collect
+            # releases py4j handles so the JVM ContextCleaner can drop
+            # the matching broadcasts/shuffle state — without it, 60+
+            # queries of leftovers pile up in the single local JVM and
+            # late queries measure GC pressure, not their own plan.
             spark.catalog.clearCache()
+            gc.collect()
         except Exception as exc:  # noqa: BLE001 — bench must survive anything
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             print(

@@ -24,7 +24,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine
+from ..functions.vectors import cosine, dot
 
 
 def _as_double_vec(col: str) -> Column:
@@ -254,27 +254,33 @@ def ivf_topk(
     # index used (assign_clusters L2 argmin): for a unit-norm probe,
     # ||v-c||^2 = 1 + ||c||^2 - 2 v.c, so the sort key is
     # ||c||^2 - 2*dot — centroid norms vary, so plain dot-argmax would
-    # disagree with the list assignment and cost recall.
+    # disagree with the list assignment and cost recall. Centroids
+    # travel as broadcast data, not inlined literals (same rationale
+    # as assign_clusters).
+    cents_row = emb.sparkSession.createDataFrame(
+        [([list(map(float, c)) for c in centroids],)], "_cents array<array<double>>"
+    )
+
     def probe_lists(vec: Column) -> Column:
-        dists = F.array(
-            *[
-                F.struct(
-                    (
-                        F.lit(sum(x * x for x in c)) - 2.0 * _dot_lit(vec, c)
-                    ).alias("_d2"),
-                    F.lit(i).alias("_i"),
-                )
-                for i, c in enumerate(centroids)
-            ]
+        dists = F.transform(
+            F.col("_cents"),
+            lambda c, i: F.struct(
+                (dot(c, c) - 2.0 * dot(vec, c)).alias("_d2"), i.alias("_i")
+            ),
         )
         return F.transform(
             F.slice(F.array_sort(dists), 1, n_probe), lambda s: s["_i"]
         )
 
-    pr = probes.select(
-        F.col(id_col).alias("probe_id"), norm(_as_double_vec(vec_col)).alias("_pv")
-    ).select(
-        "probe_id", "_pv", F.explode(probe_lists(F.col("_pv"))).alias("_list")
+    pr = (
+        probes.select(
+            F.col(id_col).alias("probe_id"),
+            norm(_as_double_vec(vec_col)).alias("_pv"),
+        )
+        .crossJoin(F.broadcast(cents_row))
+        .select(
+            "probe_id", "_pv", F.explode(probe_lists(F.col("_pv"))).alias("_list")
+        )
     )
     w = Window.partitionBy("probe_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()

@@ -29,18 +29,30 @@ from pyspark.sql import functions as F
 from ..functions.vectors import l2
 
 
-def _argmin_cluster(vec: Column, centroids: list[list[float]]) -> Column:
-    """Index (0-based) of the nearest centroid; ties → lowest index."""
-    dists = F.array(
-        *[l2(vec, F.array(*[F.lit(float(x)) for x in c])) for c in centroids]
-    )
-    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
-
-
 def assign_clusters(
     points: DataFrame, vec_col: str, centroids: list[list[float]], alias: str = "cluster"
 ) -> DataFrame:
-    return points.withColumn(alias, _argmin_cluster(F.col(vec_col), centroids))
+    """Nearest-centroid (0-based) per point; ties → lowest index.
+
+    The centroids travel as DATA — a broadcast single-row
+    array<array<double>> cross-joined in — not as inlined literals.
+    Inlining k×dim float literals builds a fresh giant expression tree
+    every call (Lloyd recompiles it per iteration), which blows up
+    analysis + codegen time and can fall out of the JIT code cache;
+    the broadcast form keeps one small, stable expression regardless
+    of k, dim, or iteration count — the same reason a real cluster
+    broadcasts its centroid table instead of re-shipping the plan.
+    """
+    spark = points.sparkSession
+    cents = spark.createDataFrame(
+        [([list(map(float, c)) for c in centroids],)], "_cents array<array<double>>"
+    )
+    dists = F.transform(F.col("_cents"), lambda c: l2(F.col(vec_col), c))
+    return (
+        points.crossJoin(F.broadcast(cents))
+        .withColumn(alias, (F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
+        .drop("_cents")
+    )
 
 
 def _mean_vectors(assigned: DataFrame, vec_col: str, k: int, dim: int) -> dict[int, list[float]]:

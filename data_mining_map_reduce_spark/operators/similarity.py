@@ -91,6 +91,12 @@ def exact_jaccard_pairs(
             .select(key_a, key_b, F.round(sim_alias, 6).alias(sim_alias))
         )
 
+    # The prefix plan reads `base` from four distinct subtrees (sizes,
+    # document frequencies, prefix build, verification sets) — without
+    # a cache each one re-executes the upstream explode; the count-join
+    # branch doesn't need this because its self-join reuses one
+    # shuffle exchange.
+    base = base.cache()
     dfreq = base.groupBy("_i").agg(F.count(F.lit(1)).alias("_df"))
     rarity = Window.partitionBy("_k").orderBy("_df", "_i")
     # round before ceil: float epsilon in t*n must never push ceil up
