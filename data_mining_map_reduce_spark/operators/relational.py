@@ -161,3 +161,41 @@ def semantic_except(a: DataFrame, b: DataFrame) -> DataFrame:
     ``a.exceptAll(b).distinct()`` is wrong: a row in both inputs
     survives when its multiplicity in ``a`` exceeds that in ``b``.)"""
     return a.subtract(b)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with manual key salting for pathological skew.
+
+    ``left`` (the skewed, large side) gets a random salt in [0, salt);
+    ``right`` is replicated ``salt`` times with every salt value, and
+    the join runs on (key, salt) — so one hot key's rows spread over
+    ``salt`` shuffle partitions instead of hammering one reducer.
+    Output columns match ``left.join(right, on, how)``.
+
+    AQE's skew-join split handles moderate skew without help and is
+    the first choice; explicit salting is for the cases AQE can't
+    split — a sort-merge join whose single hot key exceeds executor
+    memory, or a deliberately partitioned write. Replication cost is
+    |right| × salt: keep ``right`` the smaller side (if it fits a
+    broadcast, use a broadcast join instead — salting is pointless
+    there). The salt column uses a per-row uniform draw, seeded for
+    repeatable tests; correctness never depends on the draw.
+    """
+    if salt < 1:
+        raise ValueError("salt must be >= 1")
+    if how not in {"inner", "left", "left_outer", "leftouter", "semi",
+                   "left_semi", "leftsemi", "anti", "left_anti", "leftanti"}:
+        # right/full joins would emit each unmatched RIGHT row once per
+        # salt replica — silently wrong; refuse instead.
+        raise ValueError(f"salted_join supports left-preserving joins only, not {how!r}")
+    lhs = left.withColumn("_salt", (F.rand(seed=7) * salt).cast("int"))
+    rhs = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    return lhs.join(rhs, [on, "_salt"], how).drop("_salt")

@@ -43,3 +43,31 @@ def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = Non
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_by: list[str],
+    num_buckets: int,
+    sort_by: list[str] | None = None,
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+) -> None:
+    """Bucketed managed-table sink — the shuffle-amortizing layout.
+
+    Bucketing hash-partitions rows into ``num_buckets`` files per
+    partition ON WRITE; two tables bucketed the same way on the same
+    key then equi-join WITHOUT a shuffle (Catalyst plans a
+    bucket-local sort-merge join), and aggregations on the bucket key
+    skip the exchange. At 100 TB that converts every repeated
+    fact-to-fact join on the bucket key from a full-network shuffle
+    into a local merge — the single biggest lever a warehouse layout
+    has. ``sort_by`` pre-sorts within buckets so the merge phase skips
+    its sort too. Bucketing requires ``saveAsTable`` (metastore
+    bookkeeping); plain path-writes can't express it.
+    """
+    writer = df.write.mode(mode).format(fmt).bucketBy(num_buckets, *bucket_by)
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    writer.saveAsTable(table)

@@ -89,3 +89,67 @@ def test_chunked_dir_roundtrip(spark, sf_dir, tmp_path):
     chunks = read_chunked_dir(spark, paths, fmt="parquet")
     assert len(chunks) == 3
     assert sum(c.count() for c in chunks) == 3 * df.count()
+
+
+def test_bucketed_write_joins_without_shuffle(spark, sf_dir):
+    """Two tables bucketed on the same key must equi-join with zero
+    Exchange operators in the physical plan — that no-shuffle join is
+    bucketing's entire purpose."""
+    from data_mining_map_reduce_spark.sources.catalog import load_table
+    from data_mining_map_reduce_spark.sources.writers import write_bucketed_table
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        for t in ("t_orders_b", "t_lineitem_b"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        write_bucketed_table(
+            orders, "t_orders_b", bucket_by=["o_orderkey"], num_buckets=4,
+            sort_by=["o_orderkey"],
+        )
+        write_bucketed_table(
+            lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+            "t_lineitem_b", bucket_by=["o_orderkey"], num_buckets=4,
+            sort_by=["o_orderkey"],
+        )
+        # disable broadcast so the planner must pick sort-merge — the
+        # case where bucketing's no-shuffle property matters
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        a = spark.table("t_orders_b")
+        b = spark.table("t_lineitem_b")
+        joined = a.join(b, "o_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert joined.count() == lineitem.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        for t in ("t_orders_b", "t_lineitem_b"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salting must not change join semantics: same rows out as the
+    straight equi-join, for inner and left joins, salt replication
+    exactly covering every draw."""
+    from data_mining_map_reduce_spark.operators.relational import salted_join
+
+    left = spark.createDataFrame(
+        # hot key 1 (many rows) + singleton keys, plus an unmatched key
+        [(1, f"l{i}") for i in range(500)] + [(2, "x"), (3, "y"), (9, "z")],
+        "k int, lv string",
+    )
+    right = spark.createDataFrame(
+        [(1, "r1"), (1, "r2"), (2, "rx"), (4, "unused")], "k int, rv string"
+    )
+    for how in ["inner", "left"]:
+        got = sorted(
+            (r.k, r.lv, r.rv) for r in salted_join(left, right, "k", salt=8, how=how).collect()
+        )
+        want = sorted(
+            (r.k, r.lv, r.rv) for r in left.join(right, "k", how).collect()
+        )
+        assert got == want, how
