@@ -88,6 +88,32 @@ def windowed_event_counts(
     )
 
 
+def dedup_stream(
+    stream: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+    within_watermark: bool = True,
+) -> DataFrame:
+    """Streaming exact deduplication — the streaming twin of the
+    batch dedup block (operators/dedup.py): emit the first event per
+    ``keys``, drop every later duplicate.
+
+    ``within_watermark=True`` uses ``dropDuplicatesWithinWatermark``:
+    per-key state is BOUNDED — it lives only until the watermark
+    passes the first-seen event's time, so two duplicates farther
+    apart than the watermark both survive. That bounded-state contract
+    is the only one that runs forever at 100 TB/day; the
+    ``False`` branch (plain ``dropDuplicates``) keeps every key ever
+    seen in state and is only for bounded replays/backfills where
+    exact global dedup is worth unbounded state.
+    """
+    marked = stream.withWatermark(ts_col, watermark)
+    if within_watermark:
+        return marked.dropDuplicatesWithinWatermark(keys)
+    return marked.dropDuplicates(keys)
+
+
 def run_stream_to_memory(
     agg: DataFrame,
     query_name: str,

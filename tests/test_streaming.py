@@ -210,3 +210,52 @@ def test_socket_source_smoke(spark):
         stop.set()
         q.stop()
         srv.close()
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Streaming exact dedup: duplicates arriving within the
+    watermark horizon are dropped across micro-batches; each key's
+    first-seen row survives exactly once."""
+    from data_mining_map_reduce_spark.streaming.streams import dedup_stream
+
+    path = str(tmp_path / "dedup_stream")
+    rows = [
+        # key A: 3 copies spread over two files; key B: 2 copies; C unique
+        ("2024-01-01 12:00:00", "A"), ("2024-01-01 12:05:00", "A"),
+        ("2024-01-01 12:01:00", "B"), ("2024-01-01 12:02:00", "C"),
+    ]
+    later = [("2024-01-01 12:20:00", "A"), ("2024-01-01 12:25:00", "B")]
+
+    def mk(rs):
+        return spark.createDataFrame(rs, "ts string, k string").selectExpr(
+            "CAST(ts AS timestamp) ts", "k"
+        )
+
+    mk(rows).coalesce(1).write.mode("overwrite").parquet(path)
+    mk(later).coalesce(1).write.mode("append").parquet(path)
+
+    stream = file_stream(spark, path, schema="ts timestamp, k string")
+    got = run_stream_to_memory(
+        dedup_stream(stream, ["k"], watermark="2 hours"),
+        "dedup_ww",
+        output_mode="append",
+    )
+    assert sorted(r.k for r in got) == ["A", "B", "C"]
+
+
+def test_stream_dedup_unbounded_parity(spark, sf_dir, tmp_path):
+    """within_watermark=False (global dedup over a bounded replay)
+    must equal batch dropDuplicates on the same keys."""
+    from data_mining_map_reduce_spark.streaming.streams import dedup_stream
+
+    path = _events_dir(spark, sf_dir, tmp_path)
+    stream = file_stream(spark, path, TABLES["events"])
+    got = run_stream_to_memory(
+        dedup_stream(
+            stream, ["user_id"], watermark="365 days", within_watermark=False
+        ),
+        "dedup_global",
+        output_mode="append",
+    )
+    want = load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert len(got) == want > 0
