@@ -2046,6 +2046,77 @@ def media_feature_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# End-to-end dedup pipeline: exact-hash groups ∪ near-dup (exact
+# Jaccard >= 0.5) pairs → connected components → one canonical doc
+# (min doc_id) per duplicate cluster; every doc mapped, singletons to
+# themselves. The composition a corpus-cleaning pass actually runs:
+# transitive closure matters because A≈B and B≈C must collapse to one
+# survivor even when A,C aren't directly similar.
+@query(
+    "dedup_canonical_docs",
+    f"""
+    WITH RECURSIVE h AS (
+        SELECT doc_id, translate(lower(text), '([,.!?:;])', '') AS norm
+        FROM documents
+    ),
+    g AS (SELECT norm, MIN(doc_id) AS canonical_id FROM h GROUP BY norm),
+    exact_edges AS (
+        SELECT h.doc_id AS src, g.canonical_id AS dst
+        FROM h JOIN g USING (norm) WHERE h.doc_id <> g.canonical_id
+    ),
+    sh AS ({_DOC_SHINGLES_SQL}),
+    near_edges AS (
+        SELECT a.doc_id AS src, b.doc_id AS dst
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.s, b.s)) * 1.0
+              / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+    ),
+    undirected AS (
+        SELECT src, dst FROM exact_edges
+        UNION SELECT dst, src FROM exact_edges
+        UNION SELECT src, dst FROM near_edges
+        UNION SELECT dst, src FROM near_edges
+    ),
+    reach(id, r) AS (
+        SELECT DISTINCT src AS id, src AS r FROM undirected
+        UNION
+        SELECT u.dst AS id, reach.r
+        FROM reach JOIN undirected u ON reach.id = u.src
+    ),
+    comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+    SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS canonical_id
+    FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import doc_shingles, exact_duplicate_groups
+    from .operators.graph import connected_components
+    from .operators.similarity import exact_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = exact_duplicate_groups(docs)
+    exact_edges = exact.where(F.col("doc_id") != F.col("canonical_id")).select(
+        F.col("doc_id").alias("src"), F.col("canonical_id").alias("dst")
+    )
+    pairs = doc_shingles(docs).select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
+    near_edges = exact_jaccard_pairs(
+        pairs, "doc_id", "shingle", threshold=0.5
+    ).select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    comp = connected_components(exact_edges.unionByName(near_edges))
+    return (
+        docs.select("doc_id")
+        .join(comp, docs.doc_id == comp.id, "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("canonical_id"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # Multimodal frame sampling: 1 media row → 4 frame rows inside
 # mapInPandas (the video-pipeline expansion shape). Payload is the
 # utf-8 text bytes, duration = byte length (docs are ASCII), so the
