@@ -104,17 +104,39 @@ def main() -> None:
                     pass
                 spark = get_spark(app_name="bench")
 
-    total = round(sum(timings.values()), 4)
-    out = {
-        "metric": "total_query_wall",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "sf": sf,
-    }
-    if errors:
-        out["errors"] = errors
-    print(json.dumps(out))
+    total = round(sum(timings.values()), 2)
+    # The driver captures only the LAST ~2000 bytes of stdout; a line
+    # longer than that loses its head (r3: "parsed": null). Emit a
+    # compact line (1-decimal timings, no spaces) and, if it still
+    # would not fit, fold the smallest timings into an "other" bucket
+    # until it does. Full-precision detail goes to stderr.
+    print("[bench] full detail: " + json.dumps({"queries": timings, "errors": errors}),
+          file=sys.stderr)
+    budget = int(os.environ.get("SPARK_GRAFT_BENCH_LINE_BUDGET", "1900"))
+
+    def render(qdict: dict[str, float]) -> str:
+        out = {
+            "metric": "total_query_wall",
+            "value": total,
+            "unit": "sec",
+            "sf": sf,
+            "queries": qdict,
+        }
+        if errors:
+            out["errors"] = {k: v[:80] for k, v in errors.items()}
+        return json.dumps(out, separators=(",", ":"))
+
+    compact = {k: round(v, 1) for k, v in timings.items()}
+    line = render(compact)
+    if len(line) > budget:
+        by_cost = sorted(compact, key=lambda k: (compact[k], k))
+        folded = 0.0
+        while len(line) > budget and by_cost:
+            k = by_cost.pop(0)
+            folded += compact.pop(k)
+            compact["other"] = round(folded, 1)
+            line = render(compact)
+    print(line)
     try:
         spark.stop()
     except Exception:

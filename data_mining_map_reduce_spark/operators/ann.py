@@ -241,7 +241,9 @@ def ivf_topk(
     base = emb.select(
         F.col(id_col), norm(_as_double_vec(vec_col)).alias("_nv")
     )
-    sample = base.select("_nv").sample(sample_fraction, seed=seed)
+    sample = base.select("_nv")
+    if sample_fraction < 1.0:
+        sample = sample.sample(sample_fraction, seed=seed)
     _, centroids = kmeans(
         sample, "_nv", k=n_list, seed=seed, max_iter=kmeans_max_iter
     )

@@ -81,9 +81,16 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     reference does a driver-side BFS flood fill
     (Assignment4/task2.py:123-146).
     """
-    sym = symmetric_edges(edges).cache()
+    # Materialize the (possibly very expensive) upstream edge
+    # computation exactly ONCE: vertices are derived from the
+    # checkpointed symmetric edges, never from `edges` directly —
+    # a second reference to `edges` would re-execute its whole
+    # lineage (for dedup_canonical_docs that is the prefix-filtered
+    # Jaccard self-join, which once dominated this loop's wall time).
+    sym = symmetric_edges(edges).localCheckpoint(eager=True)
     labels = (
-        vertices_of(edges)
+        sym.select(F.col("src").alias("id"))
+        .distinct()
         .withColumn("component", F.col("id"))
         .localCheckpoint(eager=True)
     )
@@ -93,11 +100,15 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
             sym.join(labels, sym.src == labels.id)
             .select(F.col("dst").alias("id"), "component")
         )
+        # checkpoint `stepped` before the pointer-jump join reads it
+        # from both sides — vertex-count rows in memory, vs re-running
+        # the union+groupBy shuffle for the second subtree.
         stepped = (
             labels.select("id", "component")
             .unionByName(msgs)
             .groupBy("id")
             .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
         )
         # pointer jump (path compression): follow component → its own
         # current label. One extra shuffle per round buys O(log d)

@@ -43,7 +43,7 @@ def exact_jaccard_pairs(
 
     - **Count-join** (t < 0.3): explode (key, item), self-join on item,
       pair-count |A∩B| map-side-combined, |A∪B| = |A|+|B|-|A∩B| via a
-      broadcast of per-key sizes. One pass, no arrays, no window. At
+      join of per-key sizes (AQE broadcasts them when small). One pass, no arrays, no window. At
       low thresholds nothing can be pruned anyway (measured: the prefix
       plan is ~8× SLOWER than this at t=0.05), so the straight join is
       the right plan. On the synthetic docs corpus (flat shingle
@@ -77,11 +77,15 @@ def exact_jaccard_pairs(
             .groupBy(key_a, key_b)
             .agg(F.count(F.lit(1)).alias("_inter"))
         )
+        # No broadcast hint on the per-key size tables: one row per set
+        # key means billions of rows at corpus scale, where a forced
+        # broadcast is impossible. Catalyst/AQE broadcasts them anyway
+        # when the measured size is small, so small inputs lose nothing.
         sz_a = sizes.select(F.col("_k").alias(key_a), F.col("_sz").alias("_sza"))
         sz_b = sizes.select(F.col("_k").alias(key_b), F.col("_sz").alias("_szb"))
         return (
-            inter.join(F.broadcast(sz_a), key_a)
-            .join(F.broadcast(sz_b), key_b)
+            inter.join(sz_a, key_a)
+            .join(sz_b, key_b)
             .withColumn(
                 sim_alias,
                 F.col("_inter").cast("double")
@@ -107,7 +111,7 @@ def exact_jaccard_pairs(
     prefix = (
         base.join(dfreq, "_i")
         .withColumn("_rn", F.row_number().over(rarity))
-        .join(F.broadcast(sizes), "_k")
+        .join(sizes, "_k")  # per-key rows — unbroadcastable at scale; AQE decides
         .where(F.col("_rn") <= prefix_len)
         .select("_k", "_i")
     )

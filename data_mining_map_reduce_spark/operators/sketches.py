@@ -99,12 +99,10 @@ class BloomFilter:
         self.num_hashes = num_hashes
         self.bitmap = bitmap
 
-    def might_contain(self, col: Column | str) -> Column:
-        """Codegen membership test: all k bits set. False negatives
-        impossible; FPR ≈ the build's fpp (pytest-asserted,
+    def _contains_expr(self, c: Column, words: Column) -> Column:
+        """All k bits set in ``words`` (an array<long> column). False
+        negatives impossible; FPR ≈ the build's fpp (pytest-asserted,
         mirroring A6 PDF §4.1 grading)."""
-        c = F.col(col) if isinstance(col, str) else col
-        words = F.array(*[F.lit(w).cast("long") for w in self.bitmap])
         tests = []
         for i in range(self.num_hashes):
             pos = _bloom_pos(c, i, self.num_bits)
@@ -118,6 +116,16 @@ class BloomFilter:
             out = out & t
         return out
 
+    def might_contain(self, col: Column | str) -> Column:
+        """Column-level membership test with the bitmap INLINED as a
+        literal array — only safe for small filters (plan size grows
+        with m). The scale path is :func:`bloom_probe`, which ships
+        the bitmap as broadcast data instead."""
+        c = F.col(col) if isinstance(col, str) else col
+        return self._contains_expr(
+            c, F.array(*[F.lit(w).cast("long") for w in self.bitmap])
+        )
+
 
 def bloom_probe(
     probes: DataFrame,
@@ -125,8 +133,23 @@ def bloom_probe(
     col: str,
     flag_alias: str = "maybe_member",
 ) -> DataFrame:
-    """A13 probe: adds boolean ``maybe_member`` per probe row."""
-    return probes.withColumn(flag_alias, sketch.might_contain(col))
+    """A13 probe: adds boolean ``maybe_member`` per probe row.
+
+    The bitmap travels as BROADCAST DATA (a one-row array<long>
+    DataFrame, same pattern as the k-means centroids) rather than as
+    literals inside the expression tree: a billion-key filter is
+    gigabits, and an inlined plan that size breaks analysis/codegen
+    long before execution. The broadcast is one copy per executor and
+    the plan stays O(k) expressions regardless of m."""
+    words_row = probes.sparkSession.createDataFrame(
+        [([int(w) for w in sketch.bitmap],)], "_bloom_words array<bigint>"
+    )
+    c = F.col(col)
+    return (
+        probes.crossJoin(F.broadcast(words_row))
+        .withColumn(flag_alias, sketch._contains_expr(c, F.col("_bloom_words")))
+        .drop("_bloom_words")
+    )
 
 
 def trailing_zeros(col: Column | str) -> Column:

@@ -15,6 +15,7 @@ from __future__ import annotations
 import math
 import os
 import sys
+import time
 
 import duckdb
 from pyspark.sql import SparkSession
@@ -62,14 +63,17 @@ def main() -> int:
 
     qs, oracles = e.queries(), e.oracle_sql()
     fails = []
+    t_start = time.perf_counter()
     for name in sorted(qs):
         if only and name not in only:
             continue
+        t0 = time.perf_counter()
         sdf = qs[name](spark, sf)
         scols = [c.lower() for c in sdf.columns]
         srows = [tuple(r) for r in sdf.collect()]
+        dt = time.perf_counter() - t0
         if name not in oracles:
-            print(f"  {name}: rows-only, {len(srows)} rows")
+            print(f"  {name}: rows-only, {len(srows)} rows [{dt:.1f}s]", flush=True)
             continue
         res = con.execute(oracles[name])
         dcols = [d[0].lower() for d in res.description]
@@ -79,13 +83,15 @@ def main() -> int:
         sset = sorted((tuple(canon(r[i]) for i in so) for r in srows), key=repr)
         dset = sorted((tuple(canon(r[i]) for i in do) for r in drows), key=repr)
         ok = sorted(scols) == sorted(dcols) and sset == dset
-        print(f"  {name}: {'OK' if ok else 'MISMATCH'} rows={len(srows)}")
+        dt = time.perf_counter() - t0
+        print(f"  {name}: {'OK' if ok else 'MISMATCH'} rows={len(srows)} [{dt:.1f}s]", flush=True)
         if not ok:
             fails.append(name)
             for a, b in list(zip(sset, dset))[:3]:
                 if a != b:
                     print("    spark:", a)
                     print("    duck :", b)
+    print(f"total query wall: {time.perf_counter() - t_start:.1f}s")
     print("FAILS:", fails if fails else "none")
     spark.stop()
     return 1 if fails else 0
