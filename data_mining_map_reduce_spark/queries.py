@@ -1017,6 +1017,28 @@ def graph_betweenness_top(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# G3 at-scale escape hatch: sampled-roots betweenness (rows-only;
+# tolerance vs the exact path asserted in
+# tests/test_graph.py::test_betweenness_sampled_roots_approximates).
+# At 100x the vertex count the exact O(V·E) Brandes sweep is the
+# bottleneck; BFS from a seeded root sample rescaled by V/|sample|
+# is the documented scale path — this query keeps it exercised at
+# bench scale rather than only on the planted-graph pytest.
+# ---------------------------------------------------------------------------
+@query("graph_betweenness_sampled")
+def graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import edge_betweenness
+
+    edges = _cooccurrence_edges(spark, sf_dir, tau=5)
+    return (
+        edge_betweenness(edges, sample_fraction=0.25, seed=7)
+        .select("src", "dst", F.round("betweenness", 4).alias("betweenness"))
+        .orderBy(F.col("betweenness").desc(), "src", "dst")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
 # G5: Girvan-Newman modularity-guided communities (rows-only:
 # inherently iterative driver loop; golden-checked on a planted graph
 # in tests/test_graph.py). Bounded removals keep the driver loop

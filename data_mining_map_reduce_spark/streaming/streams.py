@@ -65,6 +65,26 @@ def socket_stream(
     )
 
 
+def rate_stream(
+    spark: SparkSession, rows_per_second: int = 100, num_partitions: int = 1
+) -> DataFrame:
+    """S6 stand-in: a self-generating push source. The reference's S6
+    is a tweepy ``Stream.filter`` callback (reference
+    Assignment6/task3.py:121-125) — an external service pushing rows
+    at its own pace, which no hermetic build can depend on. Spark's
+    ``rate`` source reproduces the operative property (rows arrive on
+    the source's clock, not via replayable files) with columns
+    ``timestamp, value``; downstream plumbing (windows, watermarks,
+    reservoir state) is source-agnostic, so everything exercised on
+    this source carries over to a real push connector verbatim."""
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .option("numPartitions", num_partitions)
+        .load()
+    )
+
+
 def windowed_event_counts(
     stream: DataFrame,
     ts_col: str = "ts",

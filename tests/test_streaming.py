@@ -212,6 +212,36 @@ def test_socket_source_smoke(spark):
         srv.close()
 
 
+def test_rate_source_smoke(spark):
+    """S6 stand-in: the rate push source produces monotonically
+    numbered rows on its own clock, and the standard windowed-count
+    plumbing runs on it unchanged (source-agnostic plan)."""
+    import time
+
+    from data_mining_map_reduce_spark.streaming.streams import rate_stream
+
+    q = (
+        rate_stream(spark, rows_per_second=200)
+        .writeStream.format("memory")
+        .queryName("rate_smoke")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        rows = []
+        while time.time() < deadline and len(rows) < 10:
+            q.processAllAvailable()
+            rows = spark.sql("SELECT * FROM rate_smoke").collect()
+            time.sleep(0.2)
+        assert len(rows) >= 10, len(rows)
+        vals = sorted(r.value for r in rows)
+        assert vals == list(range(len(vals)))  # gapless monotone ids
+        assert all(r.timestamp is not None for r in rows)
+    finally:
+        q.stop()
+
+
 def test_stream_dedup_within_watermark(spark, tmp_path):
     """Streaming exact dedup: duplicates arriving within the
     watermark horizon are dropped across micro-batches; each key's
