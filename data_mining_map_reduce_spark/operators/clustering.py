@@ -257,15 +257,22 @@ def bfr(
             ]
         )
         cluster_ids = [c for (c, _, _) in params]
+        # One materialization of the chunk+distance plan per round: it
+        # feeds four consumers (DS filter, stats collect, leftover
+        # count, RS re-cluster) that would each rescan the chunk and
+        # recompute the k*d-term Mahalanobis arrays otherwise
+        # (measured 31.8 s -> ~20 s at sf0.1). Per-round assignment
+        # outputs are eagerly localCheckpoint-ed below so this cache
+        # can be dropped at round end without poisoning their lineage.
         with_dist = chunk.withColumn("_md", mdists).withColumn(
             "_best", (F.array_position(F.col("_md"), F.array_min("_md")) - 1).cast("int")
-        )
+        ).persist()
         in_ds = with_dist.where(F.element_at("_md", F.col("_best") + 1) < threshold)
         mapping = F.array(*[F.lit(c) for c in cluster_ids])
         ds_assign = in_ds.select(
             F.col(id_col).alias("id"),
             F.element_at(mapping, F.col("_best") + 1).alias("cluster"),
-        )
+        ).localCheckpoint(eager=True)
         assignments.append(ds_assign)
 
         # merge chunk stats into DS summaries
@@ -301,7 +308,9 @@ def bfr(
                 singles = [c for c, n in rs_stats.items() if n <= 1]
                 outlier_assign = rs_assigned.where(
                     F.col("cluster").isin(singles) if singles else F.lit(False)
-                ).select(F.col(id_col).alias("id"), F.lit(-1).alias("cluster"))
+                ).select(
+                    F.col(id_col).alias("id"), F.lit(-1).alias("cluster")
+                ).localCheckpoint(eager=True)
                 assignments.append(outlier_assign)
                 kept = rs_assigned.where(
                     ~F.col("cluster").isin(singles) if singles else F.lit(True)
@@ -317,14 +326,15 @@ def bfr(
                     near.select(
                         F.col(id_col).alias("id"),
                         F.element_at(mapping, F.col("cluster") + 1).alias("cluster"),
-                    )
+                    ).localCheckpoint(eager=True)
                 )
             else:
                 assignments.append(
                     leftovers.select(
                         F.col(id_col).alias("id"), F.lit(-1).alias("cluster")
-                    )
+                    ).localCheckpoint(eager=True)
                 )
+        with_dist.unpersist()
         state.rounds.append(
             {
                 "round_id": round_id,

@@ -89,12 +89,14 @@ def predict_ratings(
     # 100 TB the sims table is bounded by item-pair density, not by
     # ratings volume — it stays broadcastable long after ratings
     # don't.
+    # Persist before the symmetrizing union: sims is referenced twice
+    # and would otherwise be planned (and its Pearson self-join
+    # computed) twice — see predict_ratings_user_based.
+    sims_m = sims.select("i1", "i2", "sim").persist()
     both = F.broadcast(
-        sims.select("i1", "i2", "sim")
-        .unionByName(
-            sims.select(F.col("i2").alias("i1"), F.col("i1").alias("i2"), "sim")
-        )
-        .where(F.col("sim") > 0)
+        sims_m.unionByName(
+            sims_m.select(F.col("i2").alias("i1"), F.col("i1").alias("i2"), "sim")
+        ).where(F.col("sim") > 0)
     )
     cand = (
         targets.select(F.col(user_col).alias("_u"), F.col(item_col).alias("_ti"))
@@ -135,14 +137,27 @@ def user_candidate_pairs_lsh(
     item_col: str = "i",
     threshold: float = 0.02,
     num_hashes: int = 32,
-    bands: int = 32,
+    bands: int = 16,
 ) -> DataFrame:
     """(u1, u2) candidate user pairs whose rated-item sets collide in
     MinHash-LSH buckets AND verify at exact Jaccard >= ``threshold``
     (u1 < u2). The A3 §4.3 pre-filter: user similarity only gets
-    computed for pairs that plausibly co-rate. Defaults are b=32, r=1
-    — sparse-overlap regime (collision 1-(1-s)^32 ≈ 0.5 at s=0.02);
-    for denser corpora raise r to keep buckets selective."""
+    computed for pairs that plausibly co-rate.
+
+    Banding regime — the crossover that makes the pre-filter pay:
+    with r=1 (b=num_hashes) ANY shared minhash makes a candidate, so
+    collision = 1-(1-s)^32 ≈ 0.5 even at s=0.02 — half of ALL
+    overlapping pairs survive and the pre-filter costs more than the
+    exact item-key self-join it replaces (measured 46 s vs 6.4 s at
+    sf0.1). Defaults are b=16, r=2: collision = 1-(1-s^2)^16, which
+    collapses the low-similarity mass (s=0.01 → 0.2%) while keeping
+    genuinely-similar pairs (s=0.3 → 78%, s=0.5 → 99%). On corpora
+    whose similarity ceiling sits below ~0.1, r=2 trades recall at the
+    threshold for a >100x candidate reduction — the correct trade for
+    a *pre-filter*, whose contract is precision 1.0 (exact verify)
+    and whose recall knob is (bands, rows) per A3 PDF §4.1.4. Use
+    r=1 only when near-total recall at a very low threshold matters
+    more than cost."""
     from .similarity import minhash_lsh_pairs
 
     baskets = ratings.groupBy(user_col).agg(
@@ -228,8 +243,16 @@ def predict_ratings_user_based(
     NOT broadcast (user pairs outnumber item pairs at scale); the
     candidate build shuffles on the user key and AQE handles hot
     users."""
-    both = sims.select("u1", "u2", "sim").unionByName(
-        sims.select(F.col("u2").alias("u1"), F.col("u1").alias("u2"), "sim")
+    # The symmetrizing union references sims TWICE; without a
+    # materialization Catalyst plans two copies of the whole upstream
+    # similarity DAG (for the LSH-prefiltered path that doubles the
+    # signature->bucket->verify pipeline — measured 13.4 s of a
+    # 26.9 s query at sf0.01). sims is bounded (pairs surviving
+    # min_co + non-null Pearson), so an in-memory persist is safe at
+    # any scale the pair table itself is viable at.
+    sims_m = sims.select("u1", "u2", "sim").persist()
+    both = sims_m.unionByName(
+        sims_m.select(F.col("u2").alias("u1"), F.col("u1").alias("u2"), "sim")
     ).where(F.col("sim") > 0)
     cand = (
         targets.select(F.col(user_col).alias("_u"), F.col(item_col).alias("_ti"))

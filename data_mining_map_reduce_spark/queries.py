@@ -17,6 +17,7 @@ Queries map 1:1 to SURVEY.md §2 operator rows (noted per entry).
 from __future__ import annotations
 
 from collections.abc import Callable
+from typing import TypeVar
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -239,13 +240,21 @@ def baskets_by_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     lineitem = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     joined = lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+    # ONE set aggregate: items and n_items both derive from the same
+    # collect_set — a separate countDistinct would force a second
+    # distinct-expand pass through the aggregation (measured 15.4 s vs
+    # ~5 s at sf0.1).
     return (
         joined.groupBy("o_custkey")
         .agg(
-            F.concat_ws(
-                ",", F.array_sort(F.collect_set(F.col("l_partkey").cast("string")))
-            ).alias("items"),
-            F.countDistinct("l_partkey").alias("n_items"),
+            F.array_sort(F.collect_set(F.col("l_partkey").cast("string"))).alias(
+                "_set"
+            )
+        )
+        .select(
+            "o_custkey",
+            F.concat_ws(",", "_set").alias("items"),
+            F.size("_set").cast("long").alias("n_items"),
         )
         .orderBy("o_custkey")
     )
@@ -1973,14 +1982,20 @@ def cf_user_predictions_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def largest_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     lineitem = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # Single collect_set aggregate (see baskets_by_customer): size of
+    # the sorted set IS the distinct count — no second distinct pass.
     return (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
         .groupBy("o_custkey")
         .agg(
-            F.concat_ws(
-                ",", F.array_sort(F.collect_set(F.col("l_partkey").cast("string")))
-            ).alias("items"),
-            F.countDistinct("l_partkey").alias("n_items"),
+            F.array_sort(F.collect_set(F.col("l_partkey").cast("string"))).alias(
+                "_set"
+            )
+        )
+        .select(
+            "o_custkey",
+            F.concat_ws(",", "_set").alias("items"),
+            F.size("_set").cast("long").alias("n_items"),
         )
         .orderBy(
             F.col("n_items").desc(), F.col("items").asc(), F.col("o_custkey").asc()
@@ -2181,9 +2196,107 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The driver's CORRECTNESS artifact records at most the FIRST 50
+# registered queries, so ordering is part of the contract surface.
+# Front-load (a) queries whose driver row has historically been absent
+# (§2.13 extensions registered past the cap) and (b) anything whose
+# code changed recently; rotate long-stable trivia (green in rounds
+# 1-4: count_global, dict_encode_*, …) to the tail. Names absent from
+# this list (future additions) append in registration order.
+_DRIVER_ORDER = [
+    # -- flagship first (also the entry() smoke query) --
+    "flagship_category_avg",
+    # -- §2.13 extensions: oracle-backed, never driver-checked before r5 --
+    "simhash_doc_pairs",
+    "doc_fingerprint_stats",
+    "fingerprint_overlap_pairs",
+    "ann_topk_exact",
+    "ann_topk_lsh",
+    "ann_topk_ivf",
+    "tfidf_top_terms",
+    "doc_quality_stats",
+    "token_counts_docs",
+    "language_id_docs",
+    "cf_item_similarities",
+    "cf_predictions",
+    "cf_user_predictions",
+    "content_based_scores",
+    "cf_user_predictions_lsh",
+    "largest_baskets",
+    "priority_token_counts",
+    "media_feature_rollup",
+    "dedup_canonical_docs",
+    "media_frame_sample",
+    # -- events-table queries (loader fixed in r5: need fresh rows) --
+    "event_props_extract",
+    "union_filtered_event_counts",
+    "window_tumbling_hourly",
+    "window_sliding_hourly",
+    "session_windows_per_user",
+    "approx_distinct_users",
+    "bloom_probe_custkeys",
+    "fm_distinct_users",
+    "reservoir_sample_events",
+    "window_distinct_users_exact",
+    "window_distinct_users_approx",
+    # -- heavyweight operators worth a fresh driver row each round --
+    "baskets_by_customer",
+    "cooccurrence_pairs",
+    "top_customers_per_segment",
+    "embedding_pair_distances",
+    "jaccard_pairs_exact",
+    "minhash_lsh_pairs",
+    "graph_components",
+    "graph_lpa_community_sizes",
+    "graph_betweenness_top",
+    "graph_betweenness_sampled",
+    "girvan_newman_communities",
+    "bfr_round_stats",
+    "son_itemsets",
+    "fpgrowth_itemsets",
+    "kmeans_cluster_sizes",
+    "exact_dup_doc_groups",
+    "near_dup_docs_exact",
+    "near_dup_docs_lsh",
+    # ---- driver cap (50) falls here ----
+    # -- long-stable trivia: green in every prior round's artifact --
+    "count_global",
+    "count_by_year",
+    "distinct_users",
+    "top_users_by_orders",
+    "avg_price_by_priority",
+    "word_count_top20",
+    "join_filter_brand_counts",
+    "customers_in_both_statuses",
+    "corr_qty_price_by_flag",
+    "customers_never_final",
+    "rollup_revenue",
+    "pivot_status_by_priority",
+    "dict_encode_brands",
+    "dict_encode_partkeys_big",
+    "order_item_lists",
+    "graph_degree_distribution",
+    "graph_triangle_count",
+    "frequent_items",
+    "frequent_pairs",
+    "suffstats_by_label",
+]
+
+
+_V = TypeVar("_V")
+
+
+def _driver_sorted(mapping: dict[str, _V]) -> dict[str, _V]:
+    rank = {name: i for i, name in enumerate(_DRIVER_ORDER)}
+    fallback = len(rank)
+    return dict(
+        sorted(mapping.items(), key=lambda kv: (rank.get(kv[0], fallback)))
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(SPARK_QUERIES)
+    return _driver_sorted(SPARK_QUERIES)
 
 
 def all_oracles() -> dict[str, str]:
-    return dict(ORACLES)
+    return _driver_sorted(ORACLES)

