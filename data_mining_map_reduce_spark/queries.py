@@ -2196,6 +2196,53 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# X20: as-of (point-in-time) join — for each 'view' event, the same
+# user's most recent 'purchase' at-or-before it. DuckDB's native ASOF
+# JOIN is the oracle; the engine side is the union + running-last
+# single-shuffle merge (operators/temporal.py), not a range join.
+# ---------------------------------------------------------------------------
+@query(
+    "asof_last_purchase",
+    """
+    WITH v AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+    ),
+    p AS (
+        SELECT event_id AS purchase_event_id, user_id, ts AS purchase_ts
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT v.event_id, v.user_id, v.ts, p.purchase_event_id, p.purchase_ts
+    FROM v ASOF LEFT JOIN p
+      ON v.user_id = p.user_id AND v.ts >= p.purchase_ts
+    ORDER BY v.event_id
+    """,
+)
+def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.temporal import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    views = events.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_event_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    return asof_join(
+        views,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="purchase_ts",
+        inclusive=True,
+        how="left",
+    ).select(
+        "event_id", "user_id", "ts", "purchase_event_id", "purchase_ts"
+    ).orderBy("event_id")
+
+
 # The driver's CORRECTNESS artifact records at most the FIRST 50
 # registered queries, so ordering is part of the contract surface.
 # Front-load (a) queries whose driver row has historically been absent
@@ -2239,6 +2286,7 @@ _DRIVER_ORDER = [
     "reservoir_sample_events",
     "window_distinct_users_exact",
     "window_distinct_users_approx",
+    "asof_last_purchase",
     # -- heavyweight operators worth a fresh driver row each round --
     "baskets_by_customer",
     "cooccurrence_pairs",
@@ -2257,8 +2305,10 @@ _DRIVER_ORDER = [
     "kmeans_cluster_sizes",
     "exact_dup_doc_groups",
     "near_dup_docs_exact",
-    "near_dup_docs_lsh",
     # ---- driver cap (50) falls here ----
+    # near_dup_docs_lsh is rows-only with a dedicated recall pytest;
+    # its slot goes to the oracle-backed asof_last_purchase
+    "near_dup_docs_lsh",
     # -- long-stable trivia: green in every prior round's artifact --
     "count_global",
     "count_by_year",
