@@ -1,0 +1,89 @@
+"""Physical-plan shape assertions: the scale contract, checked.
+
+Correctness oracles prove the WHAT; these prove the HOW survives a
+100x scale-up — filters reach the parquet scan, small dims broadcast,
+the multi-grain rollup is one pass, the range join never shuffles the
+fact side. A plan that silently degrades (broadcast dropped,
+pushdown lost, extra shuffle) fails here long before it fails a
+cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_mining_map_reduce_spark.sources.catalog import load_table
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_parquet_scan_prunes_and_pushes(spark, sf_dir):
+    """Column pruning + predicate pushdown reach the lineitem scan:
+    a 2-column projection with a filter must read 2-3 columns, not
+    all 11, and carry a PushedFilters entry."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = li.where(F.col("l_returnflag") == "R").select("l_orderkey", "l_quantity")
+    plan = _plan(q)
+    assert "PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)]" in plan
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" in read and "l_quantity" in read
+    assert "l_extendedprice" not in read and "l_shipdate" not in read
+
+
+def test_flagship_joins_broadcast(spark, sf_dir):
+    """The flagship scan+join+agg query must broadcast its dimension
+    sides — no shuffle (SortMerge/ShuffledHash) join anywhere."""
+    from data_mining_map_reduce_spark.queries import flagship_category_avg
+
+    plan = _plan(flagship_category_avg(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_multigrain_rollup_single_shuffle(spark, sf_dir):
+    """event_rollup_multigrain: both grains from ONE events scan and
+    ONE aggregation exchange (plus the orderBy's range exchange) —
+    not a scan-per-grain union."""
+    from data_mining_map_reduce_spark.queries import event_rollup_multigrain
+
+    plan = _plan(event_rollup_multigrain(spark, sf_dir))
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_count" in plan  # map-side combine before the shuffle
+
+
+def test_range_join_broadcasts_dim(spark, sf_dir):
+    """event_value_tier_counts: the tier dim rides a broadcast
+    nested-loop join; the fact side must not shuffle for the join."""
+    from data_mining_map_reduce_spark.queries import event_value_tier_counts
+
+    plan = _plan(event_value_tier_counts(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_cooccurrence_no_cartesian(spark, sf_dir):
+    """The pair theta-join is expressed as equi-join + HAVING: no
+    CartesianProduct / non-broadcast nested loop may appear."""
+    from data_mining_map_reduce_spark.queries import cooccurrence_pairs
+
+    plan = _plan(cooccurrence_pairs(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+
+
+def test_exact_jaccard_prefix_branch_no_cartesian(spark, sf_dir):
+    """Prefix-filtered all-pairs similarity: candidates come from an
+    item equi-join, never a cross product. (Codegen spans aren't
+    asserted — under AQE the pre-execution plan string hides them.)"""
+    from data_mining_map_reduce_spark.operators.similarity import (
+        exact_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    pairs = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("w")
+    )
+    plan = _plan(exact_jaccard_pairs(pairs, "doc_id", "w", threshold=0.5))
+    assert "CartesianProduct" not in plan
