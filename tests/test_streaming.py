@@ -333,3 +333,74 @@ def test_stream_dedup_unbounded_parity(spark, sf_dir, tmp_path):
     )
     want = load_table(spark, sf_dir, "events").select("user_id").distinct().count()
     assert len(got) == want > 0
+
+
+def test_keyed_reservoir_full_capacity_equals_batch(spark, sf_dir, tmp_path):
+    """ST8 (applyInPandasWithState): with capacity >= any user's event
+    count, the per-key streaming reservoir after a chunked replay is
+    exactly that user's full event set — state carries correctly
+    across micro-batches."""
+    from data_mining_map_reduce_spark.streaming.stateful import keyed_reservoir
+
+    path = _events_dir(spark, sf_dir, tmp_path)
+    stream = file_stream(spark, path, TABLES["events"])
+    rows = run_stream_to_memory(
+        keyed_reservoir(stream, capacity=10_000),
+        "reservoir_full",
+        output_mode="update",
+    )
+    # update mode emits one row per key per touching batch; the final
+    # state is the row with the largest n_seen (monotone per key)
+    final: dict[int, tuple] = {}
+    for r in rows:
+        if r.user_id not in final or r.n_seen > final[r.user_id][0]:
+            final[r.user_id] = (r.n_seen, sorted(r.sample))
+    events = load_table(spark, sf_dir, "events")
+    want = {
+        r.user_id: (r.n, sorted(r.items))
+        for r in events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.collect_list("event_id").alias("items"),
+        )
+        .collect()
+    }
+    assert final == want
+
+
+def test_keyed_reservoir_bounded_and_deterministic(spark, sf_dir, tmp_path):
+    """ST8: small capacity — every reservoir holds exactly
+    min(capacity, n_seen) items, all drawn from that user's events,
+    and an identical replay reproduces identical samples
+    (hash-derived randomness, no RNG state)."""
+    from data_mining_map_reduce_spark.streaming.stateful import keyed_reservoir
+
+    path = _events_dir(spark, sf_dir, tmp_path)
+
+    def run(qname):
+        stream = file_stream(spark, path, TABLES["events"])
+        rows = run_stream_to_memory(
+            keyed_reservoir(stream, capacity=8),
+            qname,
+            output_mode="update",
+        )
+        final = {}
+        for r in rows:
+            if r.user_id not in final or r.n_seen > final[r.user_id][0]:
+                final[r.user_id] = (r.n_seen, tuple(sorted(r.sample)))
+        return final
+
+    got1 = run("reservoir_small_a")
+    events = load_table(spark, sf_dir, "events")
+    universe = {
+        r.user_id: set(r.items)
+        for r in events.groupBy("user_id")
+        .agg(F.collect_set("event_id").alias("items"))
+        .collect()
+    }
+    assert set(got1) == set(universe)
+    for uid, (n_seen, sample) in got1.items():
+        assert len(sample) == min(8, n_seen)
+        assert len(set(sample)) == len(sample)  # no slot duplicates
+        assert set(sample) <= universe[uid]
+    assert run("reservoir_small_b") == got1
