@@ -2248,6 +2248,42 @@ def event_rollup_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# §2.4 distribution stats: per-language doc-length percentiles.
+# Spark's exact interpolating `percentile` aggregate == DuckDB's
+# quantile_cont (both linear interpolation on the sorted values), so
+# this is fully oracle-backed. The corpus-scale variant swaps in
+# approx_percentile (t-digest-style sketch, mergeable map-side) — the
+# exact form here doubles as its accuracy oracle.
+# ---------------------------------------------------------------------------
+@query(
+    "doc_length_percentiles",
+    """
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           ROUND(quantile_cont(n_chars, 0.5), 4) AS p50,
+           ROUND(quantile_cont(n_chars, 0.9), 4) AS p90,
+           ROUND(quantile_cont(n_chars, 0.99), 4) AS p99
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def doc_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pct = F.expr("percentile(n_chars, array(0.5D, 0.9D, 0.99D))")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(pct.getItem(0), 4).alias("p50"),
+            F.round(pct.getItem(1), 4).alias("p90"),
+            F.round(pct.getItem(2), 4).alias("p99"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
 # §2.3 broadcast range join: events banded into non-uniform value
 # tiers via a BETWEEN theta-join against a tiny literal dim. Catalyst
 # plans BroadcastNestedLoopJoin — with a handful of broadcast rows
@@ -2388,6 +2424,7 @@ _DRIVER_ORDER = [
     "asof_last_purchase",
     "event_rollup_multigrain",
     "event_value_tier_counts",
+    "doc_length_percentiles",
     # -- heavyweight operators worth a fresh driver row each round --
     "baskets_by_customer",
     "cooccurrence_pairs",
@@ -2402,7 +2439,6 @@ _DRIVER_ORDER = [
     "bfr_round_stats",
     "son_itemsets",
     "fpgrowth_itemsets",
-    "kmeans_cluster_sizes",
     "exact_dup_doc_groups",
     "near_dup_docs_exact",
     # ---- driver cap (50) falls here ----
@@ -2412,6 +2448,7 @@ _DRIVER_ORDER = [
     "near_dup_docs_lsh",
     "graph_betweenness_sampled",
     "window_distinct_users_approx",
+    "kmeans_cluster_sizes",
     # -- long-stable trivia: green in every prior round's artifact --
     "count_global",
     "count_by_year",
