@@ -1,0 +1,126 @@
+"""Property-based tests (Hypothesis): operators vs brute-force
+reference implementations on randomized small inputs.
+
+The oracle suite checks fixed corpora; these check the SEMANTICS on
+adversarially-shrunk random inputs — empty groups, ties, duplicate
+timestamps, singleton sets — where hand-written fixtures have blind
+spots. Example counts are kept small because every example is a real
+Spark round-trip.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_left_rows = st.lists(
+    st.tuples(
+        st.integers(0, 2),  # key
+        st.integers(0, 15),  # ts
+        st.integers(0, 99),  # lv payload
+    ),
+    min_size=0,
+    max_size=12,
+)
+_right_rows = st.lists(
+    st.tuples(
+        st.integers(0, 2),  # key
+        st.integers(0, 15),  # rts
+        st.integers(0, 99),  # rv payload
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+
+def _brute_asof(lrows, rrows, inclusive):
+    out = []
+    for k, ts, lv in lrows:
+        cands = [
+            (rts, rv)
+            for rk, rts, rv in rrows
+            if rk == k and (rts <= ts if inclusive else rts < ts)
+        ]
+        # operator contract: greatest rts wins; ties among identical
+        # (key, rts) right rows break by greatest payload tuple
+        out.append((k, ts, lv, max(cands) if cands else (None, None)))
+    return sorted(
+        (k, ts, lv, m[0], m[1]) for k, ts, lv, m in out
+    )
+
+
+@settings(**_SETTINGS)
+@given(lrows=_left_rows, rrows=_right_rows, inclusive=st.booleans())
+def test_asof_join_matches_brute_force(spark, lrows, rrows, inclusive):
+    from data_mining_map_reduce_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(k, ts, lv, i) for i, (k, ts, lv) in enumerate(lrows)],
+        "k int, ts int, lv int, rowid int",
+    )
+    right = spark.createDataFrame(
+        rrows or [(None, None, None)], "k int, rts int, rv int"
+    )
+    if not rrows:
+        right = right.where("k IS NOT NULL")
+    got = sorted(
+        (r.k, r.ts, r.lv, r.rts, r.rv)
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="rts",
+            inclusive=inclusive,
+        ).collect()
+    )
+    assert got == _brute_asof(lrows, rrows, inclusive)
+
+
+_collections = st.dictionaries(
+    keys=st.integers(0, 5),
+    values=st.sets(st.integers(0, 7), min_size=1, max_size=6),
+    min_size=0,
+    max_size=6,
+)
+
+
+def _brute_jaccard(colls, t):
+    keys = sorted(colls)
+    out = set()
+    for i, a in enumerate(keys):
+        for b in keys[i + 1 :]:
+            inter = len(colls[a] & colls[b])
+            union = len(colls[a] | colls[b])
+            if union and inter / union >= t:
+                out.add((a, b, round(inter / union, 6)))
+    return out
+
+
+@settings(**_SETTINGS)
+@given(
+    colls=_collections,
+    t=st.sampled_from([0.25, 0.5, 0.75, 1.0]),
+    prefix=st.booleans(),
+)
+def test_exact_jaccard_pairs_matches_brute_force(spark, colls, t, prefix):
+    """Both physical plans (count-join and prefix-filtered) must equal
+    brute force on every random collection family — the two-plans-one-
+    contract claim, fuzzed."""
+    from data_mining_map_reduce_spark.operators.similarity import (
+        exact_jaccard_pairs,
+    )
+
+    rows = [(k, str(i)) for k, items in colls.items() for i in items]
+    df = spark.createDataFrame(rows or [(None, None)], "k int, item string")
+    if not rows:
+        df = df.where("k IS NOT NULL")
+    got = {
+        (r.a, r.b, r.jaccard)
+        for r in exact_jaccard_pairs(
+            df, "k", "item", threshold=t, prefix_filter=prefix
+        ).collect()
+    }
+    assert got == _brute_jaccard(colls, t)
