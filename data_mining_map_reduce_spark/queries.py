@@ -2248,6 +2248,40 @@ def event_rollup_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# §2.4 grouping-sets family: CUBE over (returnflag, linestatus) with
+# grouping_id disambiguating rolled-up NULLs from data NULLs —
+# completes rollup (rollup_revenue) / pivot (pivot_status_by_priority)
+# / multi-grain (event_rollup_multigrain). One shuffle: Catalyst
+# expands the grouping sets map-side (Expand node), partials combine
+# before the exchange.
+# ---------------------------------------------------------------------------
+@query(
+    "revenue_cube",
+    """
+    SELECT GROUPING(l_returnflag, l_linestatus) AS gid,
+           l_returnflag, l_linestatus,
+           COUNT(*) AS n, ROUND(SUM(l_extendedprice), 2) AS revenue
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+    ORDER BY gid, l_returnflag, l_linestatus
+    """,
+)
+def revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            # grouping_id() is only resolvable inside the cube's agg
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+        .select("gid", "l_returnflag", "l_linestatus", "n", "revenue")
+        .orderBy("gid", "l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
 # §2.4 distribution stats: per-language doc-length percentiles.
 # Spark's exact interpolating `percentile` aggregate == DuckDB's
 # quantile_cont (both linear interpolation on the sorted values), so
@@ -2394,7 +2428,6 @@ _DRIVER_ORDER = [
     "doc_fingerprint_stats",
     "fingerprint_overlap_pairs",
     "ann_topk_exact",
-    "ann_topk_lsh",
     "ann_topk_ivf",
     "tfidf_top_terms",
     "doc_quality_stats",
@@ -2425,6 +2458,7 @@ _DRIVER_ORDER = [
     "event_rollup_multigrain",
     "event_value_tier_counts",
     "doc_length_percentiles",
+    "revenue_cube",
     # -- heavyweight operators worth a fresh driver row each round --
     "baskets_by_customer",
     "cooccurrence_pairs",
@@ -2449,6 +2483,7 @@ _DRIVER_ORDER = [
     "graph_betweenness_sampled",
     "window_distinct_users_approx",
     "kmeans_cluster_sizes",
+    "ann_topk_lsh",
     # -- long-stable trivia: green in every prior round's artifact --
     "count_global",
     "count_by_year",

@@ -171,3 +171,33 @@ def foreach_batch_sink(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def session_window_counts(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """ST2 session flavor: per-key event-time SESSION windows (gap
+    semantics — a session extends while successive events arrive
+    within ``gap``), the streaming twin of the batch
+    ``session_windows_per_user`` query. Sessions are engine-merged
+    state: watermark REQUIRED (append mode) — a session only
+    finalizes once the watermark passes its end, so sessions ending
+    within ``watermark`` of the stream's maximum event time stay open
+    and unemitted. That held-back tail is the price of correct
+    out-of-order merging at unbounded scale (state is bounded by
+    open sessions per key, not history)."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(key_col, F.session_window(ts_col, gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            key_col,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n",
+        )
+    )

@@ -404,3 +404,49 @@ def test_keyed_reservoir_bounded_and_deterministic(spark, sf_dir, tmp_path):
         assert len(set(sample)) == len(sample)  # no slot duplicates
         assert set(sample) <= universe[uid]
     assert run("reservoir_small_b") == got1
+
+
+def test_session_window_stream_batch_parity(spark, sf_dir, tmp_path):
+    """ST2 session windows: every session the stream emits must match
+    the batch session_window aggregation exactly, and the stream must
+    have emitted the overwhelming majority of them (the held-back
+    remainder are sessions ending inside the watermark horizon of the
+    stream's max event time — append-mode finalization semantics)."""
+    from data_mining_map_reduce_spark.streaming.streams import (
+        session_window_counts,
+    )
+
+    # Time-ordered chunks (range-partitioned on ts, file order ==
+    # time order) — a replayable log's arrival discipline. Round-robin
+    # chunks would make every batch span the whole month, so the
+    # watermark would (correctly!) split cross-batch sessions.
+    path = str(tmp_path / "events_stream_ranged")
+    load_table(spark, sf_dir, "events").repartitionByRange(
+        4, "ts"
+    ).write.parquet(path)
+    stream = file_stream(spark, path, TABLES["events"])
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n)
+        for r in run_stream_to_memory(
+            session_window_counts(stream, watermark="1 hour"),
+            "session_parity",
+            output_mode="append",
+        )
+    }
+    events = load_table(spark, sf_dir, "events")
+    want = {
+        (r.user_id, r.session_start, r.session_end, r.n)
+        for r in events.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("w")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n",
+        )
+        .collect()
+    }
+    assert got <= want  # nothing fabricated, boundaries identical
+    assert len(got) >= 0.8 * len(want), (len(got), len(want))
