@@ -2413,6 +2413,35 @@ def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+# ---------------------------------------------------------------------------
+# A1-task3 twin: partition-layout introspection — per-partition row
+# counts under the default scan layout vs an explicit hash
+# repartition (reference Assignment1/task3.py:33-34 'glom().map(len)'
+# and :66-70 custom partitionBy). Rows-only: partition ids and counts
+# are engine/layout-specific by nature; the balance property is
+# pytest-asserted.
+# ---------------------------------------------------------------------------
+@query("partition_layout_stats")
+def partition_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    default = (
+        li.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .withColumn("layout", F.lit("default"))
+    )
+    custom = (
+        li.repartition(8, "l_orderkey")
+        .withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .withColumn("layout", F.lit("hash8"))
+    )
+    return default.unionByName(custom).select(
+        "layout", "pid", "n_rows"
+    ).orderBy("layout", "pid")
+
+
 # The driver's CORRECTNESS artifact records at most the FIRST 50
 # registered queries, so ordering is part of the contract surface.
 # Front-load (a) queries whose driver row has historically been absent
@@ -2505,6 +2534,7 @@ _DRIVER_ORDER = [
     "frequent_items",
     "frequent_pairs",
     "suffstats_by_label",
+    "partition_layout_stats",
 ]
 
 

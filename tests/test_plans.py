@@ -87,3 +87,22 @@ def test_exact_jaccard_prefix_branch_no_cartesian(spark, sf_dir):
     )
     plan = _plan(exact_jaccard_pairs(pairs, "doc_id", "w", threshold=0.5))
     assert "CartesianProduct" not in plan
+
+
+def test_partition_layout_stats_balance(spark, sf_dir):
+    """A1-task3 twin: the hash8 layout spreads rows across all 8
+    partitions with no empty partition and reasonable balance (hash
+    partitioning on a high-cardinality key), and totals match the
+    table count under BOTH layouts."""
+    from data_mining_map_reduce_spark.queries import partition_layout_stats
+
+    rows = partition_layout_stats(spark, sf_dir).collect()
+    total = load_table(spark, sf_dir, "lineitem").count()
+    by_layout: dict[str, list[int]] = {}
+    for r in rows:
+        by_layout.setdefault(r.layout, []).append(r.n_rows)
+    assert sum(by_layout["default"]) == total
+    assert sum(by_layout["hash8"]) == total
+    assert len(by_layout["hash8"]) == 8
+    mx, mn = max(by_layout["hash8"]), min(by_layout["hash8"])
+    assert mn > 0 and mx <= 3 * mn, by_layout["hash8"]
