@@ -2414,6 +2414,49 @@ def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Training-data pipeline: deterministic hash-based train/test split.
+# Assignment is a pure function of the key — affine hash mod 100
+# (the F7 universal-hash family over an integer key, so the exact
+# arithmetic replays in SQL) — giving a split that is reproducible
+# across runs, engines, and backfills, never sampled state. The
+# scale property: no shuffle at all — a codegen projection decides
+# each row's split at scan time.
+# ---------------------------------------------------------------------------
+@query(
+    "train_test_split_counts",
+    """
+    WITH tagged AS (
+        SELECT doc_id,
+               CASE WHEN ((1103515245 * doc_id + 12345) % 2147483647) % 100 < 80
+                    THEN 'train' ELSE 'test' END AS split
+        FROM documents
+    )
+    SELECT split, COUNT(*) AS n, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM tagged GROUP BY split ORDER BY split
+    """,
+)
+def train_test_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        F.pmod(F.lit(1103515245) * F.col("doc_id") + F.lit(12345), F.lit(2147483647)),
+        F.lit(100),
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.when(bucket < 80, "train").otherwise("test").alias("split"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("split")
+    )
+
+
+# ---------------------------------------------------------------------------
 # A1-task3 twin: partition-layout introspection — per-partition row
 # counts under the default scan layout vs an explicit hash
 # repartition (reference Assignment1/task3.py:33-34 'glom().map(len)'
@@ -2481,13 +2524,13 @@ _DRIVER_ORDER = [
     "approx_distinct_users",
     "bloom_probe_custkeys",
     "fm_distinct_users",
-    "reservoir_sample_events",
     "window_distinct_users_exact",
     "asof_last_purchase",
     "event_rollup_multigrain",
     "event_value_tier_counts",
     "doc_length_percentiles",
     "revenue_cube",
+    "train_test_split_counts",
     # -- heavyweight operators worth a fresh driver row each round --
     "baskets_by_customer",
     "cooccurrence_pairs",
@@ -2513,6 +2556,7 @@ _DRIVER_ORDER = [
     "window_distinct_users_approx",
     "kmeans_cluster_sizes",
     "ann_topk_lsh",
+    "reservoir_sample_events",
     # -- long-stable trivia: green in every prior round's artifact --
     "count_global",
     "count_by_year",
