@@ -43,6 +43,14 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Scan-side partition sizing: 128 MiB splits keep one scan
+        # task's working set well inside executor memory at any SF
+        # (Spark's default, pinned explicitly because it is a scale
+        # contract, not an accident — at 100 TB this is ~800k scan
+        # tasks, the right granularity for 1000 executors; raise it
+        # only for very wide rows, lower it for heavy per-row decode
+        # like the multimodal UDFs).
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
