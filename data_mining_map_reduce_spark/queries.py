@@ -2414,6 +2414,44 @@ def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# X16 scale path: the dedup pipeline with LSH-candidate near-dup
+# edges instead of the exact all-pairs plan. At 100 TB the exact
+# prefix-filtered self-join is the ORACLE TWIN (dedup_canonical_docs,
+# recursive-CTE verified); this variant is what actually ships —
+# banded MinHash buckets generate candidates, exact-Jaccard verify
+# keeps precision 1.0, so LSH recall < 1 can only MISS edges, never
+# fabricate them. Consequence (pytest-asserted): its clusters are a
+# REFINEMENT of the exact pipeline's — no false merges, ever.
+# Rows-only: banding recall is probabilistic.
+# ---------------------------------------------------------------------------
+@query("dedup_canonical_docs_lsh")
+def dedup_canonical_docs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import doc_shingles, exact_duplicate_groups
+    from .operators.graph import connected_components
+    from .operators.similarity import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = exact_duplicate_groups(docs)
+    exact_edges = exact.where(F.col("doc_id") != F.col("canonical_id")).select(
+        F.col("doc_id").alias("src"), F.col("canonical_id").alias("dst")
+    )
+    near_edges = minhash_lsh_pairs(
+        doc_shingles(docs), "doc_id", "shingles",
+        threshold=0.5, num_hashes=64, bands=32,
+    ).select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    comp = connected_components(exact_edges.unionByName(near_edges))
+    return (
+        docs.select("doc_id")
+        .join(comp, docs.doc_id == comp.id, "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("canonical_id"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Training-data pipeline: deterministic hash-based train/test split.
 # Assignment is a pure function of the key — affine hash mod 100
 # (the F7 universal-hash family over an integer key, so the exact
@@ -2557,6 +2595,7 @@ _DRIVER_ORDER = [
     "kmeans_cluster_sizes",
     "ann_topk_lsh",
     "reservoir_sample_events",
+    "dedup_canonical_docs_lsh",
     # -- long-stable trivia: green in every prior round's artifact --
     "count_global",
     "count_by_year",

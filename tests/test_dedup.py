@@ -163,3 +163,31 @@ def test_word_ngrams_short_input_guard(spark):
     ).collect()
     assert out[0].g == []
     assert out[1].g == ["a b c", "b c d"]
+
+
+def test_dedup_lsh_pipeline_refines_exact(spark, sf_dir):
+    """X16 scale path: LSH-candidate dedup clusters must REFINE the
+    exact pipeline's clusters — verify-after-bucket keeps precision
+    1.0, so banding recall < 1 can only split groups (missed edges),
+    never merge docs the exact pipeline keeps apart."""
+    from data_mining_map_reduce_spark.queries import (
+        dedup_canonical_docs,
+        dedup_canonical_docs_lsh,
+    )
+
+    exact = {
+        r.doc_id: r.canonical_id
+        for r in dedup_canonical_docs(spark, sf_dir).collect()
+    }
+    lsh = {
+        r.doc_id: r.canonical_id
+        for r in dedup_canonical_docs_lsh(spark, sf_dir).collect()
+    }
+    assert set(exact) == set(lsh)  # every doc assigned in both
+    by_lsh_group: dict[int, set[int]] = {}
+    for doc, canon in lsh.items():
+        by_lsh_group.setdefault(canon, set()).add(doc)
+    for members in by_lsh_group.values():
+        assert len({exact[d] for d in members}) == 1, members
+    # and the LSH pipeline actually merged something (non-degenerate)
+    assert any(len(m) > 1 for m in by_lsh_group.values())
