@@ -2495,6 +2495,26 @@ def train_test_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Training-data pipeline: quality-weighted per-stratum sampling
+# (Efraimidis-Spirakis A-ES via streaming/reservoir.weighted_sample)
+# — longer docs drawn proportionally more often within each language,
+# the training-mix construction primitive. Rows-only: selection is
+# engine-rand-specific; the size law, membership, determinism, and
+# weight dominance are pytest-asserted.
+# ---------------------------------------------------------------------------
+@query("weighted_doc_sample")
+def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.reservoir import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        weighted_sample(docs, 10, "n_chars", strata=["lang"], seed=7)
+        .select("lang", "doc_id", "n_chars")
+        .orderBy("lang", "doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # A1-task3 twin: partition-layout introspection — per-partition row
 # counts under the default scan layout vs an explicit hash
 # repartition (reference Assignment1/task3.py:33-34 'glom().map(len)'
@@ -2596,6 +2616,7 @@ _DRIVER_ORDER = [
     "ann_topk_lsh",
     "reservoir_sample_events",
     "dedup_canonical_docs_lsh",
+    "weighted_doc_sample",
     # -- long-stable trivia: green in every prior round's artifact --
     "count_global",
     "count_by_year",

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -68,3 +68,32 @@ def uniform_sample(df: DataFrame, k: int, seed: int = 7) -> DataFrame:
         .limit(k)
         .drop("_r")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    strata: list[str] | None = None,
+    seed: int = 7,
+) -> DataFrame:
+    """Weighted k-row sample without replacement — Efraimidis &
+    Spirakis (2006) A-ES: each row draws key u^(1/w) (u uniform,
+    w its weight) and the k largest keys win; selection probability
+    is proportional to weight, exactly the reservoir semantics a
+    quality-weighted training-mix pass needs. With ``strata``, k
+    rows are drawn PER stratum (one window shuffle, no driver loop);
+    without, globally (TakeOrderedAndProject — per-partition top-k,
+    no full sort). Deterministic under ``seed``. Rows with
+    non-positive weight are excluded (they have probability 0)."""
+    keyed = df.where(F.col(weight_col) > 0).withColumn(
+        "_wk", F.pow(F.rand(seed), F.lit(1.0) / F.col(weight_col))
+    )
+    if strata:
+        w = Window.partitionBy(*strata).orderBy(F.col("_wk").desc())
+        return (
+            keyed.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") <= k)
+            .drop("_wk", "_rk")
+        )
+    return keyed.orderBy(F.col("_wk").desc()).limit(k).drop("_wk")

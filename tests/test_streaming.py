@@ -495,3 +495,41 @@ def test_session_window_stream_batch_parity(spark, sf_dir, tmp_path):
         len(want_all),
     )
     assert len(got) > 0
+
+
+def test_weighted_sample_properties(spark, sf_dir):
+    """A-ES weighted sampling: per-stratum size law, membership,
+    determinism, and the weighting actually biting — a row whose
+    weight dwarfs its stratum is (near-)always selected, one with
+    vanishing weight never is, and zero/negative weights are
+    excluded outright."""
+    from data_mining_map_reduce_spark.streaming.reservoir import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = weighted_sample(docs, 10, "n_chars", strata=["lang"], seed=7)
+    rows = got.collect()
+    per_lang: dict[str, int] = {}
+    for r in rows:
+        per_lang[r.lang] = per_lang.get(r.lang, 0) + 1
+    lang_counts = {
+        r.lang: r.n
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for lang, n in lang_counts.items():
+        assert per_lang.get(lang, 0) == min(10, n), (lang, n)
+    # determinism under the seed
+    again = weighted_sample(docs, 10, "n_chars", strata=["lang"], seed=7)
+    assert {r.doc_id for r in rows} == {r.doc_id for r in again.collect()}
+
+    # extreme weights dominate / vanish: u^(1/w) -> 1 for w >> 1,
+    # -> 0 for w << 1 regardless of the uniform draw
+    tiny = spark.createDataFrame(
+        [(i, "x", 1e-9) for i in range(50)] + [(99, "x", 1e9)],
+        "id long, s string, w double",
+    )
+    picked = {r.id for r in weighted_sample(tiny, 1, "w", strata=["s"]).collect()}
+    assert picked == {99}
+    zeroed = spark.createDataFrame(
+        [(1, 0.0), (2, -3.0), (3, 5.0)], "id long, w double"
+    )
+    assert {r.id for r in weighted_sample(zeroed, 3, "w").collect()} == {3}
