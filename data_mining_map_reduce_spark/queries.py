@@ -2054,11 +2054,13 @@ def priority_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
              (list_sum(list_transform(range(1, strlen(text) + 1, 8),
                   i -> CAST(ascii(substr(text, CAST(i AS INTEGER), 1))
                             AS BIGINT)))
-              % 997) / 997.0 AS f0
+              % 997) AS f0_k
       FROM documents
     )
-    SELECT modality, COUNT(*) AS n_items, SUM(n_bytes) AS total_bytes,
-           ROUND(AVG(f0), 6) AS f0_mean
+    SELECT modality, COUNT(*) AS n_items,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+           CAST(ROUND(SUM(f0_k) * 1000000.0 / (997.0 * COUNT(*)))
+                AS BIGINT) AS f0_mean_ppm
     FROM f GROUP BY modality ORDER BY modality
     """,
 )
@@ -2071,13 +2073,25 @@ def media_feature_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("source").alias("modality"),
         F.encode("text", "utf-8").alias("payload"),
     )
-    feats = extract_features(media)
+    # f0 is k/997 with k an integer in [0, 996]; round(f0*997)
+    # recovers k exactly, so both sides sum integers and perform one
+    # identical double division — no accumulated-float value ever
+    # reaches the driver's hash.
+    feats = extract_features(media).withColumn(
+        "f0_k",
+        F.round(F.element_at("features", 1) * F.lit(997.0)).cast("bigint"),
+    )
     return (
         feats.groupBy("modality")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
             F.sum("n_bytes").alias("total_bytes"),
-            F.round(F.avg(F.element_at("features", 1)), 6).alias("f0_mean"),
+            F.round(
+                F.sum("f0_k") * F.lit(1000000.0)
+                / (F.lit(997.0) * F.count(F.lit(1)))
+            )
+            .cast("bigint")
+            .alias("f0_mean_ppm"),
         )
         .orderBy("modality")
     )
