@@ -69,7 +69,9 @@ def degrees(edges: DataFrame) -> DataFrame:
     )
 
 
-def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
+def connected_components(
+    edges: DataFrame, max_iter: int = 50, pointer_jump_after: int = 2
+) -> DataFrame:
     """G4: (id, component) where component = min vertex id reachable.
 
     Synchronous min-label propagation; converges in <= diameter
@@ -80,6 +82,12 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     join-and-count job a naive changed-row check would cost. The
     reference does a driver-side BFS flood fill
     (Assignment4/task2.py:123-146).
+
+    ``pointer_jump_after``: rounds before this index skip the
+    pointer-jump join — shallow graphs (dense communities, diameter
+    2-4) converge before the jump would pay for its extra shuffle,
+    while high-diameter graphs still get the O(log d) acceleration
+    from that round on.
     """
     # Materialize the (possibly very expensive) upstream edge
     # computation exactly ONCE: vertices are derived from the
@@ -95,7 +103,7 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     prev_sum = labels.agg(F.sum("component")).collect()[0][0]
-    for _ in range(max_iter):
+    for round_idx in range(max_iter):
         msgs = (
             sym.join(labels, sym.src == labels.id)
             .select(F.col("dst").alias("id"), "component")
@@ -110,18 +118,22 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
             .agg(F.min("component").alias("component"))
             .localCheckpoint(eager=True)
         )
-        # pointer jump (path compression): follow component → its own
-        # current label. One extra shuffle per round buys O(log d)
-        # total rounds instead of O(diameter) — the classic
-        # large-star acceleration, decisive on high-diameter graphs.
-        ptr = stepped.select(
-            F.col("id").alias("component"), F.col("component").alias("_c2")
-        )
-        labels = (
-            stepped.join(ptr, "component")
-            .select("id", F.least("component", "_c2").alias("component"))
-            .localCheckpoint(eager=True)
-        )
+        if round_idx < pointer_jump_after:
+            labels = stepped
+        else:
+            # pointer jump (path compression): follow component → its
+            # own current label. One extra shuffle per round buys
+            # O(log d) total rounds instead of O(diameter) — the
+            # classic large-star acceleration, decisive on
+            # high-diameter graphs.
+            ptr = stepped.select(
+                F.col("id").alias("component"), F.col("component").alias("_c2")
+            )
+            labels = (
+                stepped.join(ptr, "component")
+                .select("id", F.least("component", "_c2").alias("component"))
+                .localCheckpoint(eager=True)
+            )
         cur_sum = labels.agg(F.sum("component")).collect()[0][0]
         if cur_sum == prev_sum:
             break
@@ -189,11 +201,23 @@ def _bfs_edge_credits(adj: dict, root) -> dict[tuple, float]:
     return credits
 
 
+def grouped_adjacency(edges: DataFrame) -> DataFrame:
+    """(id, nbrs sorted array) — the distributed adjacency-list build
+    (symmetrize → groupBy → sorted collect_list, one shuffle) shared
+    by ``edge_betweenness`` and the Girvan-Newman loop."""
+    return (
+        symmetric_edges(edges)
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
+    )
+
+
 def edge_betweenness(
     edges: DataFrame,
     sample_fraction: float | None = None,
     seed: int = 7,
     num_batches: int | None = None,
+    adjacency: DataFrame | None = None,
 ) -> DataFrame:
     """G3: edge betweenness (undirected, unweighted) — exact by
     default, sampled-roots approximate above course scale.
@@ -214,15 +238,16 @@ def edge_betweenness(
     work and a sample-proportional replication cost. Credits sum
     distributed and halve (each shortest path is seen from both
     endpoint roots).
+
+    ``adjacency``: a prebuilt ``grouped_adjacency``-shaped DataFrame
+    (id, nbrs) — callers that repeatedly score near-identical graphs
+    (the Girvan-Newman removal loop) build it once and pass map-side
+    edits instead of paying the groupBy shuffle per call.
     """
     spark = edges.sparkSession
-    adj_df = (
-        symmetric_edges(edges)
-        .groupBy(F.col("src").alias("id"))
-        .agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
-    )
+    adj_df = adjacency if adjacency is not None else grouped_adjacency(edges)
 
-    roots = vertices_of(edges)
+    roots = adj_df.select("id") if adjacency is not None else vertices_of(edges)
     scale = 1.0
     if sample_fraction is not None and sample_fraction < 1.0:
         n_total = roots.count()
@@ -283,11 +308,21 @@ def edge_betweenness(
     )
 
 
-def modularity(edges: DataFrame, assignment: DataFrame) -> float:
+def modularity(
+    edges: DataFrame,
+    assignment: DataFrame,
+    m: int | None = None,
+    deg: DataFrame | None = None,
+) -> float:
     """F16: Q = sum_c [ e_c/m - (d_c/2m)^2 ] — algebraically equal to
     the reference's pairwise form (Assignment4/task2.py:149-165).
-    ``assignment``: (id, community)."""
-    m = edges.count()
+    ``assignment``: (id, community). ``m``/``deg`` accept a
+    precomputed edge count / ``degrees(edges)`` DataFrame so loop
+    callers (Girvan-Newman scores Q once per removal against the SAME
+    original graph) don't recount and re-shuffle the invariant side
+    every iteration."""
+    if m is None:
+        m = edges.count()
     if m == 0:
         return 0.0
     a_src = assignment.select(F.col("id").alias("src"), F.col("community").alias("_ca"))
@@ -299,7 +334,8 @@ def modularity(edges: DataFrame, assignment: DataFrame) -> float:
         .groupBy("_ca")
         .agg(F.count(F.lit(1)).alias("e_c"))
     )
-    deg = degrees(edges).join(assignment, "id").groupBy("community").agg(
+    deg_df = deg if deg is not None else degrees(edges)
+    deg = deg_df.join(assignment, "id").groupBy("community").agg(
         F.sum("degree").alias("d_c")
     )
     parts = (
@@ -324,26 +360,72 @@ def girvan_newman(
     max-betweenness edge (ties: smallest (src,dst)), recomputes, and
     returns the assignment with max modularity. Stops when Q drops
     more than ``q_drop_stop`` below the best, on full fragmentation,
-    or after ``max_removals``."""
-    spark = edges.sparkSession
-    current = canonical_edges(edges).cache()
-    best_q = -1.0
-    best_assign = connected_components(current).withColumnRenamed("component", "community")
+    or after ``max_removals``.
+
+    Loop-invariant reuse (the graph changes by exactly one edge per
+    round, so nothing invariant is recomputed):
+    - the grouped adjacency is built ONCE; each round's betweenness
+      sees removals as chained map-side literal ``array_remove``
+      edits (no per-round groupBy shuffle);
+    - modularity scores against the ORIGINAL graph, so its edge count
+      and degree table are computed once and passed in;
+    - connected components are re-solved only for the component the
+      removed edge belonged to (removal can split nothing else);
+      every other component's rows carry over unchanged. Vertices
+      isolated by a removal drop from the assignment, matching a
+      from-scratch ``connected_components(current)``.
+    """
+    current = canonical_edges(edges).localCheckpoint(eager=True)
     original = current
+    n_edges = current.count()
+    deg = degrees(original).localCheckpoint(eager=True)
+    base_adj = grouped_adjacency(original).localCheckpoint(eager=True)
+    best_q = -1.0
+    assign = (
+        connected_components(current)
+        .withColumnRenamed("component", "community")
+        .localCheckpoint(eager=True)
+    )
+    best_assign = assign
+    removed: list[tuple] = []
     for _ in range(max_removals):
-        if current.limit(1).count() == 0:
+        if n_edges - len(removed) == 0:
             break
+        adj = base_adj
+        for u, v in removed:
+            adj = adj.withColumn(
+                "nbrs",
+                F.when(F.col("id") == u, F.array_remove(F.col("nbrs"), v))
+                .when(F.col("id") == v, F.array_remove(F.col("nbrs"), u))
+                .otherwise(F.col("nbrs")),
+            )
         top = (
-            edge_betweenness(current)
+            edge_betweenness(current, adjacency=adj)
             .orderBy(F.col("betweenness").desc(), F.col("src").asc(), F.col("dst").asc())
             .limit(1)
             .collect()[0]
         )
+        removed.append((top.src, top.dst))
         current = current.where(
             ~((F.col("src") == top.src) & (F.col("dst") == top.dst))
         ).localCheckpoint(eager=True)
-        assign = connected_components(current).withColumnRenamed("component", "community")
-        q = modularity(original, assign)
+        # Re-solve CC only inside the touched component.
+        c_label = (
+            assign.where(F.col("id") == top.src).select("community").collect()[0][0]
+        )
+        members = assign.where(F.col("community") == c_label).select("id")
+        sub_edges = current.join(
+            members.withColumnRenamed("id", "src"), "src", "semi"
+        )
+        sub_assign = connected_components(sub_edges).withColumnRenamed(
+            "component", "community"
+        )
+        assign = (
+            assign.where(F.col("community") != c_label)
+            .unionByName(sub_assign)
+            .localCheckpoint(eager=True)
+        )
+        q = modularity(original, assign, m=n_edges, deg=deg)
         if q > best_q:
             best_q = q
             best_assign = assign
