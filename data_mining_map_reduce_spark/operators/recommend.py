@@ -140,9 +140,16 @@ def user_candidate_pairs_lsh(
     bands: int = 16,
 ) -> DataFrame:
     """(u1, u2) candidate user pairs whose rated-item sets collide in
-    MinHash-LSH buckets AND verify at exact Jaccard >= ``threshold``
-    (u1 < u2). The A3 §4.3 pre-filter: user similarity only gets
-    computed for pairs that plausibly co-rate.
+    MinHash-LSH buckets (u1 < u2). The A3 §4.3 pre-filter: user
+    similarity only gets computed for pairs that plausibly co-rate.
+
+    Candidates-only by design (``verify=False`` downstream): the
+    Pearson pass this feeds re-joins the co-ratings and applies its
+    own ``min_co`` floor, so an exact-Jaccard verification here would
+    re-shuffle the full item-set arrays to filter almost nothing at
+    pre-filter thresholds — measured as the single largest cost of
+    the LSH-CF query at sf0.1 before removal. ``threshold`` remains
+    the banding design point documented below, not an applied filter.
 
     Banding regime — the crossover that makes the pre-filter pay:
     with r=1 (b=num_hashes) ANY shared minhash makes a candidate, so
@@ -172,6 +179,7 @@ def user_candidate_pairs_lsh(
         bands=bands,
         key_a="u1",
         key_b="u2",
+        verify=False,
     ).select("u1", "u2")
 
 

@@ -150,6 +150,7 @@ def minhash_lsh_pairs(
     key_b: str = "b",
     sim_alias: str = "jaccard",
     max_bucket: int | None = 5000,
+    verify: bool = True,
 ) -> DataFrame:
     """MinHash+LSH candidate generation + exact-Jaccard verification.
 
@@ -158,16 +159,26 @@ def minhash_lsh_pairs(
     shared at least one LSH bucket (precision 1.0 by construction;
     recall is governed by (bands, rows-per-band) — asserted >= 0.9 in
     tests against the exact path, mirroring A3 PDF §4.1.4's >= 0.8).
+
+    ``verify=False`` returns the distinct bucket-collision pairs
+    (key_a, key_b) WITHOUT the exact-Jaccard join — no ``sim_alias``
+    column, no threshold filter. That is the right contract when the
+    caller is itself an exactifying pass (the user-CF Pearson join
+    re-assembles co-ratings and applies min_co anyway): the verify
+    join's collect-set + array_intersect shuffle is pure overhead for
+    a pre-filter, and at low thresholds it prunes almost nothing.
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must divide evenly into bands")
     rows_per_band = num_hashes // bands
 
-    sig = baskets.select(
+    sig_cols = [
         F.col(key).alias("_k"),
-        F.col(items).alias("_items"),
         minhash_signature(F.col(items), num_hashes).alias("_sig"),
-    )
+    ]
+    if verify:
+        sig_cols.insert(1, F.col(items).alias("_items"))
+    sig = baskets.select(*sig_cols)
 
     # Explode signature into (band_id, band_signature) bucket keys.
     banded = sig.select(
@@ -199,6 +210,8 @@ def minhash_lsh_pairs(
         .select(key_a, key_b)
         .distinct()
     )
+    if not verify:
+        return candidates
 
     sets_a = sig.select(F.col("_k").alias(key_a), F.col("_items").alias("_ia"))
     sets_b = sig.select(F.col("_k").alias(key_b), F.col("_items").alias("_ib"))
