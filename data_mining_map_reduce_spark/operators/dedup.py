@@ -39,13 +39,47 @@ def doc_shingles(
     shingles_alias: str = "shingles",
 ) -> DataFrame:
     """(doc_id, distinct word-n-gram shingle array). Normalization +
-    tokenization + shingling is one codegen projection — no shuffle,
-    no UDF."""
-    return docs.select(
+    tokenization + shingling — no shuffle, no UDF.
+
+    Two stacked projections on purpose: the token array is aliased in
+    its own Project so the shingle expression references a computed
+    COLUMN. Inlined, the regex split is re-evaluated for every
+    reference inside the n-gram HOF (size guards + per-element slice)
+    — O(tokens²) regex work per doc, measured 11× slower on the
+    documents corpus. CollapseProject keeps the split intact because
+    the alias is non-cheap and referenced more than once."""
+    toks = docs.select(
+        F.col(id_col), tokenize(normalize(F.col(text_col))).alias("_toks")
+    )
+    return toks.select(
         F.col(id_col),
-        F.array_distinct(
-            word_ngrams(tokenize(normalize(F.col(text_col))), n)
-        ).alias(shingles_alias),
+        F.array_distinct(word_ngrams(F.col("_toks"), n)).alias(shingles_alias),
+    )
+
+
+def doc_shingle_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    shingle_alias: str = "shingle",
+) -> DataFrame:
+    """Exploded (doc_id, shingle) rows — the input shape of the exact
+    Jaccard / prefix-filter joins.
+
+    Uses ``explode_outer`` + a post-explode null filter instead of a
+    plain ``explode``: Catalyst's InferFiltersFromGenerate would
+    otherwise push a ``size(shingles) > 0`` predicate below the
+    shingle Project, INLINING the whole normalize→tokenize→n-gram
+    expression into a per-row Filter (evaluated twice, with the
+    quadratic token re-scan doc_shingles exists to avoid — measured
+    ~20 s of pure expression re-evaluation at sf0.1). The outer
+    variant infers no such filter; dropping the null rows afterwards
+    restores plain-explode semantics exactly."""
+    return (
+        doc_shingles(docs, id_col, text_col, n)
+        .select(id_col, F.explode_outer("shingles").alias(shingle_alias))
+        .where(F.col(shingle_alias).isNotNull())
     )
 
 
@@ -95,9 +129,9 @@ def simhash_fingerprints(
     empty-fold semantics of the expression form.
     """
     shingled = doc_shingles(docs, id_col, text_col, n)
-    hashed = shingled.select(
-        id_col, F.explode("shingles").alias("_s")
-    ).select(id_col, F.xxhash64("_s").alias("_h"))
+    hashed = doc_shingle_pairs(docs, id_col, text_col, n, shingle_alias="_s").select(
+        id_col, F.xxhash64("_s").alias("_h")
+    )
     counts = hashed.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("_n"),
         *[

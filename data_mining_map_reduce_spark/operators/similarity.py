@@ -113,12 +113,26 @@ def exact_jaccard_pairs(
         .withColumn("_rn", F.row_number().over(rarity))
         .join(sizes, "_k")  # per-key rows — unbroadcastable at scale; AQE decides
         .where(F.col("_rn") <= prefix_len)
-        .select("_k", "_i")
+        .select("_k", "_i", "_sz")
     )
+    # Length filter (Bayardo/Chaudhuri): J(A,B) >= t forces
+    # min(|A|,|B|) >= t * max(|A|,|B|); dropping size-incompatible
+    # collisions BEFORE the pair-dedup shuffle and verify join is
+    # lossless. Same round-to-6dp guard as prefix_len so float
+    # epsilon in t*n never discards a boundary-qualifying pair.
     candidates = (
-        prefix.select(F.col("_k").alias(key_a), "_i")
-        .join(prefix.select(F.col("_k").alias(key_b), "_i"), "_i")
-        .where(F.col(key_a) < F.col(key_b))
+        prefix.select(F.col("_k").alias(key_a), "_i", F.col("_sz").alias("_sza"))
+        .join(
+            prefix.select(
+                F.col("_k").alias(key_b), "_i", F.col("_sz").alias("_szb")
+            ),
+            "_i",
+        )
+        .where(
+            (F.col(key_a) < F.col(key_b))
+            & (F.col("_sza") >= F.round(F.lit(threshold) * F.col("_szb"), 6))
+            & (F.col("_szb") >= F.round(F.lit(threshold) * F.col("_sza"), 6))
+        )
         .select(key_a, key_b)
         .distinct()
     )

@@ -1365,13 +1365,11 @@ def exact_dup_doc_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def near_dup_docs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.dedup import doc_shingles
+    from .operators.dedup import doc_shingle_pairs
     from .operators.similarity import exact_jaccard_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = doc_shingles(docs).select(
-        "doc_id", F.explode("shingles").alias("shingle")
-    )
+    pairs = doc_shingle_pairs(docs)
     return exact_jaccard_pairs(pairs, "doc_id", "shingle", threshold=0.5).orderBy(
         "a", "b"
     )
@@ -2141,7 +2139,7 @@ def media_feature_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.dedup import doc_shingles, exact_duplicate_groups
+    from .operators.dedup import doc_shingle_pairs, exact_duplicate_groups
     from .operators.graph import connected_components
     from .operators.similarity import exact_jaccard_pairs
 
@@ -2150,9 +2148,7 @@ def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact_edges = exact.where(F.col("doc_id") != F.col("canonical_id")).select(
         F.col("doc_id").alias("src"), F.col("canonical_id").alias("dst")
     )
-    pairs = doc_shingles(docs).select(
-        "doc_id", F.explode("shingles").alias("shingle")
-    )
+    pairs = doc_shingle_pairs(docs)
     near_edges = exact_jaccard_pairs(
         pairs, "doc_id", "shingle", threshold=0.5
     ).select(F.col("a").alias("src"), F.col("b").alias("dst"))
