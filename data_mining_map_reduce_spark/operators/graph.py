@@ -96,11 +96,19 @@ def connected_components(
     # lineage (for dedup_canonical_docs that is the prefix-filtered
     # Jaccard self-join, which once dominated this loop's wall time).
     sym = symmetric_edges(edges).localCheckpoint(eager=True)
+    # Lazy checkpoints throughout the loop: the convergence-probe agg
+    # is the ONLY action per round, and materializing the checkpoint
+    # inside that job halves the per-round job count (round overhead,
+    # not data volume, dominates CC cost on small/medium graphs).
+    # Eager stays only where one DataFrame feeds TWO subtrees of the
+    # same job (sym above, `stepped` in pointer-jump rounds) — a lazy
+    # checkpoint there would compute the subtree twice in the
+    # materializing job.
     labels = (
         sym.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     prev_sum = labels.agg(F.sum("component")).collect()[0][0]
     for round_idx in range(max_iter):
@@ -108,31 +116,28 @@ def connected_components(
             sym.join(labels, sym.src == labels.id)
             .select(F.col("dst").alias("id"), "component")
         )
-        # checkpoint `stepped` before the pointer-jump join reads it
-        # from both sides — vertex-count rows in memory, vs re-running
-        # the union+groupBy shuffle for the second subtree.
         stepped = (
             labels.select("id", "component")
             .unionByName(msgs)
             .groupBy("id")
             .agg(F.min("component").alias("component"))
-            .localCheckpoint(eager=True)
         )
         if round_idx < pointer_jump_after:
-            labels = stepped
+            labels = stepped.localCheckpoint(eager=False)
         else:
             # pointer jump (path compression): follow component → its
             # own current label. One extra shuffle per round buys
             # O(log d) total rounds instead of O(diameter) — the
             # classic large-star acceleration, decisive on
             # high-diameter graphs.
+            stepped = stepped.localCheckpoint(eager=True)
             ptr = stepped.select(
                 F.col("id").alias("component"), F.col("component").alias("_c2")
             )
             labels = (
                 stepped.join(ptr, "component")
                 .select("id", F.least("component", "_c2").alias("component"))
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
         cur_sum = labels.agg(F.sum("component")).collect()[0][0]
         if cur_sum == prev_sum:
