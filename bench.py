@@ -104,6 +104,58 @@ def main() -> None:
                     pass
                 spark = get_spark(app_name="bench")
 
+    # Heavy-tail stabilization: shared-box noise polluted r4->r5
+    # round-over-round comparisons (GN "regressed" 3.3x, most of it
+    # variance). Re-run the top-N most expensive queries twice more in
+    # a fresh session and report the MEDIAN of 3 — cheap queries keep
+    # their single-run number (noise there is absolute-small).
+    heavy_n = int(os.environ.get("SPARK_GRAFT_BENCH_HEAVY_N", "10"))
+    heavy_reps = int(os.environ.get("SPARK_GRAFT_BENCH_HEAVY_REPS", "3"))
+    heavy = [
+        name
+        for name in sorted(timings, key=timings.get, reverse=True)[:heavy_n]
+        if timings[name] >= 5.0
+    ]
+    if heavy and heavy_reps > 1:
+        try:
+            spark.stop()
+        except Exception:
+            pass
+        gc.collect()
+        spark = get_spark(app_name="bench")
+        try:
+            SPARK_QUERIES["flagship_category_avg"](spark, sf_dir).collect()
+            spark.catalog.clearCache()
+        except Exception:
+            pass
+        for name in heavy:
+            samples = [timings[name]]
+            for _ in range(heavy_reps - 1):
+                t0 = time.perf_counter()
+                try:
+                    SPARK_QUERIES[name](spark, sf_dir).collect()
+                    samples.append(round(time.perf_counter() - t0, 4))
+                    spark.catalog.clearCache()
+                    gc.collect()
+                except Exception as exc:  # noqa: BLE001
+                    print(
+                        f"[bench] heavy re-run {name} failed: {exc}",
+                        file=sys.stderr,
+                    )
+                    if not _alive(spark):
+                        try:
+                            spark.stop()
+                        except Exception:
+                            pass
+                        spark = get_spark(app_name="bench")
+                    break
+            samples.sort()
+            timings[name] = samples[len(samples) // 2]
+            print(
+                f"[bench] {name} samples={samples} -> median {timings[name]}",
+                file=sys.stderr,
+            )
+
     total = round(sum(timings.values()), 2)
     # The driver captures only the LAST ~2000 bytes of stdout; a line
     # longer than that loses its head (r3: "parsed": null). Emit a

@@ -76,6 +76,7 @@ def weighted_sample(
     weight_col: str,
     strata: list[str] | None = None,
     seed: int = 7,
+    id_cols: list[str] | None = None,
 ) -> DataFrame:
     """Weighted k-row sample without replacement — Efraimidis &
     Spirakis (2006) A-ES: each row draws key u^(1/w) (u uniform,
@@ -84,10 +85,31 @@ def weighted_sample(
     quality-weighted training-mix pass needs. With ``strata``, k
     rows are drawn PER stratum (one window shuffle, no driver loop);
     without, globally (TakeOrderedAndProject — per-partition top-k,
-    no full sort). Deterministic under ``seed``. Rows with
-    non-positive weight are excluded (they have probability 0)."""
+    no full sort). Rows with non-positive weight are excluded (they
+    have probability 0).
+
+    Determinism: with ``id_cols`` the uniform draw is
+    xxhash64(id_cols…, seed) scaled to (0,1) — a pure function of row
+    CONTENT, so the sample is identical under any partition layout,
+    split count, or engine re-plan (the reproducible-training-mix
+    contract). Without ``id_cols`` the draw falls back to
+    ``F.rand(seed)``, which is deterministic only for a fixed
+    physical layout (rand seeds per-partition)."""
+    if id_cols:
+        # 2^52 buckets keep the quotient exactly representable in a
+        # double; +0.5 centers each bucket so u is never exactly 0
+        # (u=0 would zero the key regardless of weight).
+        u = (
+            F.pmod(
+                F.xxhash64(*[F.col(c) for c in id_cols], F.lit(seed)),
+                F.lit(1 << 52),
+            ).cast("double")
+            + F.lit(0.5)
+        ) / F.lit(float(1 << 52))
+    else:
+        u = F.rand(seed)
     keyed = df.where(F.col(weight_col) > 0).withColumn(
-        "_wk", F.pow(F.rand(seed), F.lit(1.0) / F.col(weight_col))
+        "_wk", F.pow(u, F.lit(1.0) / F.col(weight_col))
     )
     if strata:
         w = Window.partitionBy(*strata).orderBy(F.col("_wk").desc())

@@ -13,7 +13,8 @@ sample is not expressible with built-in streaming aggregates
 is exactly the gap applyInPandasWithState exists to fill.
 
 Determinism contract: randomness is hash-derived — u(n) =
-xxhash64(key, n, seed) scaled to [0, 1) — instead of a stateful RNG,
+blake2b(key, n, seed) scaled to [0, 1) (stdlib hashlib; see
+``_u01``) — instead of a stateful RNG,
 so a replayed micro-batch (or a recomputed task) makes identical
 keep/evict decisions; rows are folded in (ts, item) order within each
 group-batch so arrival order is pinned under availableNow replay.

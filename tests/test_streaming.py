@@ -506,7 +506,9 @@ def test_weighted_sample_properties(spark, sf_dir):
     from data_mining_map_reduce_spark.streaming.reservoir import weighted_sample
 
     docs = load_table(spark, sf_dir, "documents")
-    got = weighted_sample(docs, 10, "n_chars", strata=["lang"], seed=7)
+    got = weighted_sample(
+        docs, 10, "n_chars", strata=["lang"], seed=7, id_cols=["doc_id"]
+    )
     rows = got.collect()
     per_lang: dict[str, int] = {}
     for r in rows:
@@ -517,8 +519,17 @@ def test_weighted_sample_properties(spark, sf_dir):
     }
     for lang, n in lang_counts.items():
         assert per_lang.get(lang, 0) == min(10, n), (lang, n)
-    # determinism under the seed
-    again = weighted_sample(docs, 10, "n_chars", strata=["lang"], seed=7)
+    # determinism under the seed — and, with id_cols, under ANY
+    # physical layout: a repartitioned input must yield the exact
+    # same sample (content-hash draw, not per-partition rand)
+    again = weighted_sample(
+        docs.repartition(13, "lang"),
+        10,
+        "n_chars",
+        strata=["lang"],
+        seed=7,
+        id_cols=["doc_id"],
+    )
     assert {r.doc_id for r in rows} == {r.doc_id for r in again.collect()}
 
     # extreme weights dominate / vanish: u^(1/w) -> 1 for w >> 1,
