@@ -22,8 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from ..functions.hashing import minhash_signature
-from ..functions.vectors import jaccard
+from ..functions.hashing import FOLD_PRIME, hash_params
 
 
 def exact_jaccard_pairs(
@@ -208,29 +207,64 @@ def minhash_lsh_pairs(
     re-assembles co-ratings and applies min_co anyway): the verify
     join's collect-set + array_intersect shuffle is pure overhead for
     a pre-filter, and at low thresholds it prunes almost nothing.
+
+    The signature is computed as explode → one 31-bit fold per item →
+    groupBy(key) with ``num_hashes`` plain ``min`` aggregates — the
+    simhash lesson (operators/dedup.py): the per-row
+    ``minhash_signature`` expression tree (num_hashes × array
+    transform HOFs) exceeds the codegen method budget and runs
+    interpreted, measured 20 s for 15 k signature rows at sf0.1 where
+    the aggregate form takes ~1 s. Map-side partial aggregation means
+    the shuffle carries one 32-long row per key per map partition.
+    Same hash family, same mins, same signatures. Keys whose item
+    array is empty produce no signature rows (the per-row form gave
+    them all-null signatures, which then collided into one shared
+    bucket); pairs of empty sets can never reach a positive threshold,
+    so dropping them is the correct contract for both modes. Verify
+    sets carry xxhash64 of each item (fixed-width bigint arrays —
+    ~7× cheaper to intersect than strings; collision odds per pair
+    ≈ n²/2⁶⁵, negligible), reusing the same hash evaluation the fold
+    already needs.
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must divide evenly into bands")
     rows_per_band = num_hashes // bands
 
-    sig_cols = [
-        F.col(key).alias("_k"),
-        minhash_signature(F.col(items), num_hashes).alias("_sig"),
-    ]
+    exploded = (
+        baskets.select(F.col(key).alias("_k"), F.explode_outer(items).alias("_it"))
+        .where(F.col("_it").isNotNull())
+        .select("_k", F.xxhash64("_it").alias("_h64"))
+        .select("_k", "_h64", F.pmod("_h64", F.lit(FOLD_PRIME)).alias("_f"))
+    )
+    min_aggs = []
+    for i in range(num_hashes):
+        a, b = hash_params(i, FOLD_PRIME)
+        min_aggs.append(
+            F.min(
+                F.pmod(F.lit(a) * F.col("_f") + F.lit(b), F.lit(FOLD_PRIME))
+            ).alias(f"_h{i}")
+        )
     if verify:
-        sig_cols.insert(1, F.col(items).alias("_items"))
-    sig = baskets.select(*sig_cols)
+        min_aggs.append(F.collect_set("_h64").alias("_items"))
+    sig = exploded.groupBy("_k").agg(*min_aggs)
 
-    # Explode signature into (band_id, band_signature) bucket keys.
+    # One bucket key per band: hash of (band index, the band's r
+    # signature slots). Equal band-slices collide exactly as the
+    # array-slice formulation did; only the bucket id changes.
     banded = sig.select(
         "_k",
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band),
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.lit(b),
+                        *[F.col(f"_h{b * rows_per_band + j}") for j in range(rows_per_band)],
+                    )
+                    for b in range(bands)
+                ]
             )
-        ).alias("_band", "_bsig"),
-    ).withColumn("_bucket", F.xxhash64(F.col("_band"), F.col("_bsig")))
+        ).alias("_band", "_bucket"),
+    )
 
     if max_bucket is not None:
         # Cap pathological buckets: a bucket with B keys yields B^2/2
@@ -256,10 +290,25 @@ def minhash_lsh_pairs(
 
     sets_a = sig.select(F.col("_k").alias(key_a), F.col("_items").alias("_ia"))
     sets_b = sig.select(F.col("_k").alias(key_b), F.col("_items").alias("_ib"))
-    return (
+    # Same two-step projection as exact_jaccard_pairs: intersect once,
+    # filter on the aliased result.
+    inter = F.size(F.array_intersect("_ia", "_ib"))
+    scored = (
         candidates.join(sets_a, key_a)
         .join(sets_b, key_b)
-        .withColumn(sim_alias, jaccard("_ia", "_ib"))
+        .select(
+            key_a,
+            key_b,
+            inter.alias("_inter"),
+            (F.size("_ia") + F.size("_ib")).alias("_tot"),
+        )
+    )
+    return (
+        scored.withColumn(
+            sim_alias,
+            F.col("_inter").cast("double")
+            / (F.col("_tot") - F.col("_inter")).cast("double"),
+        )
         .where(F.col(sim_alias) >= threshold)
         .select(key_a, key_b, F.round(sim_alias, 6).alias(sim_alias))
     )
