@@ -1434,6 +1434,187 @@ def simhash_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# End-to-end corpus curation funnel — the composed training-data
+# pipeline every LLM corpus goes through: raw → exact dedup (content
+# hash survivor) → near-dedup (exact-Jaccard ≥ 0.5 pair drop, greedy
+# keep-lowest-id) → quality filter (≥ 20 tokens, distinct ratio ≥
+# 0.3) → language filter (en). One row per stage with surviving doc
+# and whitespace-token counts. Every stage reuses a shipped operator;
+# the whole funnel aggregates in ONE pass over per-doc survival flags
+# (conditional sums), so the only non-trivial cost is the near-dup
+# pair search itself. Scale posture: flags are per-doc projections and
+# hash-groupBy joins; nothing materializes beyond (doc_id, flags).
+# ---------------------------------------------------------------------------
+@query(
+    "corpus_curation_funnel",
+    r"""
+    WITH nrm AS (
+      SELECT doc_id, translate(lower(text), '([,.!?:;])', '') AS norm
+      FROM documents
+    ),
+    grp AS (SELECT norm, MIN(doc_id) AS can FROM nrm GROUP BY norm),
+    s1 AS (
+      SELECT nrm.doc_id
+      FROM nrm JOIN grp ON nrm.norm = grp.norm AND nrm.doc_id = grp.can
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                            for i in range(1, len(w)-1)]) AS s
+      FROM (
+        SELECT d.doc_id,
+               list_filter(
+                   string_split_regex(
+                       translate(lower(d.text), '([,.!?:;])', ''), '\s+'),
+                   x -> x <> '') AS w
+        FROM documents d JOIN s1 USING (doc_id)
+      )
+    ),
+    near_dropped AS (
+      SELECT DISTINCT b.doc_id
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.s, b.s)) * 1.0
+            / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+    ),
+    tokw AS (
+      SELECT doc_id,
+             list_filter(
+                 string_split_regex(
+                     translate(lower(text), '([,.!?:;])', ''), '\s+'),
+                 x -> x <> '') AS w,
+             len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+                 AS n_ws
+      FROM documents
+    ),
+    flags AS (
+      SELECT t.doc_id, t.n_ws,
+             (s1.doc_id IS NOT NULL) AS k1,
+             (s1.doc_id IS NOT NULL AND nd.doc_id IS NULL) AS k2,
+             (CAST(len(t.w) AS INTEGER) >= 20
+              AND ROUND(len(list_distinct(t.w)) * 1.0
+                        / GREATEST(len(t.w), 1), 6) >= 0.3) AS q_ok,
+             (greatest(
+                  len(list_filter(t.w, x -> list_contains(
+                      ['the','a','and','of','to','in','is','it','for','on'], x))),
+                  len(list_filter(t.w, x -> list_contains(
+                      ['der','die','das','und','ist','ein','zu','nicht','mit'], x))),
+                  len(list_filter(t.w, x -> list_contains(
+                      ['le','la','les','et','est','un','une','pas','pour'], x))),
+                  len(list_filter(t.w, x -> list_contains(
+                      ['el','la','los','y','es','un','una','no','para'], x)))) > 0
+              AND len(list_filter(t.w, x -> list_contains(
+                      ['the','a','and','of','to','in','is','it','for','on'], x)))
+                  = greatest(
+                  len(list_filter(t.w, x -> list_contains(
+                      ['the','a','and','of','to','in','is','it','for','on'], x))),
+                  len(list_filter(t.w, x -> list_contains(
+                      ['der','die','das','und','ist','ein','zu','nicht','mit'], x))),
+                  len(list_filter(t.w, x -> list_contains(
+                      ['le','la','les','et','est','un','une','pas','pour'], x))),
+                  len(list_filter(t.w, x -> list_contains(
+                      ['el','la','los','y','es','un','una','no','para'], x))))
+             ) AS en
+      FROM tokw t
+      LEFT JOIN s1 ON s1.doc_id = t.doc_id
+      LEFT JOIN near_dropped nd ON nd.doc_id = t.doc_id
+    )
+    SELECT * FROM (
+      SELECT CAST(0 AS INTEGER) AS stage_idx, 'raw' AS stage,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_ws) AS BIGINT) AS n_tokens FROM flags
+      UNION ALL
+      SELECT CAST(1 AS INTEGER), 'exact_dedup',
+             CAST(COUNT(*) AS BIGINT), CAST(SUM(n_ws) AS BIGINT)
+      FROM flags WHERE k1
+      UNION ALL
+      SELECT CAST(2 AS INTEGER), 'near_dedup',
+             CAST(COUNT(*) AS BIGINT), CAST(SUM(n_ws) AS BIGINT)
+      FROM flags WHERE k2
+      UNION ALL
+      SELECT CAST(3 AS INTEGER), 'quality',
+             CAST(COUNT(*) AS BIGINT), CAST(SUM(n_ws) AS BIGINT)
+      FROM flags WHERE k2 AND q_ok
+      UNION ALL
+      SELECT CAST(4 AS INTEGER), 'lang_en',
+             CAST(COUNT(*) AS BIGINT), CAST(SUM(n_ws) AS BIGINT)
+      FROM flags WHERE k2 AND q_ok AND en
+    ) ORDER BY stage_idx
+    """,
+)
+def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import doc_shingle_pairs, exact_duplicate_groups
+    from .operators.similarity import exact_jaccard_pairs
+    from .operators.text_analysis import doc_quality_stats, language_id, token_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = exact_duplicate_groups(docs).select(
+        "doc_id", (F.col("doc_id") == F.col("canonical_id")).alias("_k1")
+    )
+    docs1 = docs.join(exact.where(F.col("_k1")).select("doc_id"), "doc_id")
+    near_dropped = (
+        exact_jaccard_pairs(
+            doc_shingle_pairs(docs1), "doc_id", "shingle", threshold=0.5
+        )
+        .select(F.col("b").alias("doc_id"))
+        .distinct()
+        .withColumn("_nd", F.lit(True))
+    )
+    quality = doc_quality_stats(docs).select(
+        "doc_id",
+        ((F.col("n_tokens") >= 20) & (F.col("distinct_ratio") >= 0.3)).alias(
+            "_q_ok"
+        ),
+    )
+    lang = language_id(docs).select(
+        "doc_id", (F.col("pred_lang") == "en").alias("_en")
+    )
+    tok = token_counts(docs).select("doc_id", "n_ws_tokens")
+
+    k1 = F.col("_k1")
+    k2 = k1 & ~F.coalesce(F.col("_nd"), F.lit(False))
+    k3 = k2 & F.col("_q_ok")
+    k4 = k3 & F.col("_en")
+    flags = (
+        tok.join(exact, "doc_id")
+        .join(near_dropped, "doc_id", "left")
+        .join(quality, "doc_id")
+        .join(lang, "doc_id")
+    )
+
+    def _cnt(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    def _tok(cond):
+        return F.sum(F.when(cond, F.col("n_ws_tokens")).otherwise(0)).cast("long")
+
+    row = flags.agg(
+        F.count(F.lit(1)).cast("long").alias("n0"),
+        F.sum("n_ws_tokens").cast("long").alias("t0"),
+        _cnt(k1).alias("n1"),
+        _tok(k1).alias("t1"),
+        _cnt(k2).alias("n2"),
+        _tok(k2).alias("t2"),
+        _cnt(k3).alias("n3"),
+        _tok(k3).alias("t3"),
+        _cnt(k4).alias("n4"),
+        _tok(k4).alias("t4"),
+    )
+    names = ["raw", "exact_dedup", "near_dedup", "quality", "lang_en"]
+    stages = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("int").alias("stage_idx"),
+                F.lit(nm).alias("stage"),
+                F.col(f"n{i}").alias("n_docs"),
+                F.col(f"t{i}").alias("n_tokens"),
+            )
+            for i, nm in enumerate(names)
+        ]
+    )
+    return row.select(F.inline(stages)).orderBy("stage_idx")
+
+
+# ---------------------------------------------------------------------------
 # Winnowing rolling-hash fingerprints (Schleimer et al. SIGMOD 2003).
 # The polynomial hash (base 257 mod 2^31-1) is computed IDENTICALLY
 # in Spark and DuckDB — same BIGINT fold per k-gram — so both the
@@ -2604,8 +2785,8 @@ def partition_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 #                whose code is unchanged this round; each is listed in
 #                the EXCLUDED manifest below with the round of its last
 #                green row so the judge can audit what the cap hides.
-# Names absent from this list (future additions) append in
-# registration order, i.e. land in-window by default.
+# Names absent from this list sort AFTER every listed name (past the
+# cap) — a new query must be added here explicitly to get a driver row.
 _DRIVER_ORDER = [
     # -- flagship first (also the entry() smoke query) --
     "flagship_category_avg",
@@ -2635,6 +2816,7 @@ _DRIVER_ORDER = [
     "graph_lpa_community_sizes",
     "graph_betweenness_top",
     "train_test_split_counts",    # pmod-first overflow fix (r6)
+    "corpus_curation_funnel",     # new in r6: composed curation pipeline
     # -- standing heavies: fresh row each round --
     "cf_item_similarities",
     "cf_predictions",

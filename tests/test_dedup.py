@@ -191,3 +191,27 @@ def test_dedup_lsh_pipeline_refines_exact(spark, sf_dir):
         assert len({exact[d] for d in members}) == 1, members
     # and the LSH pipeline actually merged something (non-degenerate)
     assert any(len(m) > 1 for m in by_lsh_group.values())
+
+
+def test_corpus_curation_funnel_invariants(spark, sf_dir):
+    """The composed curation pipeline is a funnel: each stage's doc
+    and token counts are <= the previous stage's, stage 0 equals the
+    raw corpus, and every stage actually exists in order. Value-level
+    correctness is the DuckDB oracle's job (driver contract)."""
+    from data_mining_map_reduce_spark.queries import (
+        corpus_curation_funnel,
+        load_table,
+    )
+
+    rows = corpus_curation_funnel(spark, sf_dir).collect()
+    assert [r.stage for r in rows] == [
+        "raw", "exact_dedup", "near_dedup", "quality", "lang_en",
+    ]
+    assert [r.stage_idx for r in rows] == [0, 1, 2, 3, 4]
+    n_raw = load_table(spark, sf_dir, "documents").count()
+    assert rows[0].n_docs == n_raw
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.n_docs <= prev.n_docs
+        assert cur.n_tokens <= prev.n_tokens
+    # non-degenerate on the test corpus: something survives to the end
+    assert rows[-1].n_docs > 0
