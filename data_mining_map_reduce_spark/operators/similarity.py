@@ -127,18 +127,22 @@ def exact_jaccard_pairs(
         .withColumn("_rn", F.row_number().over(rarity))
         .join(sizes, "_k")  # per-key rows — unbroadcastable at scale; AQE decides
         .where(F.col("_rn") <= prefix_len)
-        .select("_k", "_i", "_sz")
+        .select("_k", "_i", "_sz", "_rn")
     )
     # Length filter (Bayardo/Chaudhuri): J(A,B) >= t forces
     # min(|A|,|B|) >= t * max(|A|,|B|); dropping size-incompatible
     # collisions BEFORE the pair-dedup shuffle and verify join is
     # lossless. Same round-to-6dp guard as prefix_len so float
     # epsilon in t*n never discards a boundary-qualifying pair.
-    candidates = (
-        prefix.select(F.col("_k").alias(key_a), "_i", F.col("_sz").alias("_sza"))
+    collisions = (
+        prefix.select(
+            F.col("_k").alias(key_a), "_i", F.col("_sz").alias("_sza"),
+            F.col("_rn").alias("_rna"),
+        )
         .join(
             prefix.select(
-                F.col("_k").alias(key_b), "_i", F.col("_sz").alias("_szb")
+                F.col("_k").alias(key_b), "_i", F.col("_sz").alias("_szb"),
+                F.col("_rn").alias("_rnb"),
             ),
             "_i",
         )
@@ -147,8 +151,44 @@ def exact_jaccard_pairs(
             & (F.col("_sza") >= F.round(F.lit(threshold) * F.col("_szb"), 6))
             & (F.col("_szb") >= F.round(F.lit(threshold) * F.col("_sza"), 6))
         )
+    )
+    # Positional filter (ppjoin, Xiao et al. WWW'08): the pair-dedup
+    # groupBy (same shuffle the old .distinct() paid) also keeps each
+    # pair's FIRST prefix collision — the item minimizing _rn on both
+    # sides simultaneously, since both keys sort items by one global
+    # (df, item) order, so any earlier collision item would have a
+    # smaller _rn in BOTH lists. Every other common item follows that
+    # first collision in both lists (an earlier common item would
+    # itself be a prefix collision), so
+    #   |A ∩ B| <= 1 + min(|A| - rn_a, |B| - rn_b),
+    # while Jaccard >= t forces |A ∩ B| >= t/(1+t) · (|A|+|B|).
+    # Candidates whose upper bound can't reach that floor are dropped
+    # before the verify join ever assembles their item arrays —
+    # lossless, and the pruning strengthens exactly where the verify
+    # is most expensive (large sets whose prefixes first agree late).
+    required = F.round(
+        F.lit(threshold / (1.0 + threshold))
+        * (F.col("_sza") + F.col("_szb")),
+        6,
+    )
+    candidates = (
+        collisions.groupBy(key_a, key_b)
+        .agg(
+            F.min("_rna").alias("_ia"),
+            F.min("_rnb").alias("_jb"),
+            F.first("_sza").alias("_sza"),
+            F.first("_szb").alias("_szb"),
+        )
+        .where(
+            (
+                F.lit(1)
+                + F.least(
+                    F.col("_sza") - F.col("_ia"), F.col("_szb") - F.col("_jb")
+                )
+            )
+            >= required
+        )
         .select(key_a, key_b)
-        .distinct()
     )
     sets = base.groupBy("_k").agg(F.sort_array(F.collect_list("_i")).alias("_set"))
     sets_a = sets.select(F.col("_k").alias(key_a), F.col("_set").alias("_ia"))
