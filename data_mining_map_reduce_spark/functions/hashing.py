@@ -74,3 +74,17 @@ def minhash_signature(items: Column, num_hashes: int, m: int = FOLD_PRIME) -> Co
 def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance between two 64-bit simhashes: popcount(a^b)."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def md5_hash60(col: Column | str) -> Column:
+    """Cross-engine-replayable 60-bit hash: the first 15 hex digits of
+    md5(utf8 bytes) parsed as an integer. DuckDB computes the identical
+    value as ``CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)``, which
+    is the seam that lets sketch/fingerprint oracles replay the exact
+    hash — xxhash64 has no cross-engine twin. ~3× the cost of xxhash64,
+    so it is reserved for operators whose DRIVER ORACLE needs the hash
+    value itself (simhash); pure-internal hashing stays on xxhash64."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c.cast("binary")), 1, 15), 16, 10).cast(
+        "bigint"
+    )

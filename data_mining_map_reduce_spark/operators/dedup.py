@@ -107,36 +107,48 @@ def exact_duplicate_groups(
     )
 
 
+# SimHash width: 60 bits — the md5_hash60 hash is replayable bit-for-
+# bit in DuckDB, which is what lets simhash_doc_pairs carry a FULL
+# driver oracle (the only rows-only → oracle conversion available for
+# a hash-defined operator: the oracle must reproduce the hash itself).
+SIMHASH_BITS = 60
+
+
 def simhash_fingerprints(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
 ) -> DataFrame:
-    """(doc_id, 64-bit simhash of the doc's shingle set).
+    """(doc_id, 60-bit simhash of the doc's shingle set).
 
     Bit j of the fingerprint is set iff a majority of the doc's
-    shingles have bit j set in their xxhash64. Computed as explode →
-    one xxhash64 per shingle → groupBy(doc_id) with 64 conditional
-    sums (``sum(shiftright(h, j) & 1)``) — each a trivially
-    codegen-able aggregate with map-side partial aggregation — then
-    one projection assembles the 64 majority bits into a bigint.
-    Replaces a per-row 64-lane ``aggregate``/``zip_with`` fold that
-    fell out of whole-stage codegen (~100× slower per row).
+    shingles have bit j set in their md5-derived 60-bit hash
+    (functions/hashing.md5_hash60 — chosen over xxhash64 because
+    DuckDB reproduces it exactly, making the whole operator
+    oracle-checkable). Computed as explode → one hash per shingle →
+    groupBy(doc_id) with 60 conditional sums
+    (``sum(shiftright(h, j) & 1)``) — each a trivially codegen-able
+    aggregate with map-side partial aggregation — then one projection
+    assembles the 60 majority bits into a bigint. Replaces a per-row
+    64-lane ``aggregate``/``zip_with`` fold that fell out of
+    whole-stage codegen (~100× slower per row).
 
     Docs whose shingle set is empty keep a fingerprint of 0 (the
     explode drops them; a left join restores them), matching the
     empty-fold semantics of the expression form.
     """
+    from ..functions.hashing import md5_hash60
+
     shingled = doc_shingles(docs, id_col, text_col, n)
     hashed = doc_shingle_pairs(docs, id_col, text_col, n, shingle_alias="_s").select(
-        id_col, F.xxhash64("_s").alias("_h")
+        id_col, md5_hash60("_s").alias("_h")
     )
     counts = hashed.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("_n"),
         *[
             F.sum(F.shiftright("_h", j).bitwiseAND(F.lit(1))).alias(f"_b{j}")
-            for j in range(64)
+            for j in range(SIMHASH_BITS)
         ],
     )
     fp = reduce(
@@ -146,7 +158,7 @@ def simhash_fingerprints(
                 F.col(f"_b{j}") * 2 > F.col("_n"),
                 F.shiftleft(F.lit(1).cast("long"), j),
             ).otherwise(F.lit(0).cast("long"))
-            for j in range(64)
+            for j in range(SIMHASH_BITS)
         ],
     )
     return (
@@ -266,19 +278,23 @@ def simhash_near_dup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
-    bands: int = 8,
+    bands: int = 10,
     hamming_max: int = 7,
 ) -> DataFrame:
-    """SimHash near-dup pairs: band the 64-bit fingerprint into
+    """SimHash near-dup pairs: band the 60-bit fingerprint into
     ``bands`` sub-keys, equi-join on (band, value), verify hamming ≤
     ``hamming_max``.
 
     With hamming_max < bands, pigeonhole guarantees every qualifying
     pair shares at least one full band — recall 1.0 at that radius.
+    That same pigeonhole makes the driver oracle exact: any pair at
+    hamming ≤ 7 < 10 bands MUST collide in a band, so the banded join
+    + popcount filter returns exactly the all-pairs hamming ≤ 7 set,
+    which DuckDB computes directly from the replayed fingerprints.
     One shuffle on the band bucket, one distinct on pairs; the
     verify is a broadcast-free codegen popcount.
     """
-    bits = 64 // bands
+    bits = SIMHASH_BITS // bands
     fp = simhash_fingerprints(docs, id_col, text_col, n)
     banded = fp.select(
         F.col(id_col),

@@ -1422,15 +1422,57 @@ def near_dup_docs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("a", "b")
 
 
-# SimHash near-dup pairs: 64-bit fingerprints, 8x8-bit bands,
-# hamming <= 7 (pigeonhole => recall 1.0 at that radius). Rows-only;
-# planted-pair behavior pytest-asserted.
-@query("simhash_doc_pairs")
+# SimHash near-dup pairs: 60-bit md5-derived fingerprints, 10x6-bit
+# bands, hamming <= 7. FULL oracle: the fingerprint hash
+# (functions/hashing.md5_hash60) is replayed bit-for-bit in DuckDB,
+# and pigeonhole (7 < 10 bands) makes the banded join's result set
+# EQUAL to all-pairs hamming <= 7, which is what the oracle computes.
+_SIMHASH_SUMS_SQL = ",\n             ".join(
+    f"SUM((h >> {j}) & 1) AS b{j}" for j in range(60)
+)
+_SIMHASH_FP_SQL = "\n               + ".join(
+    f"CASE WHEN b{j} * 2 > n THEN (CAST(1 AS BIGINT) << {j}) ELSE 0 END"
+    for j in range(60)
+)
+
+
+@query(
+    "simhash_doc_pairs",
+    f"""
+    WITH sh AS ({_DOC_SHINGLES_SQL}),
+    hx AS (
+      SELECT doc_id, CAST(('0x' || substr(md5(sg), 1, 15)) AS BIGINT) AS h
+      FROM (SELECT doc_id, unnest(s) AS sg FROM sh)
+    ),
+    cnt AS (
+      SELECT doc_id, COUNT(*) AS n,
+             {_SIMHASH_SUMS_SQL}
+      FROM hx GROUP BY doc_id
+    ),
+    fp AS (
+      SELECT doc_id,
+             {_SIMHASH_FP_SQL} AS f
+      FROM cnt
+    ),
+    allf AS (
+      SELECT d.doc_id, COALESCE(fp.f, 0) AS f
+      FROM documents d LEFT JOIN fp USING (doc_id)
+    )
+    SELECT a.doc_id AS a, b.doc_id AS b,
+           CAST(bit_count(xor(a.f, b.f)) AS INTEGER) AS hamming
+    FROM allf a JOIN allf b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.f, b.f)) <= 7
+    ORDER BY a, b
+    """,
+)
 def simhash_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import simhash_near_dup_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_near_dup_pairs(docs).orderBy("a", "b")
+    pairs = simhash_near_dup_pairs(docs)
+    return pairs.select(
+        "a", "b", F.col("hamming").cast("int").alias("hamming")
+    ).orderBy("a", "b")
 
 
 # ---------------------------------------------------------------------------
