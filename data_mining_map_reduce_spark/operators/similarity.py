@@ -256,16 +256,26 @@ def minhash_lsh_pairs(
     interpreted, measured 20 s for 15 k signature rows at sf0.1 where
     the aggregate form takes ~1 s. Map-side partial aggregation means
     the shuffle carries one 32-long row per key per map partition.
-    Same hash family, same mins, same signatures. Keys whose item
-    array is empty produce no signature rows (the per-row form gave
-    them all-null signatures, which then collided into one shared
-    bucket); pairs of empty sets can never reach a positive threshold,
-    so dropping them is the correct contract for both modes. Verify
-    sets carry xxhash64 of each item (fixed-width bigint arrays —
-    ~7× cheaper to intersect than strings; collision odds per pair
-    ≈ n²/2⁶⁵, negligible), reusing the same hash evaluation the fold
-    already needs.
+    Keys whose item array is empty produce no signature rows (the
+    per-row form gave them all-null signatures, which then collided
+    into one shared bucket); pairs of empty sets can never reach a
+    positive threshold, so dropping them is the correct contract for
+    both modes. Verify sets carry the hashed items (fixed-width bigint
+    arrays — ~7× cheaper to intersect than strings; collision odds per
+    pair ≈ n²/2⁶¹, negligible), reusing the hash the fold needs.
+
+    The base item hash is ``md5_hash60`` — bit-identical in DuckDB —
+    and band membership joins on the literal (band, slot values)
+    struct, so the ENTIRE pipeline (signatures → band collisions →
+    exact-Jaccard verify) is replayable as a SQL oracle: the driver
+    value-hashes this operator's output instead of trusting a
+    rows-only count. xxhash64 would be ~3× cheaper per item; the
+    oracle-replayable family is the default because checkability is
+    worth more than a cheap projection, and the fold cost is a small
+    slice of the pipeline (the shuffles dominate).
     """
+    from ..functions.hashing import md5_hash60
+
     if num_hashes % bands:
         raise ValueError("num_hashes must divide evenly into bands")
     rows_per_band = num_hashes // bands
@@ -273,8 +283,8 @@ def minhash_lsh_pairs(
     exploded = (
         baskets.select(F.col(key).alias("_k"), F.explode_outer(items).alias("_it"))
         .where(F.col("_it").isNotNull())
-        .select("_k", F.xxhash64("_it").alias("_h64"))
-        .select("_k", "_h64", F.pmod("_h64", F.lit(FOLD_PRIME)).alias("_f"))
+        .select("_k", md5_hash60("_it").alias("_h60"))
+        .select("_k", "_h60", F.pmod("_h60", F.lit(FOLD_PRIME)).alias("_f"))
     )
     min_aggs = []
     for i in range(num_hashes):
@@ -285,25 +295,29 @@ def minhash_lsh_pairs(
             ).alias(f"_h{i}")
         )
     if verify:
-        min_aggs.append(F.collect_set("_h64").alias("_items"))
+        min_aggs.append(F.collect_set("_h60").alias("_items"))
     sig = exploded.groupBy("_k").agg(*min_aggs)
 
-    # One bucket key per band: hash of (band index, the band's r
-    # signature slots). Equal band-slices collide exactly as the
-    # array-slice formulation did; only the bucket id changes.
+    # One bucket key per band: the (band index, r signature slots)
+    # struct itself. Struct equality is exact band-slice equality —
+    # no derived-hash collisions — which keeps the operator's output
+    # literally equal to its SQL-oracle formulation.
     banded = sig.select(
         "_k",
-        F.posexplode(
+        F.explode(
             F.array(
                 *[
-                    F.xxhash64(
-                        F.lit(b),
-                        *[F.col(f"_h{b * rows_per_band + j}") for j in range(rows_per_band)],
+                    F.struct(
+                        F.lit(b).alias("_band"),
+                        *[
+                            F.col(f"_h{b * rows_per_band + j}").alias(f"_s{j}")
+                            for j in range(rows_per_band)
+                        ],
                     )
                     for b in range(bands)
                 ]
             )
-        ).alias("_band", "_bucket"),
+        ).alias("_bucket"),
     )
 
     if max_bucket is not None:

@@ -889,11 +889,79 @@ def jaccard_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # M3: MinHash+LSH near-neighbor pairs (b=32, r=1 — the reference's
-# banding at threshold 0.05, Assignment3/task1.py:59-61). Approximate
-# candidate recall ⇒ no SQL oracle; pytest asserts recall >= 0.8 vs
-# the exact path (A3 PDF §4.1.4 grading rule).
+# banding at threshold 0.05, Assignment3/task1.py:59-61). FULL oracle:
+# the md5-derived item hash and the (a·x+b) mod p family are replayed
+# exactly in DuckDB (num_hashes MIN aggregates), band collision is an
+# OR over per-band slot equality, and the verify is exact Jaccard —
+# so the driver value-hashes the LSH pipeline end-to-end. The pytest
+# recall >= 0.8 check vs the exact path (A3 PDF §4.1.4) still runs.
 # ---------------------------------------------------------------------------
-@query("minhash_lsh_pairs")
+def _minhash_oracle_sql(
+    items_sql: str,
+    num_hashes: int,
+    bands: int,
+    threshold: float,
+    key_a: str = "a",
+    key_b: str = "b",
+) -> str:
+    """DuckDB replay of operators/similarity.minhash_lsh_pairs over an
+    ``items_sql`` relation (columns k, i) — same md5_hash60 fold, same
+    universal-hash family (functions/hashing.hash_params), same banding
+    and exact-Jaccard verify."""
+    from .functions.hashing import FOLD_PRIME, hash_params
+
+    r = num_hashes // bands
+    mins = ",\n             ".join(
+        f"MIN(({a} * f + {b}) % {FOLD_PRIME}) AS h{i}"
+        for i, (a, b) in (
+            (i, hash_params(i, FOLD_PRIME)) for i in range(num_hashes)
+        )
+    )
+    band_or = "\n            OR ".join(
+        "("
+        + " AND ".join(f"sa.h{b_ * r + j} = sb.h{b_ * r + j}" for j in range(r))
+        + ")"
+        for b_ in range(bands)
+    )
+    return f"""
+    WITH items AS ({items_sql}),
+    hx AS (
+      SELECT k, i,
+             CAST(('0x' || substr(md5(i), 1, 15)) AS BIGINT) % {FOLD_PRIME} AS f
+      FROM items
+    ),
+    sig AS (
+      SELECT k, {mins}
+      FROM hx GROUP BY k
+    ),
+    cand AS (
+      SELECT sa.k AS ka, sb.k AS kb
+      FROM sig sa JOIN sig sb ON sa.k < sb.k
+      WHERE {band_or}
+    ),
+    sets AS (SELECT k, list(DISTINCT i) AS s FROM items GROUP BY k)
+    SELECT c.ka AS {key_a}, c.kb AS {key_b},
+           ROUND(len(list_intersect(x.s, y.s)) * 1.0
+                 / len(list_distinct(list_concat(x.s, y.s))), 6) AS jaccard
+    FROM cand c JOIN sets x ON x.k = c.ka JOIN sets y ON y.k = c.kb
+    WHERE len(list_intersect(x.s, y.s)) * 1.0
+          / len(list_distinct(list_concat(x.s, y.s))) >= {threshold}
+    ORDER BY {key_a}, {key_b}
+    """
+
+
+@query(
+    "minhash_lsh_pairs",
+    _minhash_oracle_sql(
+        """
+        SELECT DISTINCT o.o_custkey AS k, CAST(l.l_partkey AS VARCHAR) AS i
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        """,
+        num_hashes=32,
+        bands=32,
+        threshold=0.05,
+    ),
+)
 def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.relational import baskets
     from .operators.similarity import minhash_lsh_pairs
@@ -1409,8 +1477,17 @@ def near_dup_docs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Near-dup scale path: MinHash LSH over the same shingle sets
 # (64 hashes, 32 bands x 2 rows — collision prob ~1.0 at s=0.5).
-# Rows-only; recall >= 0.9 vs the exact twin is pytest-asserted.
-@query("near_dup_docs_lsh")
+# FULL oracle via _minhash_oracle_sql (same replayable hash family);
+# recall >= 0.9 vs the exact twin additionally pytest-asserted.
+@query(
+    "near_dup_docs_lsh",
+    _minhash_oracle_sql(
+        f"SELECT doc_id AS k, unnest(s) AS i FROM ({_DOC_SHINGLES_SQL})",
+        num_hashes=64,
+        bands=32,
+        threshold=0.5,
+    ),
+)
 def near_dup_docs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import doc_shingles
     from .operators.similarity import minhash_lsh_pairs
