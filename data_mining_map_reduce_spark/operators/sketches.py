@@ -27,15 +27,22 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import hash_params, stable_int
+from ..functions.hashing import hash_params
 
 
 def _bloom_pos(col: Column, i: int, m: int) -> Column:
-    """Bit position for hash index ``i``: an independent xxhash64
-    stream per index (seeded by mixing ``i`` into the hash input) —
+    """Bit position for hash index ``i``: an independent md5-derived
+    stream per index (the index is mixed into the hash INPUT) —
     affine transforms of a single fold correlate positions and
-    measurably inflate FPR."""
-    return F.pmod(F.xxhash64(F.lit(i), col), F.lit(m))
+    measurably inflate FPR. md5_hash60 over ``"i|value"`` replays
+    bit-for-bit in DuckDB, which is what lets the Bloom probe query
+    carry a full value-hashed oracle instead of a rows-only check."""
+    from ..functions.hashing import md5_hash60
+
+    return F.pmod(
+        md5_hash60(F.concat_ws("|", F.lit(str(i)), col.cast("string"))),
+        F.lit(m),
+    )
 
 
 def _bloom_geometry(expected_items: int, fpp: float) -> tuple[int, int]:
@@ -154,12 +161,16 @@ def bloom_probe(
 
 def trailing_zeros(col: Column | str) -> Column:
     """F8: count of low-order zero bits of a positive long —
-    ``log2(h & -h)`` (isolate lowest set bit). h=0 → 0, matching the
+    ``bit_count((h & -h) - 1)``: isolate the lowest set bit, turn the
+    zeros below it into ones, popcount. Pure integer arithmetic (the
+    earlier ``log2(h & -h)`` form depends on libm rounding at exact
+    powers of two, which a SQL oracle on another engine cannot be
+    trusted to reproduce through an int cast). h=0 → 0, matching the
     reference's convention for the empty-hash case
     (Assignment6/task2.py:29-30: r=0 contributes 2^0)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.when(c == 0, F.lit(0)).otherwise(
-        F.log2(c.bitwiseAND(-c)).cast("int")
+        F.bit_count((c.bitwiseAND(-c)) - 1)
     )
 
 
@@ -180,10 +191,18 @@ def fm_distinct_estimate(
     One aggregate pass: 40 codegen'd MAX columns (partial max per
     partition — constant-size state), then the combine is pure array
     math on a single row. Single-row output (n_estimate double).
+
+    The value fold is md5-derived (functions/hashing.md5_hash60 of the
+    value's string form), so every h_i, every trailing-zeros count,
+    and the whole group-median combine replay bit-for-bit in a DuckDB
+    oracle — the FM estimate is deterministic given the hash family,
+    and with a replayable family it stops being a trust-me number.
     """
+    from ..functions.hashing import md5_hash60
+
     if num_hashes % group_size:
         raise ValueError("num_hashes must divide evenly into groups")
-    folded = stable_int(F.col(col))
+    folded = F.pmod(md5_hash60(F.col(col).cast("string")), F.lit(2**31 - 1))
     maxes = []
     for i in range(num_hashes):
         a, b = hash_params(i, 2**31 - 1)

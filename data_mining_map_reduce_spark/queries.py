@@ -717,12 +717,67 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # A13: Bloom filter build + probe (reference Assignment6/task1.py:26-61
 # — 6 hash fns over distinct cities, probe = all bits set). Engine:
-# distributive bloom_filter_agg + might_contain; the query emits the
-# confusion-matrix summary the reference's grader computes (FPR/FNR).
-# Rows-only (sketch internals engine-specific); FNR=0 and the FPR
-# bound are pytest-asserted in tests/test_sketches.py.
+# distributive bit_or bitmap build + broadcast-data probe; the query
+# emits the confusion-matrix summary the reference's grader computes
+# (FPR/FNR). FULL oracle: positions use the md5-derived per-index hash
+# streams, so DuckDB rebuilds the same position set (membership =
+# all k positions present) and the same geometry (m, k derived from
+# the member count by the standard sizing formulas). FNR=0 and the
+# FPR bound additionally pytest-asserted in tests/test_sketches.py.
 # ---------------------------------------------------------------------------
-@query("bloom_probe_custkeys")
+_BLOOM_GEOM_M_SQL = (
+    "GREATEST(64, CAST(trunc(-n * ln(0.01) / (ln(2) * ln(2))) AS BIGINT))"
+)
+_BLOOM_POS_SQL = (
+    "CAST(('0x' || substr(md5(concat(i, '|', CAST({v} AS VARCHAR))), 1, 15))"
+    " AS BIGINT) % (SELECT m FROM geom)"
+)
+
+
+@query(
+    "bloom_probe_custkeys",
+    f"""
+    WITH members AS (
+      SELECT c_custkey AS key FROM customer WHERE c_mktsegment = 'BUILDING'
+    ),
+    geom AS (
+      SELECT n, {_BLOOM_GEOM_M_SQL} AS m,
+             GREATEST(1, CAST(ROUND({_BLOOM_GEOM_M_SQL} * 1.0 / n * ln(2))
+                              AS INTEGER)) AS k
+      FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM members)
+    ),
+    idx AS (SELECT unnest(range((SELECT k FROM geom))) AS i),
+    bpos AS (
+      SELECT DISTINCT {_BLOOM_POS_SQL.format(v="key")} AS p
+      FROM members CROSS JOIN idx
+    ),
+    probes AS (SELECT DISTINCT o_custkey AS key FROM orders),
+    ppos AS (
+      SELECT key, {_BLOOM_POS_SQL.format(v="key")} AS p
+      FROM probes CROSS JOIN idx
+    ),
+    flag AS (
+      SELECT key,
+             MIN(CASE WHEN p IN (SELECT p FROM bpos) THEN 1 ELSE 0 END) = 1
+                 AS maybe_member
+      FROM ppos GROUP BY key
+    ),
+    truth AS (
+      SELECT f.key, f.maybe_member, (m2.key IS NOT NULL) AS is_member
+      FROM flag f LEFT JOIN members m2 ON f.key = m2.key
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+           CAST(SUM(CASE WHEN maybe_member THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_flagged,
+           CAST(SUM(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_members,
+           CAST(SUM(CASE WHEN maybe_member AND NOT is_member THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_pos,
+           CAST(SUM(CASE WHEN NOT maybe_member AND is_member THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_neg
+    FROM truth
+    """,
+)
 def bloom_probe_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.sketches import bloom_build, bloom_probe
 
@@ -757,9 +812,65 @@ def bloom_probe_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
 # A12/F8: Flajolet-Martin distinct estimate — the reference's exact
 # estimator combine (40 hashes, mean-of-4-groups, median of means,
 # Assignment6/task2.py:33-76) as one distributed aggregate pass.
-# Rows-only; accuracy vs exact distinct is pytest-asserted.
+# FULL oracle: the estimate is deterministic given the hash family,
+# and the md5-derived fold + integer-exact trailing-zeros replay
+# bit-for-bit in DuckDB (40 MAX aggregates + the same group-median
+# combine). Accuracy vs exact distinct additionally pytest-asserted.
 # ---------------------------------------------------------------------------
-@query("fm_distinct_users")
+def _fm_oracle_sql(
+    val_sql: str, num_hashes: int = 40, group_size: int = 4
+) -> str:
+    """DuckDB replay of operators/sketches.fm_distinct_estimate over a
+    one-column (u) relation."""
+    from .functions.hashing import FOLD_PRIME, hash_params
+
+    hs = ",\n             ".join(
+        f"({a} * f + {b}) % {FOLD_PRIME} AS h{i}"
+        for i, (a, b) in (
+            (i, hash_params(i, FOLD_PRIME)) for i in range(num_hashes)
+        )
+    )
+    rs = ",\n             ".join(
+        f"MAX(CASE WHEN h{i} = 0 THEN 0"
+        f" ELSE bit_count((h{i} & -h{i}) - 1) END) AS r{i}"
+        for i in range(num_hashes)
+    )
+    n_groups = num_hashes // group_size
+    means = ",\n               ".join(
+        "("
+        + " + ".join(
+            f"pow(2.0, r{g * group_size + j})" for j in range(group_size)
+        )
+        + f") / {group_size}"
+        for g in range(n_groups)
+    )
+    mid = n_groups // 2
+    return f"""
+    WITH v AS ({val_sql}),
+    f AS (
+      SELECT CAST(('0x' || substr(md5(CAST(u AS VARCHAR)), 1, 15)) AS BIGINT)
+             % {FOLD_PRIME} AS f
+      FROM v
+    ),
+    h AS (
+      SELECT {hs}
+      FROM f
+    ),
+    r AS (
+      SELECT {rs}
+      FROM h
+    ),
+    m AS (
+      SELECT list_sort([{means}]) AS s FROM r
+    )
+    SELECT ROUND((s[{mid}] + s[{mid + 1}]) / 2, 4) AS n_estimate FROM m
+    """
+
+
+@query(
+    "fm_distinct_users",
+    _fm_oracle_sql("SELECT user_id AS u FROM events"),
+)
 def fm_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.sketches import fm_distinct_estimate
 
@@ -769,18 +880,29 @@ def fm_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # M4/ST6 batch twin: uniform 100-row sample (distribution-identical
-# to a reservoir pass; plans as TakeOrderedAndProject over rand(seed)
-# — distributed, no driver sequential pass). The sequential streaming
-# reservoir with the reference's exact update rule lives in
-# streaming/reservoir.py and is pytest-verified
-# (tests/test_streaming.py). Rows-only: sampling is engine-specific.
+# to a reservoir pass; plans as TakeOrderedAndProject — distributed,
+# no driver sequential pass). The sort key is the md5-derived content
+# hash of event_id ⊕ seed (a seeded random permutation), so the
+# sample is layout-independent AND the oracle replays it exactly.
+# The sequential streaming reservoir with the reference's exact
+# update rule lives in streaming/reservoir.py and is pytest-verified
+# (tests/test_streaming.py).
 # ---------------------------------------------------------------------------
-@query("reservoir_sample_events")
+@query(
+    "reservoir_sample_events",
+    """
+    SELECT event_id, user_id, event_type
+    FROM events
+    ORDER BY CAST(('0x' || substr(md5(concat_ws('|', event_id, '7')), 1, 15))
+                  AS BIGINT) ASC, event_id ASC
+    LIMIT 100
+    """,
+)
 def reservoir_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.reservoir import uniform_sample
 
     events = load_table(spark, sf_dir, "events")
-    return uniform_sample(events, 100, seed=7).select(
+    return uniform_sample(events, 100, seed=7, id_cols=["event_id"]).select(
         "event_id", "user_id", "event_type"
     )
 
@@ -896,18 +1018,19 @@ def jaccard_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # so the driver value-hashes the LSH pipeline end-to-end. The pytest
 # recall >= 0.8 check vs the exact path (A3 PDF §4.1.4) still runs.
 # ---------------------------------------------------------------------------
-def _minhash_oracle_sql(
+def _minhash_pairs_ctes(
     items_sql: str,
     num_hashes: int,
     bands: int,
-    threshold: float,
-    key_a: str = "a",
-    key_b: str = "b",
+    threshold: float | None,
 ) -> str:
-    """DuckDB replay of operators/similarity.minhash_lsh_pairs over an
-    ``items_sql`` relation (columns k, i) — same md5_hash60 fold, same
-    universal-hash family (functions/hashing.hash_params), same banding
-    and exact-Jaccard verify."""
+    """CTE chain (splice after ``WITH``) replaying
+    operators/similarity.minhash_lsh_pairs over an ``items_sql``
+    relation (columns k, i) — same md5_hash60 fold, same
+    universal-hash family (functions/hashing.hash_params), same
+    banding. Final CTE: ``mh_pairs`` — (a, b, jaccard) when
+    ``threshold`` is set (exact-Jaccard verify), (a, b) candidates
+    only when ``threshold`` is None (the verify=False contract)."""
     from .functions.hashing import FOLD_PRIME, hash_params
 
     r = num_hashes // bands
@@ -923,29 +1046,52 @@ def _minhash_oracle_sql(
         + ")"
         for b_ in range(bands)
     )
-    return f"""
-    WITH items AS ({items_sql}),
-    hx AS (
+    ctes = f"""mh_items AS ({items_sql}),
+    mh_hx AS (
       SELECT k, i,
              CAST(('0x' || substr(md5(i), 1, 15)) AS BIGINT) % {FOLD_PRIME} AS f
-      FROM items
+      FROM mh_items
     ),
-    sig AS (
+    mh_sig AS (
       SELECT k, {mins}
-      FROM hx GROUP BY k
+      FROM mh_hx GROUP BY k
     ),
-    cand AS (
+    mh_cand AS (
       SELECT sa.k AS ka, sb.k AS kb
-      FROM sig sa JOIN sig sb ON sa.k < sb.k
+      FROM mh_sig sa JOIN mh_sig sb ON sa.k < sb.k
       WHERE {band_or}
-    ),
-    sets AS (SELECT k, list(DISTINCT i) AS s FROM items GROUP BY k)
-    SELECT c.ka AS {key_a}, c.kb AS {key_b},
-           ROUND(len(list_intersect(x.s, y.s)) * 1.0
-                 / len(list_distinct(list_concat(x.s, y.s))), 6) AS jaccard
-    FROM cand c JOIN sets x ON x.k = c.ka JOIN sets y ON y.k = c.kb
-    WHERE len(list_intersect(x.s, y.s)) * 1.0
-          / len(list_distinct(list_concat(x.s, y.s))) >= {threshold}
+    )"""
+    if threshold is None:
+        return ctes + ",\n    mh_pairs AS (SELECT ka AS a, kb AS b FROM mh_cand)"
+    return (
+        ctes
+        + f""",
+    mh_sets AS (SELECT k, list(DISTINCT i) AS s FROM mh_items GROUP BY k),
+    mh_pairs AS (
+      SELECT c.ka AS a, c.kb AS b,
+             ROUND(len(list_intersect(x.s, y.s)) * 1.0
+                   / len(list_distinct(list_concat(x.s, y.s))), 6) AS jaccard
+      FROM mh_cand c
+      JOIN mh_sets x ON x.k = c.ka JOIN mh_sets y ON y.k = c.kb
+      WHERE len(list_intersect(x.s, y.s)) * 1.0
+            / len(list_distinct(list_concat(x.s, y.s))) >= {threshold}
+    )"""
+    )
+
+
+def _minhash_oracle_sql(
+    items_sql: str,
+    num_hashes: int,
+    bands: int,
+    threshold: float,
+    key_a: str = "a",
+    key_b: str = "b",
+) -> str:
+    """Standalone oracle query over :func:`_minhash_pairs_ctes`."""
+    return f"""
+    WITH {_minhash_pairs_ctes(items_sql, num_hashes, bands, threshold)}
+    SELECT a AS {key_a}, b AS {key_b}, jaccard
+    FROM mh_pairs
     ORDER BY {key_a}, {key_b}
     """
 
@@ -1866,7 +2012,69 @@ def ann_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, probes, k=5).orderBy("probe_id", "rnk")
 
 
-@query("ann_topk_lsh")
+# FULL oracle: the seeded hyperplanes are deterministic literals
+# (np.random.default_rng(7), 24×64 — dim 64 matches the testdata
+# embeddings; a dim change would fail loudly as a row mismatch), the
+# sign-bit dot products replay with the identical left-associative
+# summation order, and the verify is the same rounded cosine the
+# green ann_topk_exact oracle already proves cross-engine. A sign
+# flip would need |dot| under ~1e-13 — not observable on real draws.
+def _ann_lsh_oracle_sql(num_planes: int = 24, bands: int = 8, k: int = 5) -> str:
+    import numpy as np
+
+    planes = np.random.default_rng(7).standard_normal((num_planes, 64))
+    r = num_planes // bands
+    bit_exprs = []
+    for i in range(num_planes):
+        dot = " + ".join(f"v[{j + 1}] * {planes[i][j]!r}" for j in range(64))
+        bit_exprs.append(f"CASE WHEN ({dot}) > 0 THEN 1 ELSE 0 END")
+    band_cols = ",\n             ".join(
+        "("
+        + " + ".join(f"b{b * r + i} * {1 << i}" for i in range(r))
+        + f") AS band{b}"
+        for b in range(bands)
+    )
+    bit_cols = ",\n             ".join(
+        f"{e} AS b{i}" for i, e in enumerate(bit_exprs)
+    )
+    band_or = "\n            OR ".join(
+        f"(p.band{b} = e.band{b})" for b in range(bands)
+    )
+    return f"""
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    bits AS (
+      SELECT vec_id, v,
+             {bit_cols}
+      FROM base
+    ),
+    sig AS (
+      SELECT vec_id, v,
+             {band_cols}
+      FROM bits
+    ),
+    p AS (SELECT * FROM sig WHERE vec_id < 10),
+    cand AS (
+      SELECT DISTINCT p.vec_id AS probe_id, e.vec_id AS neighbor_id,
+             p.v AS pv, e.v AS ev
+      FROM p JOIN sig e ON e.vec_id <> p.vec_id
+      WHERE {band_or}
+    ),
+    s AS (
+      SELECT probe_id, neighbor_id,
+             ROUND(list_cosine_similarity(pv, ev), 6) AS cos_sim
+      FROM cand
+    )
+    SELECT probe_id, neighbor_id, cos_sim,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY probe_id ORDER BY cos_sim DESC, neighbor_id
+           ) AS INTEGER) AS rnk
+    FROM s
+    QUALIFY rnk <= {k}
+    ORDER BY probe_id, rnk
+    """
+
+
+@query("ann_topk_lsh", _ann_lsh_oracle_sql())
 def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.ann import hyperplane_lsh_topk
 
@@ -2275,7 +2483,50 @@ def content_based_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("cf_user_predictions_lsh")
+@query(
+    "cf_user_predictions_lsh",
+    f"""
+    WITH r AS ({_RATINGS_SQL}),
+    {_minhash_pairs_ctes(
+        "SELECT u AS k, CAST(i AS VARCHAR) AS i FROM r",
+        num_hashes=32,
+        bands=16,
+        threshold=None,
+    )},
+    s0 AS (
+        SELECT a.u AS u1, b.u AS u2,
+               ROUND(corr(a.rating, b.rating), 6) AS sim
+        FROM r a
+        JOIN r b ON a.i = b.i AND a.u < b.u
+        JOIN mh_pairs p ON p.a = a.u AND p.b = b.u
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 3 AND corr(a.rating, b.rating) IS NOT NULL
+    ),
+    s AS (
+        SELECT u1, u2, sim FROM s0
+        UNION ALL
+        SELECT u2 AS u1, u1 AS u2, sim FROM s0
+    ),
+    t AS (SELECT u, i FROM r WHERE u < 50),
+    cand AS (
+        SELECT t.u, t.i, s.u2 AS nbr, s.sim, r2.rating
+        FROM t
+        JOIN s ON s.u1 = t.u
+        JOIN r r2 ON r2.u = s.u2 AND r2.i = t.i
+        WHERE s.sim > 0
+    ),
+    top AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY u, i ORDER BY sim DESC, nbr
+        ) AS rk
+        FROM cand
+    )
+    SELECT u, i, ROUND(SUM(sim * rating) / SUM(sim), 4) AS pred
+    FROM top WHERE rk <= 5
+    GROUP BY u, i
+    ORDER BY u, i
+    """,
+)
 def cf_user_predictions_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.recommend import (
         predict_ratings_user_based,
@@ -2766,7 +3017,42 @@ def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 # REFINEMENT of the exact pipeline's — no false merges, ever.
 # Rows-only: banding recall is probabilistic.
 # ---------------------------------------------------------------------------
-@query("dedup_canonical_docs_lsh")
+@query(
+    "dedup_canonical_docs_lsh",
+    f"""
+    WITH RECURSIVE h AS (
+        SELECT doc_id, translate(lower(text), '([,.!?:;])', '') AS norm
+        FROM documents
+    ),
+    g AS (SELECT norm, MIN(doc_id) AS canonical_id FROM h GROUP BY norm),
+    exact_edges AS (
+        SELECT h.doc_id AS src, g.canonical_id AS dst
+        FROM h JOIN g USING (norm) WHERE h.doc_id <> g.canonical_id
+    ),
+    {_minhash_pairs_ctes(
+        f"SELECT doc_id AS k, unnest(s) AS i FROM ({_DOC_SHINGLES_SQL})",
+        num_hashes=64,
+        bands=32,
+        threshold=0.5,
+    )},
+    undirected AS (
+        SELECT src, dst FROM exact_edges
+        UNION SELECT dst, src FROM exact_edges
+        UNION SELECT a AS src, b AS dst FROM mh_pairs
+        UNION SELECT b AS src, a AS dst FROM mh_pairs
+    ),
+    reach(id, r) AS (
+        SELECT DISTINCT src AS id, src AS r FROM undirected
+        UNION
+        SELECT u.dst AS id, reach.r
+        FROM reach JOIN undirected u ON reach.id = u.src
+    ),
+    comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+    SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS canonical_id
+    FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    ORDER BY d.doc_id
+    """,
+)
 def dedup_canonical_docs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import doc_shingles, exact_duplicate_groups
     from .operators.graph import connected_components
@@ -2851,8 +3137,35 @@ def train_test_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # engine-rand-specific; the size law, membership, determinism, and
 # weight dominance are pytest-asserted.
 # ---------------------------------------------------------------------------
-@query("weighted_doc_sample")
+@query(
+    "weighted_doc_sample",
+    """
+    WITH keyed AS (
+      SELECT lang, doc_id, n_chars,
+             pow(
+               (CAST(('0x' || substr(md5(concat_ws('|', doc_id, '7')), 1, 15))
+                     AS BIGINT) % 4503599627370496 + 0.5) / 4503599627370496.0,
+               1.0 / n_chars) AS wk
+      FROM documents WHERE n_chars > 0
+    ),
+    ranked AS (
+      SELECT lang, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY wk DESC, doc_id ASC) AS rk
+      FROM keyed
+    )
+    SELECT lang, doc_id, n_chars FROM ranked
+    WHERE rk <= 10
+    ORDER BY lang, doc_id
+    """,
+)
 def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X22: A-ES weighted per-stratum sample. FULL oracle: the content-
+    hash uniform draw is md5-derived (bit-identical in DuckDB), so the
+    oracle replays u, the A-ES key u^(1/w), and the tie-broken window
+    rank exactly. Cross-engine pow() last-ulp differences could in
+    principle flip a rank at the k-boundary, but only when two keys
+    agree to ~15 significant digits — not observable on real draws."""
     from .streaming.reservoir import weighted_sample
 
     docs = load_table(spark, sf_dir, "documents")
@@ -2959,9 +3272,8 @@ _DRIVER_ORDER = [
     "event_rollup_multigrain",
     "revenue_cube",
     "doc_length_percentiles",
-    "top_customers_per_segment",
-    "approx_distinct_users",
-    "fm_distinct_users",
+    "fm_distinct_users",          # r6: gained a full oracle (md5 hash family)
+    "bloom_probe_custkeys",       # r6: gained a full oracle (md5 hash family)
     # ---- driver cap (50) falls here ----
 ]
 
@@ -3001,7 +3313,8 @@ _EXCLUDED_R6 = [
     ("event_props_extract", "r5"),
     ("union_filtered_event_counts", "r5"),
     ("event_value_tier_counts", "r5"),
-    ("bloom_probe_custkeys", "r5 rows-only + FPR pytest"),
+    ("top_customers_per_segment", "r5"),
+    ("approx_distinct_users", "r5 rows-only (HLL++ internals are engine-specific; accuracy pytest)"),
 ]
 _DRIVER_ORDER += [name for name, _ in _EXCLUDED_R6]
 

@@ -58,13 +58,32 @@ class ReservoirSampler:
         return _fn
 
 
-def uniform_sample(df: DataFrame, k: int, seed: int = 7) -> DataFrame:
+def uniform_sample(
+    df: DataFrame, k: int, seed: int = 7, id_cols: list[str] | None = None
+) -> DataFrame:
     """M4 batch twin: uniform k-row sample, distribution-identical to
-    a reservoir pass, fully distributed (rand is per-row codegen;
-    ORDER BY + LIMIT plans as TakeOrderedAndProject)."""
+    a reservoir pass, fully distributed (the sort key is per-row
+    codegen; ORDER BY + LIMIT plans as TakeOrderedAndProject).
+
+    With ``id_cols`` the sort key is the md5-derived content hash of
+    those columns ⊕ seed — the hash acts as a seeded random
+    permutation of the rows, so the k smallest are a uniform k-subset
+    that is layout-independent AND bit-replayable in a SQL oracle.
+    Without ``id_cols``, falls back to ``F.rand(seed)`` (uniform but
+    partition-layout-dependent)."""
+    from ..functions.hashing import md5_hash60
+
+    if id_cols:
+        key = md5_hash60(
+            F.concat_ws("|", *[F.col(c) for c in id_cols], F.lit(str(seed)))
+        )
+        ties = [F.col(c).asc() for c in id_cols]
+    else:
+        key = F.rand(seed)
+        ties = []
     return (
-        df.withColumn("_r", F.rand(seed))
-        .orderBy("_r")
+        df.withColumn("_r", key)
+        .orderBy(F.col("_r").asc(), *ties)
         .limit(k)
         .drop("_r")
     )
@@ -89,33 +108,46 @@ def weighted_sample(
     have probability 0).
 
     Determinism: with ``id_cols`` the uniform draw is
-    xxhash64(id_cols…, seed) scaled to (0,1) — a pure function of row
-    CONTENT, so the sample is identical under any partition layout,
-    split count, or engine re-plan (the reproducible-training-mix
-    contract). Without ``id_cols`` the draw falls back to
-    ``F.rand(seed)``, which is deterministic only for a fixed
-    physical layout (rand seeds per-partition)."""
+    md5_hash60(id_cols… ⊕ seed) scaled to (0,1) — a pure function of
+    row CONTENT, so the sample is identical under any partition
+    layout, split count, or engine re-plan (the reproducible-
+    training-mix contract), and the md5-derived hash is bit-identical
+    in DuckDB, so the whole sample is replayable as a SQL oracle
+    (``u = (h % 2^52 + 0.5) / 2^52``, ``key = u^(1/w)``, top-k window
+    — see the weighted_doc_sample oracle). Ranking ties break on
+    ``id_cols`` so equal keys can't reorder across engines. Without
+    ``id_cols`` the draw falls back to ``F.rand(seed)``, which is
+    deterministic only for a fixed physical layout (rand seeds
+    per-partition)."""
+    from ..functions.hashing import md5_hash60
+
     if id_cols:
         # 2^52 buckets keep the quotient exactly representable in a
         # double; +0.5 centers each bucket so u is never exactly 0
         # (u=0 would zero the key regardless of weight).
         u = (
             F.pmod(
-                F.xxhash64(*[F.col(c) for c in id_cols], F.lit(seed)),
+                md5_hash60(
+                    F.concat_ws(
+                        "|", *[F.col(c) for c in id_cols], F.lit(str(seed))
+                    )
+                ),
                 F.lit(1 << 52),
             ).cast("double")
             + F.lit(0.5)
         ) / F.lit(float(1 << 52))
+        ties = [F.col(c).asc() for c in id_cols]
     else:
         u = F.rand(seed)
+        ties = []
     keyed = df.where(F.col(weight_col) > 0).withColumn(
         "_wk", F.pow(u, F.lit(1.0) / F.col(weight_col))
     )
     if strata:
-        w = Window.partitionBy(*strata).orderBy(F.col("_wk").desc())
+        w = Window.partitionBy(*strata).orderBy(F.col("_wk").desc(), *ties)
         return (
             keyed.withColumn("_rk", F.row_number().over(w))
             .where(F.col("_rk") <= k)
             .drop("_wk", "_rk")
         )
-    return keyed.orderBy(F.col("_wk").desc()).limit(k).drop("_wk")
+    return keyed.orderBy(F.col("_wk").desc(), *ties).limit(k).drop("_wk")
