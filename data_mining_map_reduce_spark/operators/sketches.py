@@ -198,17 +198,28 @@ def fm_distinct_estimate(
     oracle — the FM estimate is deterministic given the hash family,
     and with a replayable family it stops being a trust-me number.
     """
-    from ..functions.hashing import md5_hash60
-
     if num_hashes % group_size:
         raise ValueError("num_hashes must divide evenly into groups")
+    row = df.agg(*_fm_max_aggs(col, num_hashes))
+    median = _fm_median(num_hashes, group_size)
+    return row.select(F.round(median, 4).alias(alias))
+
+
+def _fm_max_aggs(col: str, num_hashes: int) -> list[Column]:
+    """The 40 per-hash MAX(trailing-zeros) aggregate columns."""
+    from ..functions.hashing import md5_hash60
+
     folded = F.pmod(md5_hash60(F.col(col).cast("string")), F.lit(2**31 - 1))
     maxes = []
     for i in range(num_hashes):
         a, b = hash_params(i, 2**31 - 1)
         h = F.pmod(F.lit(a) * folded + F.lit(b), F.lit(2**31 - 1))
         maxes.append(F.max(trailing_zeros(h)).alias(f"_r{i}"))
-    row = df.agg(*maxes)
+    return maxes
+
+
+def _fm_median(num_hashes: int, group_size: int) -> Column:
+    """Median-of-group-means combine over the ``_r{i}`` columns."""
     ests = F.array(
         *[F.pow(F.lit(2.0), F.col(f"_r{i}")) for i in range(num_hashes)]
     )
@@ -224,10 +235,72 @@ def fm_distinct_estimate(
     g = num_hashes // group_size
     sorted_means = F.array_sort(group_means)
     if g % 2:
-        median = F.element_at(sorted_means, (g + 1) // 2)
-    else:
-        median = (
-            F.element_at(sorted_means, g // 2)
-            + F.element_at(sorted_means, g // 2 + 1)
-        ) / 2
-    return row.select(F.round(median, 4).alias(alias))
+        return F.element_at(sorted_means, (g + 1) // 2)
+    return (
+        F.element_at(sorted_means, g // 2)
+        + F.element_at(sorted_means, g // 2 + 1)
+    ) / 2
+
+
+def fm_distinct_estimate_by(
+    df: DataFrame,
+    col: str,
+    group_cols: list[str],
+    num_hashes: int = 40,
+    group_size: int = 4,
+    alias: str = "n_estimate",
+) -> DataFrame:
+    """Per-group FM estimate — the reference's actual A6-task2 shape
+    (one estimate per sliding window, Assignment6/task2.py:87-91),
+    generalized to any grouping. One groupBy with 40 MAX aggregates
+    (constant per-group state, map-side partials), then the
+    median-of-means combine per group row. Same replayable hash
+    family as :func:`fm_distinct_estimate`, so a grouped oracle
+    replays every estimate."""
+    if num_hashes % group_size:
+        raise ValueError("num_hashes must divide evenly into groups")
+    grouped = df.groupBy(*group_cols).agg(*_fm_max_aggs(col, num_hashes))
+    median = _fm_median(num_hashes, group_size)
+    return grouped.select(*group_cols, F.round(median, 4).alias(alias))
+
+
+def kmv_distinct_estimate(
+    df: DataFrame,
+    col: str,
+    k: int = 256,
+    alias: str = "n_estimate",
+) -> DataFrame:
+    """K-minimum-values distinct estimator (Bar-Yossef et al. 2002):
+    keep the k smallest hash values of the distinct items; with
+    hashes uniform on (0, 2^60), E[distinct] ≈ (k-1) · 2^60 / h_(k).
+    Fewer than k distinct values → the count IS exact, return it.
+
+    The scale shape: distinct-hash projection → ORDER BY LIMIT k
+    (TakeOrderedAndProject: per-partition top-k, no global sort) →
+    one tiny aggregate. Mergeable like any KMV sketch (union = merge
+    + re-truncate). md5-derived hash ⇒ the whole estimate replays in
+    a DuckDB oracle — unlike HLL++, whose register layout is engine
+    internals."""
+    from ..functions.hashing import md5_hash60
+
+    hashes = (
+        df.select(md5_hash60(F.col(col).cast("string")).alias("_h"))
+        .distinct()
+        .orderBy("_h")
+        .limit(k)
+    )
+    row = hashes.agg(
+        F.count(F.lit(1)).alias("_n"), F.max("_h").alias("_hk")
+    )
+    return row.select(
+        F.when(F.col("_n") < k, F.col("_n").cast("double"))
+        .otherwise(
+            F.round(
+                F.lit(float(k - 1))
+                * F.lit(float(1 << 60))
+                / F.col("_hk").cast("double"),
+                4,
+            )
+        )
+        .alias(alias)
+    )

@@ -818,12 +818,20 @@ def bloom_probe_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
 # combine). Accuracy vs exact distinct additionally pytest-asserted.
 # ---------------------------------------------------------------------------
 def _fm_oracle_sql(
-    val_sql: str, num_hashes: int = 40, group_size: int = 4
+    val_sql: str,
+    num_hashes: int = 40,
+    group_size: int = 4,
+    group_col: str | None = None,
+    alias: str = "n_estimate",
 ) -> str:
-    """DuckDB replay of operators/sketches.fm_distinct_estimate over a
-    one-column (u) relation."""
+    """DuckDB replay of operators/sketches.fm_distinct_estimate /
+    fm_distinct_estimate_by. ``val_sql`` yields column u (plus
+    ``group_col`` when grouped)."""
     from .functions.hashing import FOLD_PRIME, hash_params
 
+    g_sel = f"{group_col}, " if group_col else ""
+    g_by = f"GROUP BY {group_col}" if group_col else ""
+    g_ord = f"ORDER BY {group_col}" if group_col else ""
     hs = ",\n             ".join(
         f"({a} * f + {b}) % {FOLD_PRIME} AS h{i}"
         for i, (a, b) in (
@@ -848,22 +856,24 @@ def _fm_oracle_sql(
     return f"""
     WITH v AS ({val_sql}),
     f AS (
-      SELECT CAST(('0x' || substr(md5(CAST(u AS VARCHAR)), 1, 15)) AS BIGINT)
+      SELECT {g_sel}
+             CAST(('0x' || substr(md5(CAST(u AS VARCHAR)), 1, 15)) AS BIGINT)
              % {FOLD_PRIME} AS f
       FROM v
     ),
     h AS (
-      SELECT {hs}
+      SELECT {g_sel}{hs}
       FROM f
     ),
     r AS (
-      SELECT {rs}
-      FROM h
+      SELECT {g_sel}{rs}
+      FROM h {g_by}
     ),
     m AS (
-      SELECT list_sort([{means}]) AS s FROM r
+      SELECT {g_sel}list_sort([{means}]) AS s FROM r
     )
-    SELECT ROUND((s[{mid}] + s[{mid + 1}]) / 2, 4) AS n_estimate FROM m
+    SELECT {g_sel}ROUND((s[{mid}] + s[{mid + 1}]) / 2, 4) AS {alias}
+    FROM m {g_ord}
     """
 
 
@@ -876,6 +886,37 @@ def fm_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     return fm_distinct_estimate(events, "user_id")
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct estimator, Bar-Yossef et al. 2002 —
+# the third cardinality sketch next to FM (reference estimator) and
+# HLL++ (engine-native): mergeable, tunable accuracy (~1/sqrt(k)),
+# and — with the md5-derived hash — fully oracle-replayable. Plans as
+# distinct-hash projection → TakeOrderedAndProject (per-partition
+# top-k, no global sort) → one-row aggregate.
+# ---------------------------------------------------------------------------
+@query(
+    "kmv_distinct_users",
+    """
+    WITH h AS (
+      SELECT DISTINCT
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS h
+      FROM events
+    ),
+    k AS (SELECT h FROM h ORDER BY h LIMIT 256)
+    SELECT CASE WHEN COUNT(*) < 256 THEN CAST(COUNT(*) AS DOUBLE)
+           ELSE ROUND(255.0 * 1152921504606846976.0 / MAX(h), 4)
+           END AS n_estimate
+    FROM k
+    """,
+)
+def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sketches import kmv_distinct_estimate
+
+    events = load_table(spark, sf_dir, "events")
+    return kmv_distinct_estimate(events, "user_id", k=256)
 
 
 # ---------------------------------------------------------------------------
@@ -931,18 +972,33 @@ def window_distinct_users_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# ST4: per-window approximate distinct (HLL++ per hour bucket).
-# Rows-only; per-window accuracy vs the exact twin pytest-asserted.
+# ST4: per-window approximate distinct — per-window Flajolet-Martin,
+# the reference's ACTUAL A6-task2 emission shape (one FM estimate per
+# window, Assignment6/task2.py:87-91). FULL oracle: the md5-derived
+# FM family replays per window in DuckDB (the global HLL++ twin
+# `approx_distinct_users` stays as the engine-native alternative,
+# rows-only by nature). Per-window accuracy vs the exact twin
+# pytest-asserted.
 # ---------------------------------------------------------------------------
-@query("window_distinct_users_approx")
+@query(
+    "window_distinct_users_approx",
+    _fm_oracle_sql(
+        """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+                  user_id AS u FROM events""",
+        group_col="window_start",
+        alias="n_users_approx",
+    ),
+)
 def window_distinct_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sketches import fm_distinct_estimate_by
+
     events = load_table(spark, sf_dir, "events")
-    return (
-        events.groupBy(F.window("ts", "1 hour").alias("w"))
-        .agg(F.approx_count_distinct("user_id", 0.02).alias("n_users_approx"))
-        .select(F.col("w.start").alias("window_start"), "n_users_approx")
-        .orderBy("window_start")
-    )
+    win = events.select(
+        F.window("ts", "1 hour").alias("w"), "user_id"
+    ).select(F.col("w.start").alias("window_start"), "user_id")
+    return fm_distinct_estimate_by(
+        win, "user_id", ["window_start"], alias="n_users_approx"
+    ).orderBy("window_start")
 
 
 # ---------------------------------------------------------------------------
@@ -3271,9 +3327,9 @@ _DRIVER_ORDER = [
     "asof_last_purchase",
     "event_rollup_multigrain",
     "revenue_cube",
-    "doc_length_percentiles",
     "fm_distinct_users",          # r6: gained a full oracle (md5 hash family)
     "bloom_probe_custkeys",       # r6: gained a full oracle (md5 hash family)
+    "kmv_distinct_users",         # new in r6: KMV cardinality sketch
     # ---- driver cap (50) falls here ----
 ]
 
@@ -3313,6 +3369,7 @@ _EXCLUDED_R6 = [
     ("event_props_extract", "r5"),
     ("union_filtered_event_counts", "r5"),
     ("event_value_tier_counts", "r5"),
+    ("doc_length_percentiles", "r5"),
     ("top_customers_per_segment", "r5"),
     ("approx_distinct_users", "r5 rows-only (HLL++ internals are engine-specific; accuracy pytest)"),
 ]

@@ -124,3 +124,30 @@ def test_exact_jaccard_pairs_matches_brute_force(spark, colls, t, prefix):
         ).collect()
     }
     assert got == _brute_jaccard(colls, t)
+
+
+def test_md5_hash60_matches_duckdb(spark):
+    """The cross-engine hash seam every sketch/LSH oracle stands on:
+    Spark's md5_hash60 must equal DuckDB's
+    CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT) byte-for-byte —
+    including multi-byte UTF-8, separators, and numeric string forms."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from data_mining_map_reduce_spark.functions.hashing import md5_hash60
+
+    samples = [
+        "", "a", "hello world", "0", "-17", "3|42", "tok1 tok2 tok3",
+        "Ünïcodé ✓ 漢字", "|||", " leading and trailing ", "1e10",
+    ] + [f"key{i}|7" for i in range(50)]
+    df = spark.createDataFrame([(s,) for s in samples], "s string")
+    got = {
+        r.s: r.h
+        for r in df.select("s", md5_hash60("s").alias("h")).collect()
+    }
+    con = duckdb.connect()
+    for s in samples:
+        want = con.execute(
+            "SELECT CAST(('0x' || substr(md5(?), 1, 15)) AS BIGINT)", [s]
+        ).fetchone()[0]
+        assert got[s] == want, s

@@ -88,3 +88,45 @@ def test_windowed_approx_distinct_per_window(spark, sf_dir):
     assert exact.keys() == approx.keys()
     for k, n in exact.items():
         assert abs(approx[k] - n) <= max(2, 0.1 * n), (k, n, approx[k])
+
+
+def test_window_fm_query_tracks_exact(spark):
+    """The windowed-approx QUERY now emits per-window FM estimates
+    (the reference's A6-task2 shape). FM's guarantee is much looser
+    than HLL's: assert the A6 grading-style aggregate band (sum of
+    estimates within [0.2x, 5x] of truth) plus window-key equality."""
+    from data_mining_map_reduce_spark.queries import (
+        window_distinct_users_approx,
+        window_distinct_users_exact,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    exact = {
+        r.window_start: r.n_users
+        for r in window_distinct_users_exact(spark, sf).collect()
+    }
+    fm = {
+        r.window_start: r.n_users_approx
+        for r in window_distinct_users_approx(spark, sf).collect()
+    }
+    assert exact.keys() == fm.keys()
+    ratio = sum(fm.values()) / sum(exact.values())
+    assert 0.2 <= ratio <= 5.0, ratio
+
+
+def test_kmv_distinct_within_bound(spark, sf_dir):
+    """KMV with k=256 has relative error ~1/sqrt(k) ≈ 6%; assert 20%
+    against exact (loose enough for any corpus, tight enough to catch
+    a broken estimator)."""
+    from data_mining_map_reduce_spark.operators.sketches import (
+        kmv_distinct_estimate,
+    )
+    from data_mining_map_reduce_spark.queries import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    exact = events.select("user_id").distinct().count()
+    est = kmv_distinct_estimate(events, "user_id", k=256).collect()[0][0]
+    if exact < 256:
+        assert est == exact
+    else:
+        assert abs(est - exact) / exact <= 0.2, (exact, est)
