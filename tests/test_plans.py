@@ -106,3 +106,38 @@ def test_partition_layout_stats_balance(spark, sf_dir):
     assert len(by_layout["hash8"]) == 8
     mx, mn = max(by_layout["hash8"]), min(by_layout["hash8"])
     assert mn > 0 and mx <= 3 * mn, by_layout["hash8"]
+
+
+def test_kmv_plans_take_ordered(spark, sf_dir):
+    """kmv_distinct_users: the k smallest hashes must come from
+    TakeOrderedAndProject (per-partition top-k merged on the driver),
+    never a global Sort — the difference between O(k) driver state
+    and a full-sort shuffle at corpus scale."""
+    from data_mining_map_reduce_spark.operators.sketches import (
+        kmv_distinct_estimate,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    plan = _plan(kmv_distinct_estimate(events, "user_id", k=256))
+    assert "TakeOrderedAndProject" in plan
+    # no global sort exchange for the top-k (rangepartitioning = sort)
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_minhash_signature_partial_aggregates(spark, sf_dir):
+    """The MinHash signature must be a partial->final aggregate (the
+    shuffle carries one 32-slot row per key per map partition), and
+    the per-item hashing must appear ONCE in the plan — the r6
+    rewrite's whole point vs the interpreted per-row HOF tree."""
+    from data_mining_map_reduce_spark.operators.similarity import (
+        minhash_lsh_pairs,
+    )
+    from data_mining_map_reduce_spark.operators.dedup import doc_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        doc_shingles(docs), "doc_id", "shingles",
+        threshold=0.5, num_hashes=32, bands=16,
+    )
+    plan = _plan(pairs)
+    assert "partial_min" in plan  # map-side combine of the signature mins
