@@ -201,6 +201,31 @@ def hyperplane_lsh_topk(
     )
 
 
+def _lloyd_np(
+    points: np.ndarray, k: int, seed: int, max_iter: int, tol: float = 1e-4
+) -> list[list[float]]:
+    """Driver-side seeded Lloyd for quantizer training (bounded input
+    by contract — see ivf_topk). Deterministic given (points, seed);
+    empty clusters keep their previous centroid."""
+    rng = np.random.default_rng(seed)
+    if len(points) < k:
+        raise ValueError(f"IVF training sample smaller than n_list={k}")
+    cents = points[rng.choice(len(points), size=k, replace=False)].copy()
+    for _ in range(max_iter):
+        d2 = ((points[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        new = cents.copy()
+        for j in range(k):
+            members = points[assign == j]
+            if len(members):
+                new[j] = members.mean(axis=0)
+        move = float(np.sqrt(((new - cents) ** 2).sum(axis=1)).max())
+        cents = new
+        if move <= tol:
+            break
+    return [c.tolist() for c in cents]
+
+
 def ivf_topk(
     emb: DataFrame,
     probes: DataFrame,
@@ -210,15 +235,22 @@ def ivf_topk(
     n_list: int = 16,
     n_probe: int = 4,
     seed: int = 7,
-    sample_fraction: float = 0.25,
+    train_cap: int = 4096,
     kmeans_max_iter: int = 8,
 ) -> DataFrame:
     """IVF approximate top-k cosine neighbors — the coarse-quantizer
     alternative to hyperplane LSH:
 
-    1. train: K-Means (operators/clustering.py) over a seeded sample
-       of L2-normalized vectors → ``n_list`` centroids (driver holds
-       n_list × d floats, inlined into codegen expressions);
+    1. train: driver-side Lloyd over a BOUNDED collected sample of
+       L2-normalized vectors (``train_cap`` rows — the faiss-style
+       quantizer-training budget, ~256·n_list; the sample is sorted
+       before training so the centroids are layout-independent).
+       This is deliberately NOT the distributed K-Means operator: a
+       quantizer needs representative centroids, not a full-data fit,
+       and ``train_cap × d`` floats are bounded driver state at ANY
+       corpus size — whereas a fraction-based sample grows with the
+       corpus, and each distributed Lloyd round is a full Spark job
+       (8 jobs ≈ half this query's wall at sf0.1);
     2. index: every corpus vector is assigned to its nearest
        centroid's inverted list (one codegen argmin projection — at
        rest this would be the partitioning/bucketing column);
@@ -232,7 +264,7 @@ def ivf_topk(
     sizes are skew-prone (real clusters are uneven) — AQE skew-join
     handles the join; recall vs the exact path is pytest-asserted.
     """
-    from .clustering import assign_clusters, kmeans
+    from .clustering import assign_clusters
 
     def norm(col: Column) -> Column:
         n = F.sqrt(F.aggregate(col, F.lit(0.0), lambda a, x: a + x * x))
@@ -241,12 +273,10 @@ def ivf_topk(
     base = emb.select(
         F.col(id_col), norm(_as_double_vec(vec_col)).alias("_nv")
     )
-    sample = base.select("_nv")
-    if sample_fraction < 1.0:
-        sample = sample.sample(sample_fraction, seed=seed)
-    _, centroids = kmeans(
-        sample, "_nv", k=n_list, seed=seed, max_iter=kmeans_max_iter
+    train = np.array(
+        sorted(r[0] for r in base.select("_nv").limit(train_cap).collect())
     )
+    centroids = _lloyd_np(train, n_list, seed, kmeans_max_iter)
 
     cands = assign_clusters(base, "_nv", centroids, alias="_list").select(
         F.col(id_col).alias("neighbor_id"), F.col("_nv").alias("_cv"), "_list"

@@ -93,12 +93,11 @@ def test_ivf_recall_vs_exact_clustered(spark):
 
 def test_ivf_recall_vs_exact_unstructured(spark):
     """On the (near-random) testdata embeddings IVF degrades towards
-    its scan fraction; a quantizer trained on the FULL corpus
-    (sample_fraction=1.0 — also partition-order independent, so the
-    measured recall is stable across sessions) with n_probe=10 of 16
-    lists must still clear the A3-style 0.8 bar. Measured: 0.90
-    (vs 0.77 for a 0.25-sample quantizer at n_probe=8, which sits at
-    the bar's noise floor on unstructured data)."""
+    its scan fraction; a quantizer trained on the full (tiny) corpus
+    (train_cap covers it, and the sorted-sample training makes the
+    centroids partition-order independent, so the measured recall is
+    stable across sessions) with n_probe=10 of 16 lists must still
+    clear the A3-style 0.8 bar."""
     emb, probes = _probe_set(spark, n=20)
     exact = {
         (r.probe_id, r.neighbor_id)
@@ -106,9 +105,7 @@ def test_ivf_recall_vs_exact_unstructured(spark):
     }
     approx = {
         (r.probe_id, r.neighbor_id)
-        for r in ivf_topk(
-            emb, probes, k=5, n_list=16, n_probe=10, sample_fraction=1.0
-        ).collect()
+        for r in ivf_topk(emb, probes, k=5, n_list=16, n_probe=10).collect()
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.8, recall
