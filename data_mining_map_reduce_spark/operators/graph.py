@@ -250,16 +250,26 @@ def edge_betweenness(
     edits instead of paying the groupBy shuffle per call.
     """
     spark = edges.sparkSession
-    adj_df = adjacency if adjacency is not None else grouped_adjacency(edges)
+    if adjacency is not None:
+        adj_df = adjacency
+    else:
+        # Materialize once: the sampled path reads the adjacency from
+        # THREE subtrees (root count, sampled-root count, the batch
+        # fan-out) and the upstream edge build is typically the most
+        # expensive part of the whole query (a co-occurrence
+        # self-join) — without this the lineage re-executes per read.
+        adj_df = grouped_adjacency(edges).localCheckpoint(eager=True)
 
-    roots = adj_df.select("id") if adjacency is not None else vertices_of(edges)
+    # Symmetrized adjacency contains every non-isolated vertex as a
+    # key, so its id set IS the vertex set — no second edge scan.
+    roots = adj_df.select("id")
     scale = 1.0
     if sample_fraction is not None and sample_fraction < 1.0:
         n_total = roots.count()
         roots = roots.sample(fraction=sample_fraction, seed=seed)
         n_sampled = roots.count()
         if n_sampled == 0:
-            roots = vertices_of(edges).limit(1)
+            roots = adj_df.select("id").limit(1)
             n_sampled = 1
         scale = n_total / n_sampled
 
