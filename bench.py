@@ -150,7 +150,14 @@ def main() -> None:
                         spark = get_spark(app_name="bench")
                     break
             samples.sort()
-            timings[name] = samples[len(samples) // 2]
+            n = len(samples)
+            if n % 2:
+                timings[name] = samples[n // 2]
+            else:
+                # even count (a re-run failed): true median, not the
+                # upper-middle element — picking index n//2 of two
+                # samples would report the MAX and bias upward
+                timings[name] = round((samples[n // 2 - 1] + samples[n // 2]) / 2, 4)
             print(
                 f"[bench] {name} samples={samples} -> median {timings[name]}",
                 file=sys.stderr,

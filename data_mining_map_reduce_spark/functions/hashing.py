@@ -48,27 +48,14 @@ def universal_hash(col: Column, i: int, m: int) -> Column:
     return F.pmod(F.lit(a) * stable_int(col) + F.lit(b), F.lit(m))
 
 
-def minhash_signature(items: Column, num_hashes: int, m: int = FOLD_PRIME) -> Column:
-    """A10: MinHash signature of an array<string> column —
-    array of ``num_hashes`` ints, element i = min over items of h_i.
-
-    One codegen'd expression; no shuffle, no UDF. Mirrors reference
-    Assignment3/task1.py:40-52 (32 hash functions, min over the
-    business's user set) with seeds derived from i, not RNG.
-    """
-    folded = F.transform(items, lambda x: F.pmod(F.xxhash64(x), F.lit(FOLD_PRIME)))
-
-    def _hash_i(a: int, b: int):
-        # closure factory: PySpark derives lambda arity by signature,
-        # so default-arg capture (lambda v, a=a: ...) would be read
-        # as a multi-argument higher-order function
-        return lambda v: F.pmod(F.lit(a) * v + F.lit(b), F.lit(m))
-
-    sigs = []
-    for i in range(num_hashes):
-        a, b = hash_params(i, m)
-        sigs.append(F.array_min(F.transform(folded, _hash_i(a, b))))
-    return F.array(*sigs)
+# A10 (MinHash signature) note: the per-row HOF expression form that
+# used to live here (num_hashes × array_min(transform(...))) exceeded
+# the codegen method budget and evaluated interpreted (~20× slower);
+# the live signature computation is the explode → groupBy min-aggregate
+# pipeline inside operators/similarity.minhash_lsh_pairs, built from
+# this module's hash_params family over md5_hash60 folds. Mirrors
+# reference Assignment3/task1.py:40-52 with seeds derived from the
+# hash index, not RNG.
 
 
 def hamming64(a: Column, b: Column) -> Column:
@@ -78,13 +65,17 @@ def hamming64(a: Column, b: Column) -> Column:
 
 def md5_hash60(col: Column | str) -> Column:
     """Cross-engine-replayable 60-bit hash: the first 15 hex digits of
-    md5(utf8 bytes) parsed as an integer. DuckDB computes the identical
-    value as ``CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)``, which
-    is the seam that lets sketch/fingerprint oracles replay the exact
-    hash — xxhash64 has no cross-engine twin. ~3× the cost of xxhash64,
-    so it is reserved for operators whose DRIVER ORACLE needs the hash
-    value itself (simhash); pure-internal hashing stays on xxhash64."""
+    md5 of the value's STRING form parsed as an integer. DuckDB
+    computes the identical value as
+    ``CAST(('0x' || substr(md5(CAST(x AS VARCHAR)), 1, 15)) AS BIGINT)``,
+    which is the seam that lets sketch/fingerprint oracles replay the
+    exact hash — xxhash64 has no cross-engine twin. The string cast
+    happens HERE so a numeric column hashes its decimal text on both
+    engines (hashing Spark's big-endian binary would silently diverge
+    from every SQL twin). ~3× the cost of xxhash64, so it is reserved
+    for operators whose driver oracle needs the hash value itself;
+    pure-internal hashing stays on xxhash64."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.conv(F.substring(F.md5(c.cast("binary")), 1, 15), 16, 10).cast(
-        "bigint"
-    )
+    return F.conv(
+        F.substring(F.md5(c.cast("string").cast("binary")), 1, 15), 16, 10
+    ).cast("bigint")

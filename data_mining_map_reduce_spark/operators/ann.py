@@ -243,8 +243,12 @@ def ivf_topk(
 
     1. train: driver-side Lloyd over a BOUNDED collected sample of
        L2-normalized vectors (``train_cap`` rows — the faiss-style
-       quantizer-training budget, ~256·n_list; the sample is sorted
-       before training so the centroids are layout-independent).
+       quantizer-training budget, ~256·n_list). The sample is the
+       ``train_cap`` hash-smallest vectors by id (TakeOrderedAndProject
+       — per-partition top-k), i.e. a seeded uniform pseudo-random
+       subset that is layout-independent and content-deterministic;
+       a bare LIMIT would take whichever partitions answered first
+       (head-biased on sorted inputs, unstable across layouts).
        This is deliberately NOT the distributed K-Means operator: a
        quantizer needs representative centroids, not a full-data fit,
        and ``train_cap × d`` floats are bounded driver state at ANY
@@ -273,9 +277,15 @@ def ivf_topk(
     base = emb.select(
         F.col(id_col), norm(_as_double_vec(vec_col)).alias("_nv")
     )
-    train = np.array(
-        sorted(r[0] for r in base.select("_nv").limit(train_cap).collect())
+    from ..functions.hashing import md5_hash60
+
+    sample_rows = (
+        base.select("_nv", md5_hash60(F.col(id_col)).alias("_ord"))
+        .orderBy("_ord")
+        .limit(train_cap)
+        .collect()
     )
+    train = np.array(sorted(r[0] for r in sample_rows))
     centroids = _lloyd_np(train, n_list, seed, kmeans_max_iter)
 
     cands = assign_clusters(base, "_nv", centroids, alias="_list").select(

@@ -138,6 +138,7 @@ def user_candidate_pairs_lsh(
     threshold: float = 0.02,
     num_hashes: int = 32,
     bands: int = 16,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """(u1, u2) candidate user pairs whose rated-item sets collide in
     MinHash-LSH buckets (u1 < u2). The A3 §4.3 pre-filter: user
@@ -170,6 +171,11 @@ def user_candidate_pairs_lsh(
     baskets = ratings.groupBy(user_col).agg(
         F.collect_set(F.col(item_col).cast("string")).alias("_items")
     )
+    # max_bucket defaults to None here (unlike the operator): the
+    # candidate set is what the cf_user_predictions_lsh ORACLE
+    # replays, and the SQL band-OR join cannot model the cap; r=2
+    # banding keeps buckets tiny at any realistic rating density, and
+    # callers facing genuinely hot buckets can re-enable the cap.
     return minhash_lsh_pairs(
         baskets,
         user_col,
@@ -180,6 +186,7 @@ def user_candidate_pairs_lsh(
         key_a="u1",
         key_b="u2",
         verify=False,
+        max_bucket=max_bucket,
     ).select("u1", "u2")
 
 

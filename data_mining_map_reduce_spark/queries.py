@@ -852,7 +852,14 @@ def _fm_oracle_sql(
         + f") / {group_size}"
         for g in range(n_groups)
     )
-    mid = n_groups // 2
+    # Median formula mirrors operators/sketches._fm_median exactly:
+    # single middle element for an odd group count, mean of the two
+    # middle elements for an even one.
+    if n_groups % 2:
+        median_sql = f"ROUND(s[{(n_groups + 1) // 2}], 4)"
+    else:
+        mid = n_groups // 2
+        median_sql = f"ROUND((s[{mid}] + s[{mid + 1}]) / 2, 4)"
     return f"""
     WITH v AS ({val_sql}),
     f AS (
@@ -872,7 +879,7 @@ def _fm_oracle_sql(
     m AS (
       SELECT {g_sel}list_sort([{means}]) AS s FROM r
     )
-    SELECT {g_sel}ROUND((s[{mid}] + s[{mid + 1}]) / 2, 4) AS {alias}
+    SELECT {g_sel}{median_sql} AS {alias}
     FROM m {g_ord}
     """
 
@@ -1175,8 +1182,13 @@ def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k",
         "i",
     )
+    # max_bucket=None: the SQL oracle replays banding as an exact
+    # band-OR join and cannot model the hot-bucket cap; at this
+    # query's scales no bucket approaches the default cap anyway, so
+    # the uncapped run is identical. Scale users keep the default cap.
     return minhash_lsh_pairs(
-        b, "k", "items", threshold=0.05, num_hashes=32, bands=32
+        b, "k", "items", threshold=0.05, num_hashes=32, bands=32,
+        max_bucket=None,
     ).orderBy("a", "b")
 
 
@@ -1695,9 +1707,10 @@ def near_dup_docs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import minhash_lsh_pairs
 
     docs = load_table(spark, sf_dir, "documents")
+    # max_bucket=None: oracle fidelity (see minhash_lsh_pairs_q).
     return minhash_lsh_pairs(
         doc_shingles(docs), "doc_id", "shingles",
-        threshold=0.5, num_hashes=64, bands=32,
+        threshold=0.5, num_hashes=64, bands=32, max_bucket=None,
     ).orderBy("a", "b")
 
 
@@ -2082,7 +2095,11 @@ def _ann_lsh_oracle_sql(num_planes: int = 24, bands: int = 8, k: int = 5) -> str
     r = num_planes // bands
     bit_exprs = []
     for i in range(num_planes):
-        dot = " + ".join(f"v[{j + 1}] * {planes[i][j]!r}" for j in range(64))
+        # float() unwrap: repr of a raw numpy scalar renders as
+        # "np.float64(...)" under numpy >= 2.0 — invalid SQL.
+        dot = " + ".join(
+            f"v[{j + 1}] * {float(planes[i][j])!r}" for j in range(64)
+        )
         bit_exprs.append(f"CASE WHEN ({dot}) > 0 THEN 1 ELSE 0 END")
     band_cols = ",\n             ".join(
         "("
@@ -2139,8 +2156,9 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 8 bands x 3 bits: recall ~0.88 at this corpus's weak neighbor
     # angles (top-5 cosine ~0.33); tighter banding trades recall for
     # bucket size — tune r up as clusters tighten.
+    # max_bucket=None: oracle fidelity (see minhash_lsh_pairs_q).
     return hyperplane_lsh_topk(
-        emb, probes, k=5, num_planes=24, bands=8
+        emb, probes, k=5, num_planes=24, bands=8, max_bucket=None
     ).orderBy("probe_id", "rnk")
 
 
@@ -3122,6 +3140,7 @@ def dedup_canonical_docs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     near_edges = minhash_lsh_pairs(
         doc_shingles(docs), "doc_id", "shingles",
         threshold=0.5, num_hashes=64, bands=32,
+        max_bucket=None,  # oracle fidelity (see minhash_lsh_pairs_q)
     ).select(F.col("a").alias("src"), F.col("b").alias("dst"))
     comp = connected_components(exact_edges.unionByName(near_edges))
     return (
