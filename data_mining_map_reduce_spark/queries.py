@@ -896,6 +896,54 @@ def fm_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Training-mix construction: per-source corpus shares. The rollup a
+# mixing-weights pass starts from (pair with weighted_doc_sample /
+# train_test_split_counts for the full mix pipeline). One scan, one
+# groupBy; token share rounded to 6dp on both engines.
+# ---------------------------------------------------------------------------
+@query(
+    "source_mix_stats",
+    r"""
+    WITH t AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(list_filter(string_split_regex(text, '\s+'),
+                                      x -> x <> ''))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    )
+    SELECT source, n_docs, n_tokens,
+           ROUND(n_tokens * 1.0 / (SELECT SUM(n_tokens) FROM t), 6)
+               AS token_share
+    FROM t ORDER BY source
+    """,
+)
+def source_mix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text_analysis import token_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = (
+        token_counts(docs)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_ws_tokens").cast("long").alias("n_tokens"),
+        )
+    )
+    total = per_source.agg(F.sum("n_tokens").alias("_tot"))
+    return (
+        per_source.crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_tokens") / F.col("_tot"), 6).alias("token_share"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
 # KMV (k-minimum-values) distinct estimator, Bar-Yossef et al. 2002 —
 # the third cardinality sketch next to FM (reference estimator) and
 # HLL++ (engine-native): mergeable, tunable accuracy (~1/sqrt(k)),
@@ -3338,7 +3386,6 @@ _DRIVER_ORDER = [
     "ann_topk_ivf",
     "embedding_pair_distances",
     "tfidf_top_terms",
-    "media_frame_sample",
     "session_windows_per_user",
     "window_tumbling_hourly",
     "window_sliding_hourly",
@@ -3349,6 +3396,7 @@ _DRIVER_ORDER = [
     "fm_distinct_users",          # r6: gained a full oracle (md5 hash family)
     "bloom_probe_custkeys",       # r6: gained a full oracle (md5 hash family)
     "kmv_distinct_users",         # new in r6: KMV cardinality sketch
+    "source_mix_stats",           # new in r6: training-mix rollup
     # ---- driver cap (50) falls here ----
 ]
 
@@ -3388,6 +3436,7 @@ _EXCLUDED_R6 = [
     ("event_props_extract", "r5"),
     ("union_filtered_event_counts", "r5"),
     ("event_value_tier_counts", "r5"),
+    ("media_frame_sample", "r5"),
     ("doc_length_percentiles", "r5"),
     ("top_customers_per_segment", "r5"),
     ("approx_distinct_users", "r5 rows-only (HLL++ internals are engine-specific; accuracy pytest)"),
