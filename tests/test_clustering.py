@@ -59,15 +59,18 @@ def test_kmeans_matches_numpy(spark, points):
     ids = [r.id for r in rows]
     X = np.array([r.vec for r in rows])
 
-    # reproduce the engine's deterministic init: xxhash64-ordered
+    # reproduce the engine's deterministic init: k-means++ over the
+    # xxhash64-ordered sample (the whole dataset at test scale)
+    from data_mining_map_reduce_spark.operators.clustering import kmeanspp_init
+
     init_rows = (
         points.select("vec")
         .withColumn("_h", F.xxhash64(F.col("vec").cast("array<string>"), F.lit(7)))
         .orderBy("_h")
-        .limit(k)
+        .limit(4096)
         .collect()
     )
-    C0 = np.array([r.vec for r in init_rows])
+    C0 = np.array(kmeanspp_init([list(r.vec) for r in init_rows], k, 7))
     expect, _ = numpy_lloyd(X, C0)
 
     agreement = np.mean([got[i] == e for i, e in zip(ids, expect)])
