@@ -149,3 +149,27 @@ def test_bfr_structure(spark, points):
     # round stats monotone: DS point mass grows per round
     masses = [r["n_ds_points"] for r in state.rounds]
     assert masses == sorted(masses)
+
+
+def test_kmeanspp_init_properties():
+    """Pure-driver seeding contract: k distinct centroids drawn from
+    the sample, deterministic under seed, degenerate duplicates fall
+    back without raising."""
+    import numpy as np
+
+    from data_mining_map_reduce_spark.operators.clustering import kmeanspp_init
+
+    rng = np.random.default_rng(3)
+    sample = [list(v) for v in rng.normal(size=(200, 5))]
+    a = kmeanspp_init(sample, 8, seed=7)
+    b = kmeanspp_init(sample, 8, seed=7)
+    assert a == b  # deterministic
+    assert len(a) == 8
+    sample_set = {tuple(v) for v in sample}
+    assert all(tuple(c) in sample_set for c in a)  # members of the sample
+    assert len({tuple(c) for c in a}) == 8  # distinct
+    # degenerate: all points identical except two — must not raise,
+    # must return k rows
+    degen = [[0.0, 0.0]] * 50 + [[1.0, 1.0]]
+    got = kmeanspp_init(degen, 3, seed=7)
+    assert len(got) == 3
