@@ -134,14 +134,15 @@ _LANG_PROFILES: dict[str, tuple[str, ...]] = {
 }
 
 
-def language_id(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
-) -> DataFrame:
-    """Heuristic language ID: the language whose stopword profile
-    covers the largest fraction of the doc's tokens ('und' for
-    unknown when nothing matches). Pure codegen scoring — the
-    standard cheap first-pass filter in corpus pipelines."""
-    toks = tokenize(normalize(F.col(text_col)))
+def language_pred_exprs(text_col) -> "tuple":
+    """(pred_lang, best_score) COLUMN expressions over a text column —
+    exposed separately so composed pipelines (corpus_curation_funnel)
+    can evaluate the classifier inside an existing projection instead
+    of paying a second scan + join of the documents table."""
+    from pyspark.sql import Column
+
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = tokenize(normalize(c))
     n_tok = F.greatest(F.size(toks), F.lit(1)).cast("double")
 
     def _in_profile(profile):
@@ -159,6 +160,17 @@ def language_id(
     pred = F.when(best_score <= 0, F.lit("und"))
     for lang, s in scores:
         pred = pred.when(s == best_score, F.lit(lang))
+    return pred, best_score
+
+
+def language_id(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Heuristic language ID: the language whose stopword profile
+    covers the largest fraction of the doc's tokens ('und' for
+    unknown when nothing matches). Pure codegen scoring — the
+    standard cheap first-pass filter in corpus pipelines."""
+    pred, best_score = language_pred_exprs(text_col)
     return docs.select(
         F.col(id_col),
         pred.alias("pred_lang"),

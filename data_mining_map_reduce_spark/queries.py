@@ -918,16 +918,18 @@ def fm_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def source_mix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.text_analysis import token_counts
+    from .functions.text import tokenize
 
     docs = load_table(spark, sf_dir, "documents")
+    # Token count inline (the token_counts operator's n_ws_tokens
+    # expression) — one scan + one groupBy; joining the operator's
+    # DataFrame back on doc_id would scan documents twice.
     per_source = (
-        token_counts(docs)
-        .join(docs.select("doc_id", "source"), "doc_id")
+        docs.select("source", F.size(tokenize(F.col("text"))).alias("_n_ws"))
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum("n_ws_tokens").cast("long").alias("n_tokens"),
+            F.sum("_n_ws").cast("long").alias("n_tokens"),
         )
     )
     total = per_source.agg(F.sum("n_tokens").alias("_tot"))
@@ -1924,9 +1926,10 @@ def simhash_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import normalize, tokenize
     from .operators.dedup import doc_shingle_pairs, exact_duplicate_groups
     from .operators.similarity import exact_jaccard_pairs
-    from .operators.text_analysis import doc_quality_stats, language_id, token_counts
+    from .operators.text_analysis import language_pred_exprs
 
     docs = load_table(spark, sf_dir, "documents")
     exact = exact_duplicate_groups(docs).select(
@@ -1941,26 +1944,35 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("_nd", F.lit(True))
     )
-    quality = doc_quality_stats(docs).select(
+    # Token count, quality flag, and language flag are all pure
+    # projections of the text column — computed in ONE scan instead
+    # of three operator DataFrames joined back on doc_id (measured:
+    # the join form planned 29 scans of documents across the whole
+    # funnel; this form plans 7, and only the dedup branches re-read).
+    # Threshold expressions mirror doc_quality_stats/language_id
+    # exactly (same rounding before compare — the oracle contract).
+    toks = tokenize(normalize(F.col("text")))
+    n_tok = F.size(toks)
+    distinct_ratio = F.round(
+        F.size(F.array_distinct(toks))
+        / F.greatest(n_tok, F.lit(1)).cast("double"),
+        6,
+    )
+    pred_lang, _score = language_pred_exprs("text")
+    per_doc = docs.select(
         "doc_id",
-        ((F.col("n_tokens") >= 20) & (F.col("distinct_ratio") >= 0.3)).alias(
-            "_q_ok"
-        ),
+        F.size(tokenize(F.col("text"))).alias("n_ws_tokens"),
+        ((n_tok >= 20) & (distinct_ratio >= 0.3)).alias("_q_ok"),
+        (pred_lang == "en").alias("_en"),
     )
-    lang = language_id(docs).select(
-        "doc_id", (F.col("pred_lang") == "en").alias("_en")
-    )
-    tok = token_counts(docs).select("doc_id", "n_ws_tokens")
 
     k1 = F.col("_k1")
     k2 = k1 & ~F.coalesce(F.col("_nd"), F.lit(False))
     k3 = k2 & F.col("_q_ok")
     k4 = k3 & F.col("_en")
     flags = (
-        tok.join(exact, "doc_id")
+        per_doc.join(exact, "doc_id")
         .join(near_dropped, "doc_id", "left")
-        .join(quality, "doc_id")
-        .join(lang, "doc_id")
     )
 
     def _cnt(cond):
