@@ -103,6 +103,33 @@ def kmeanspp_init(
     return [list(map(float, X[i])) for i in chosen[:k]]
 
 
+def _local_lloyd(
+    X, centroids: list[list[float]], k: int, max_iter: int, tol: float
+) -> tuple[list[list[float]], int]:
+    """Driver-side Lloyd over an ALREADY-BOUNDED vector block, with
+    rules identical to the distributed loop (argmin ties -> lowest
+    index, empty cluster keeps its old centroid, stop on movement <=
+    tol or max_iter). Only reachable through ``kmeans``'s explicit
+    ``local_elems_cap`` guard."""
+    import numpy as np
+
+    C = np.asarray(centroids, dtype=float)
+    x_sq = (X**2).sum(1)[:, None]
+    iters = 0
+    for _ in range(max_iter):
+        iters += 1
+        d = x_sq + (C**2).sum(1)[None, :] - 2.0 * (X @ C.T)
+        a = d.argmin(1)  # ties -> lowest index, same as array_position
+        newC = np.array(
+            [X[a == j].mean(0) if (a == j).any() else C[j] for j in range(k)]
+        )
+        move = max(math.dist(c1, c2) for c1, c2 in zip(C, newC))
+        C = newC
+        if move <= tol:
+            break
+    return [list(map(float, c)) for c in C], iters
+
+
 def kmeans(
     points: DataFrame,
     vec_col: str = "vec",
@@ -111,15 +138,36 @@ def kmeans(
     tol: float = 1e-4,
     seed: int = 7,
     init_cap: int = 4096,
+    init: str = "kmeans++",
+    stats_out: dict | None = None,
+    local_elems_cap: int = 4_000_000,
 ) -> tuple[DataFrame, list[list[float]]]:
     """Lloyd's algorithm with the reference's convergence rules
     (equal centroids / movement <= tol / max 100 iterations,
     bfr.py:84-99). Deterministic: k-means++ seeding over the
     ``init_cap`` hash-smallest vectors (content-ordered — layout-
     independent) — the reference seeds from a random sample
-    (bfr.py:254-258); ++-seeding is the same contract with a far
-    better-spread start, roughly halving Lloyd rounds on the bench
-    corpus while the stopping rules stay exactly the reference's.
+    (bfr.py:254-258); ++-seeding is the same contract with a
+    better-spread start. ``init="sample"`` seeds on the first k
+    distinct sample vectors instead (the reference's shape) — kept so
+    the seeding win is MEASURABLE, not asserted: the pytest property
+    test compares iterations-to-converge between the two inits.
+    ``stats_out``, when a dict, receives {"iterations", "init",
+    "path"} so callers/benchmarks can verify convergence behavior
+    with data.
+
+    ``local_elems_cap``: inputs with at most this many vector
+    ELEMENTS (rows x dim; default 4M ~ 32 MB of doubles) iterate
+    Lloyd on the driver over the collected block — identical rules
+    and init, so only float summation order can differ from the
+    distributed loop (parity pytest-asserted). Lloyd's per-round cost
+    on a small input is pure job-scheduling overhead (~1 s/round
+    measured at bench scale for a 1 MB block: 31 rounds = 31 s of
+    overhead for milliseconds of math), the same round-latency
+    problem the CC local fast path solves. Inputs above the cap — the
+    100 TB shape — always run the distributed per-round loop, whose
+    driver state stays k x dim regardless of data size. Set
+    ``local_elems_cap=0`` to force the distributed path.
     Returns (points + 'cluster' column, centroids)."""
     # Lloyd re-reads the points every iteration: pin just the vector
     # column in executor memory for the loop (at cluster scale this
@@ -141,21 +189,61 @@ def kmeans(
         .collect()
     )
     if len({tuple(r[0]) for r in init_rows}) < k:
-        loop_pts.unpersist()
-        raise ValueError(f"fewer distinct points than k={k}")
-    centroids = kmeanspp_init([list(r[0]) for r in init_rows], k, seed)
-
-    for _ in range(max_iter):
-        assigned = assign_clusters(loop_pts, vec_col, centroids)
-        means = _mean_vectors(assigned, vec_col, k, dim)
-        new_centroids = [means.get(i, centroids[i]) for i in range(k)]
-        move = max(
-            math.dist(a, b) for a, b in zip(centroids, new_centroids)
+        # The hash-smallest window can be swamped by duplicates of a
+        # few hot vectors even when the full data has >= k distinct
+        # points (Lloyd itself would proceed fine). Retry the same
+        # bounded window over DISTINCT vectors before giving up —
+        # only this rare fallback pays the extra distinct shuffle.
+        init_rows = (
+            loop_pts.distinct()
+            .withColumn(
+                "_h", F.xxhash64(F.col(vec_col).cast("array<string>"), F.lit(seed))
+            )
+            .orderBy("_h")
+            .limit(max(init_cap, k))
+            .collect()
         )
-        centroids = new_centroids
-        if move <= tol:
-            break
+        if len({tuple(r[0]) for r in init_rows}) < k:
+            loop_pts.unpersist()
+            raise ValueError(f"fewer distinct points than k={k}")
+    sample = [list(r[0]) for r in init_rows]
+    if init == "kmeans++":
+        centroids = kmeanspp_init(sample, k, seed)
+    else:  # "sample": first k distinct sample vectors, reference-style
+        seen: list[list[float]] = []
+        for v in sample:
+            if v not in seen:
+                seen.append(v)
+            if len(seen) == k:
+                break
+        centroids = seen
+
+    path = "distributed"
+    n_rows = loop_pts.count()
+    if local_elems_cap and n_rows * dim <= local_elems_cap:
+        import numpy as np
+
+        path = "local"
+        X = np.array([r[0] for r in loop_pts.collect()], dtype=float)
+        centroids, iterations = _local_lloyd(X, centroids, k, max_iter, tol)
+    else:
+        iterations = 0
+        for _ in range(max_iter):
+            iterations += 1
+            assigned = assign_clusters(loop_pts, vec_col, centroids)
+            means = _mean_vectors(assigned, vec_col, k, dim)
+            new_centroids = [means.get(i, centroids[i]) for i in range(k)]
+            move = max(
+                math.dist(a, b) for a, b in zip(centroids, new_centroids)
+            )
+            centroids = new_centroids
+            if move <= tol:
+                break
     loop_pts.unpersist()
+    if stats_out is not None:
+        stats_out["iterations"] = iterations
+        stats_out["init"] = init
+        stats_out["path"] = path
     return assign_clusters(points, vec_col, centroids), centroids
 
 

@@ -50,7 +50,10 @@ def _bloom_geometry(expected_items: int, fpp: float) -> tuple[int, int]:
     k = (m/n) ln 2 hashes."""
     n = max(expected_items, 1)
     m = max(64, int(-n * math.log(fpp) / (math.log(2) ** 2)))
-    k = max(1, round(m / n * math.log(2)))
+    # int(x + 0.5) = half-UP for the (always positive) ratio — the
+    # same rule as the DuckDB oracle's ROUND() (half-away-from-zero);
+    # Python's round() is banker's and would diverge on an exact .5.
+    k = max(1, int(m / n * math.log(2) + 0.5))
     return m, k
 
 

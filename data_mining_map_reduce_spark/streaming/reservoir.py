@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -58,6 +58,28 @@ class ReservoirSampler:
         return _fn
 
 
+def _content_key_str(id_cols: list[str], seed: int) -> Column:
+    """Injective string key over ``id_cols`` ⊕ seed for the content
+    hashes below. Single column keeps the plain ``value|seed`` form
+    (replayed verbatim by the SQL oracles; the row id is required
+    non-null by the sampling contract). Multi-column keys
+    length-prefix every component (``len:value``) and mark NULL as
+    ``#`` so a ``|`` inside a value or a skipped NULL can never make
+    two distinct rows collide on the key — concat_ws alone silently
+    skips NULLs and leaves separators ambiguous."""
+    if len(id_cols) == 1:
+        return F.concat_ws("|", F.col(id_cols[0]), F.lit(str(seed)))
+    parts = []
+    for c in id_cols:
+        s = F.col(c).cast("string")
+        parts.append(
+            F.when(s.isNull(), F.lit("#")).otherwise(
+                F.concat(F.length(s).cast("string"), F.lit(":"), s)
+            )
+        )
+    return F.concat_ws("|", *parts, F.lit(str(seed)))
+
+
 def uniform_sample(
     df: DataFrame, k: int, seed: int = 7, id_cols: list[str] | None = None
 ) -> DataFrame:
@@ -74,9 +96,7 @@ def uniform_sample(
     from ..functions.hashing import md5_hash60
 
     if id_cols:
-        key = md5_hash60(
-            F.concat_ws("|", *[F.col(c) for c in id_cols], F.lit(str(seed)))
-        )
+        key = md5_hash60(_content_key_str(id_cols, seed))
         ties = [F.col(c).asc() for c in id_cols]
     else:
         key = F.rand(seed)
@@ -127,11 +147,7 @@ def weighted_sample(
         # (u=0 would zero the key regardless of weight).
         u = (
             F.pmod(
-                md5_hash60(
-                    F.concat_ws(
-                        "|", *[F.col(c) for c in id_cols], F.lit(str(seed))
-                    )
-                ),
+                md5_hash60(_content_key_str(id_cols, seed)),
                 F.lit(1 << 52),
             ).cast("double")
             + F.lit(0.5)

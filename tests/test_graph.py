@@ -86,6 +86,78 @@ def test_lpa_recovers_planted_communities(spark):
     assert got[1] != got[6]
 
 
+def test_cc_local_fast_path_matches_distributed(spark):
+    """The bounded driver union-find (local_cap fast path) must be
+    row-identical to the distributed min-label loop on a seeded
+    random graph with many components plus both planted shapes."""
+    import random
+
+    rng = random.Random(11)
+    edges = [(rng.randrange(120), rng.randrange(120)) for _ in range(150)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    fast = sorted(map(tuple, G.connected_components(df).collect()))
+    slow = sorted(map(tuple, G.connected_components(df, local_cap=0).collect()))
+    assert fast == slow
+    assert len(fast) > 0
+
+
+def test_cc_local_fast_path_matches_distributed_planted(spark, planted_edges):
+    fast = sorted(map(tuple, G.connected_components(planted_edges).collect()))
+    slow = sorted(
+        map(tuple, G.connected_components(planted_edges, local_cap=0).collect())
+    )
+    assert fast == slow
+
+
+def test_girvan_newman_keeps_isolated_vertex_as_singleton(spark):
+    """Leaf-edge golden (r6 verdict item 3): a vertex isolated by an
+    edge removal must stay in the assignment as its own singleton
+    community AND contribute its -(d/2m)^2 modularity term — the
+    reference's BFS flood fill keeps every vertex as an
+    adjacency-dict key (Assignment4/task2.py:123-146). A 4-leaf star
+    forces it: every edge ties at betweenness 4, the (1,2) tie-break
+    wins, and removing it isolates leaf 2 on the very first (hence
+    best-tracked) removal."""
+    star = [(1, leaf) for leaf in (2, 3, 4, 5)]
+    df = spark.createDataFrame(star, "src int, dst int")
+    assign, q = G.girvan_newman(df, max_removals=1)
+    got = {r.id: r.community for r in assign.collect()}
+    assert set(got) == {1, 2, 3, 4, 5}, "no vertex may drop from the assignment"
+    assert got[2] == 2, "isolated leaf becomes its own singleton community"
+    assert got[1] == got[3] == got[4] == got[5]
+    # hand value, singleton term included: m=4; {1,3,4,5}: e=3, d=7;
+    # {2}: e=0, d=1  =>  Q = 3/4 - (7/8)^2 - (1/8)^2 = -1/32.
+    # Dropping the singleton (the old bug) would read -1/64 instead.
+    assert q == pytest.approx(-1 / 32, abs=1e-9)
+
+
+def test_adjacency_edit_chain_stays_bounded(spark, planted_edges):
+    """The GN loop folds pending ``array_remove`` edits into a fresh
+    checkpoint every 10 removals; the analyzed plan of the live
+    adjacency must therefore stay ~the size of a 10-edit chain no
+    matter how many total edits accumulated (30 here)."""
+    base = G.grouped_adjacency(planted_edges).localCheckpoint(eager=True)
+    edits = [(i % 8 + 1, (i + 3) % 8 + 1) for i in range(30)]
+
+    def plan_size(df):
+        return len(df._jdf.queryExecution().analyzed().toString())
+
+    # un-rebased: all 30 edits stacked on one plan
+    unbounded = plan_size(G._apply_adjacency_edits(base, edits))
+    # GN's rebase discipline
+    live, pending = base, []
+    for e in edits:
+        pending.append(e)
+        if len(pending) >= 10:
+            live = G._apply_adjacency_edits(live, pending).localCheckpoint(eager=True)
+            pending = []
+    bounded = plan_size(G._apply_adjacency_edits(live, pending))
+    ten_chain = plan_size(G._apply_adjacency_edits(base, edits[:10]))
+    assert bounded <= ten_chain * 1.2, (bounded, ten_chain)
+    assert bounded < unbounded / 2, (bounded, unbounded)
+
+
 def test_betweenness_sampled_roots_approximates(spark, planted_edges):
     """Half the roots, rescaled: the bridge must still dominate and
     its estimate must land near the exact 16.0."""

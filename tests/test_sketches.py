@@ -130,3 +130,26 @@ def test_kmv_distinct_within_bound(spark, sf_dir):
         assert est == exact
     else:
         assert abs(est - exact) / exact <= 0.2, (exact, est)
+
+
+def test_bloom_geometry_rounding_matches_duckdb():
+    """ADVICE r6: the engine's k must use the same rounding rule as
+    the DuckDB oracle's ROUND() (half-away-from-zero) — Python's
+    banker's round() silently diverges on an exact .5. Sweep n and
+    compare against DuckDB's own ROUND of the identical formula."""
+    import duckdb
+
+    from data_mining_map_reduce_spark.operators.sketches import _bloom_geometry
+
+    con = duckdb.connect()
+    for n in list(range(1, 120)) + [1000, 4096, 65536]:
+        m, k = _bloom_geometry(n, 0.01)
+        sql_m, sql_k = con.execute(
+            """
+            SELECT m, GREATEST(1, CAST(ROUND(m * 1.0 / ? * ln(2)) AS INTEGER))
+            FROM (SELECT GREATEST(64,
+                    CAST(trunc(-? * ln(0.01) / (ln(2) * ln(2))) AS BIGINT)) AS m)
+            """,
+            [n, n],
+        ).fetchone()
+        assert (m, k) == (sql_m, sql_k), (n, m, k, sql_m, sql_k)

@@ -544,3 +544,27 @@ def test_weighted_sample_properties(spark, sf_dir):
         [(1, 0.0), (2, -3.0), (3, 5.0)], "id long, w double"
     )
     assert {r.id for r in weighted_sample(zeroed, 3, "w").collect()} == {3}
+
+
+def test_sample_content_key_injective_multi_column(spark):
+    """ADVICE r6: multi-column id keys must be injective — a '|'
+    inside a value or a NULL component must not make two distinct
+    rows collide on the content-hash sort key. These four rows all
+    collapsed to the same key under plain concat_ws."""
+    from data_mining_map_reduce_spark.streaming.reservoir import _content_key_str
+
+    rows = [
+        ("a|b", "c"),
+        ("a", "b|c"),
+        ("a|b|c", None),
+        (None, "a|b|c"),
+    ]
+    df = spark.createDataFrame(rows, "x string, y string")
+    keys = df.select(_content_key_str(["x", "y"], seed=7).alias("k"))
+    assert keys.distinct().count() == len(rows)
+    # single-column form is unchanged (the SQL oracles replay it
+    # verbatim as value || '|' || seed)
+    one = spark.createDataFrame([("v",)], "x string").select(
+        _content_key_str(["x"], seed=7).alias("k")
+    )
+    assert one.collect()[0].k == "v|7"
