@@ -215,12 +215,48 @@ def connected_components(
     return labels
 
 
-def label_propagation(edges: DataFrame, max_iter: int = 5) -> DataFrame:
+def _local_label_propagation(sym_rows, max_iter: int, id_type: str, spark):
+    """Driver-side synchronous LPA over an ALREADY-BOUNDED symmetric
+    edge list — votes/tie-breaks identical to the distributed rounds
+    (and to the SQL-unrolled driver oracle): each round every vertex
+    adopts the most frequent neighbor label, ties to the smallest
+    label. Only reachable through ``label_propagation``'s explicit
+    ``local_cap`` guard."""
+    inbound: dict = {}  # dst -> list of srcs (vote suppliers)
+    for row in sym_rows:
+        inbound.setdefault(row[1], []).append(row[0])
+    labels = {v: v for v in inbound}
+    for _ in range(max_iter):
+        nxt = {}
+        for v, srcs in inbound.items():
+            votes: dict = {}
+            for s in srcs:
+                lab = labels[s]
+                votes[lab] = votes.get(lab, 0) + 1
+            top = max(votes.values())
+            nxt[v] = min(lab for lab, n in votes.items() if n == top)
+        labels = nxt
+    return spark.createDataFrame(
+        sorted(labels.items()), f"id {id_type}, label {id_type}"
+    )
+
+
+def label_propagation(
+    edges: DataFrame, max_iter: int = 5, local_cap: int = 200_000
+) -> DataFrame:
     """G2: deterministic synchronous LPA — each round every vertex
     adopts its neighbors' most frequent label, ties to the smallest
     label; isolated semantics follow the reference (GraphFrames LPA,
     maxIter=5, Assignment4/task1.py:64-65) but with a deterministic
-    tie-break so results are stable for oracle checks."""
+    tie-break so results are stable for oracle checks.
+
+    ``local_cap``: like ``connected_components``, graphs whose
+    symmetrized edge list fits the cap run the (fixed, small) round
+    count on the driver — identical votes and tie-breaks (parity
+    pytest-asserted AND externally checked by the SQL-unrolled
+    driver oracle), ~1 job instead of a join+window shuffle per
+    round. Above the cap the distributed rounds below run unchanged;
+    ``local_cap=0`` forces them."""
     # Materialize the (expensive) edge lineage exactly once and derive
     # the vertex set from it — vertices_of(edges) would re-execute the
     # upstream co-occurrence join a second time (the betweenness/CC
@@ -229,6 +265,13 @@ def label_propagation(edges: DataFrame, max_iter: int = 5) -> DataFrame:
     # caller's action), so materializing inside that consuming job
     # halves the loop's job count without recomputation.
     sym = symmetric_edges(edges).localCheckpoint(eager=True)
+    if local_cap > 0:
+        rows = sym.limit(local_cap + 1).collect()
+        if len(rows) <= local_cap:
+            id_type = dict(sym.dtypes)["src"]
+            return _local_label_propagation(
+                rows, max_iter, id_type, edges.sparkSession
+            )
     labels = (
         sym.select(F.col("src").alias("id"))
         .distinct()

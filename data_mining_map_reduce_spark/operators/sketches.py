@@ -307,3 +307,83 @@ def kmv_distinct_estimate(
         )
         .alias(alias)
     )
+
+
+def _cm_pos(col: Column, i: int, width: int) -> Column:
+    """Count-Min column index for hash row ``i`` — an independent
+    md5-derived stream per row (the row index is mixed into the hash
+    INPUT, with a ``cm`` salt so Bloom and Count-Min streams over the
+    same column stay independent). Replays bit-for-bit in DuckDB,
+    which is what gives the heavy-hitter query a full value-hashed
+    oracle."""
+    from ..functions.hashing import md5_hash60
+
+    return F.pmod(
+        md5_hash60(F.concat_ws("|", F.lit(f"cm{i}"), col.cast("string"))),
+        F.lit(width),
+    )
+
+
+def count_min_build(
+    df: DataFrame, col: str, width: int = 1024, depth: int = 4
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) over the
+    occurrences of ``col``: a depth x width counter grid as a
+    DataFrame of (i, pos, c) rows — at most depth*width rows
+    regardless of input size.
+
+    Scale shape: each occurrence expands to its ``depth`` (row, pos)
+    cells (pure codegen), then ONE groupBy aggregates the grid with
+    map-side partial counts — the shuffle carries at most
+    depth*width*partitions rows, not the data. Counter grids are
+    mergeable by (i, pos) sum, so per-partition / per-day sketches
+    combine without rescanning (the streaming/backfill contract)."""
+    c = F.col(col)
+    cells = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"), _cm_pos(c, i, width).alias("pos")
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("_cell")
+    ).select(F.col("_cell.i").alias("i"), F.col("_cell.pos").alias("pos"))
+    return cells.groupBy("i", "pos").agg(F.count(F.lit(1)).alias("c"))
+
+
+def count_min_estimate(
+    candidates: DataFrame,
+    sketch: DataFrame,
+    col: str,
+    width: int = 1024,
+    depth: int = 4,
+    alias: str = "est",
+) -> DataFrame:
+    """Point-query the sketch for each candidate key: est = min over
+    hash rows of the addressed counter — the classic CM overestimate
+    (est >= true count, pytest-asserted; error ~ 2N/width with prob
+    1 - (1/2)^depth). The sketch side is tiny (<= depth*width rows)
+    and broadcasts; candidate keys present in the build always hit
+    every row, so the join is inner."""
+    c = F.col(col)
+    keyed = candidates.select(
+        col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"), _cm_pos(c, i, width).alias("pos")
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("_cell"),
+    ).select(col, F.col("_cell.i").alias("i"), F.col("_cell.pos").alias("pos"))
+    return (
+        keyed.join(F.broadcast(sketch), ["i", "pos"])
+        .groupBy(col)
+        .agg(F.min("c").alias(alias))
+    )

@@ -809,6 +809,55 @@ def bloom_probe_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# X25: Count-Min heavy hitters (Cormode & Muthukrishnan 2005) — the
+# frequency-sketch companion to A12/A13: a bounded depth x width
+# counter grid over l_partkey occurrences, point-queried for every
+# candidate key, top-20 by estimate. FULL oracle: positions use the
+# md5-derived per-row hash streams (salt 'cm'), so DuckDB rebuilds
+# the identical grid and minima. Overestimate + merge laws are
+# pytest-asserted in tests/test_sketches.py.
+# ---------------------------------------------------------------------------
+_CM_POS_SQL = (
+    "CAST(('0x' || substr(md5(concat('cm', i, '|', CAST(key AS VARCHAR))), 1, 15))"
+    " AS BIGINT) % 1024"
+)
+
+
+@query(
+    "cm_heavy_hitter_partkeys",
+    f"""
+    WITH vals AS (SELECT l_partkey AS key FROM lineitem),
+    idx AS (SELECT unnest(range(4)) AS i),
+    sk AS (
+      SELECT i, {_CM_POS_SQL} AS pos, COUNT(*) AS c
+      FROM vals CROSS JOIN idx GROUP BY 1, 2
+    ),
+    cand AS (SELECT DISTINCT key FROM vals),
+    cp AS (
+      SELECT key, i, {_CM_POS_SQL} AS pos
+      FROM cand CROSS JOIN idx
+    )
+    SELECT key, MIN(c) AS est
+    FROM cp JOIN sk USING (i, pos)
+    GROUP BY key
+    ORDER BY est DESC, key ASC
+    LIMIT 20
+    """,
+)
+def cm_heavy_hitter_partkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sketches import count_min_build, count_min_estimate
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("key")
+    )
+    sketch = count_min_build(li, "key", width=1024, depth=4)
+    est = count_min_estimate(
+        li.distinct(), sketch, "key", width=1024, depth=4
+    )
+    return est.orderBy(F.col("est").desc(), F.col("key").asc()).limit(20)
+
+
+# ---------------------------------------------------------------------------
 # A12/F8: Flajolet-Martin distinct estimate — the reference's exact
 # estimator combine (40 hashes, mean-of-4-groups, median of means,
 # Assignment6/task2.py:33-76) as one distributed aggregate pass.
@@ -3413,7 +3462,7 @@ _DRIVER_ORDER = [
     "ann_topk_exact",
     "ann_topk_lsh",
     "ann_topk_ivf",
-    "tfidf_top_terms",
+    "cm_heavy_hitter_partkeys",   # NEW in r7: Count-Min heavy hitters (X25)
     "corpus_curation_funnel",
     # ---- driver cap (50) falls here ----
 ]
@@ -3447,6 +3496,8 @@ _EXCLUDED_R7 = [
     ("fm_distinct_users", "r6"),
     ("kmv_distinct_users", "r6"),
     ("source_mix_stats", "r6"),
+    ("tfidf_top_terms", "r6"),
+
     ("doc_quality_stats", "r5"),
     ("token_counts_docs", "r5"),
     ("language_id_docs", "r5"),

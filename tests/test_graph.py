@@ -132,6 +132,27 @@ def test_girvan_newman_keeps_isolated_vertex_as_singleton(spark):
     assert q == pytest.approx(-1 / 32, abs=1e-9)
 
 
+def test_lpa_local_matches_distributed(spark, planted_edges):
+    """Driver LPA fast path vs the distributed join+window rounds:
+    identical labels on the planted graph and a seeded random graph
+    (same votes, same smallest-label tie-break)."""
+    import random
+
+    a = sorted(map(tuple, G.label_propagation(planted_edges, 5).collect()))
+    b = sorted(
+        map(tuple, G.label_propagation(planted_edges, 5, local_cap=0).collect())
+    )
+    assert a == b
+    rng = random.Random(23)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(90)]
+    df = spark.createDataFrame(
+        [(x, y) for x, y in edges if x != y], "src int, dst int"
+    )
+    a = sorted(map(tuple, G.label_propagation(df, 5).collect()))
+    b = sorted(map(tuple, G.label_propagation(df, 5, local_cap=0).collect()))
+    assert a == b
+
+
 def test_betweenness_local_matches_batched(spark, planted_edges):
     """The driver Brandes fast path must reproduce the batched
     executor-side sweep (exact and sampled)."""

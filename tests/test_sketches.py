@@ -153,3 +153,36 @@ def test_bloom_geometry_rounding_matches_duckdb():
             [n, n],
         ).fetchone()
         assert (m, k) == (sql_m, sql_k), (n, m, k, sql_m, sql_k)
+
+
+def test_count_min_overestimates_and_merges(spark, sf_dir):
+    """CM laws: est >= true count for EVERY key (structural guarantee
+    of the min-of-counters read), exact on the heavy tail at this
+    scale, and counter grids built on disjoint halves merge by
+    (i, pos) sum into exactly the full grid."""
+    from data_mining_map_reduce_spark.operators.sketches import (
+        count_min_build,
+        count_min_estimate,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("key")
+    )
+    sketch = count_min_build(li, "key", width=256, depth=4)
+    est = count_min_estimate(li.distinct(), sketch, "key", width=256, depth=4)
+    truth = li.groupBy("key").agg(F.count(F.lit(1)).alias("true_n"))
+    joined = est.join(truth, "key").collect()
+    assert len(joined) == truth.count()
+    assert all(r.est >= r.true_n for r in joined), "CM must never undercount"
+
+    half_a = li.where(F.col("key") % 2 == 0)
+    half_b = li.where(F.col("key") % 2 == 1)
+    merged = (
+        count_min_build(half_a, "key", width=256, depth=4)
+        .unionByName(count_min_build(half_b, "key", width=256, depth=4))
+        .groupBy("i", "pos")
+        .agg(F.sum("c").alias("c"))
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, sketch.collect())
+    )
