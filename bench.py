@@ -110,8 +110,15 @@ def main() -> None:
     # k-means++ actually paid). Re-run EVERY query above the threshold
     # twice more and report the MEDIAN of 3 — sub-threshold queries
     # keep their single-run number (noise there is absolute-small).
-    # Re-runs happen in fresh sessions with the same recycle cadence
-    # as the first pass so late re-runs don't measure JVM senescence.
+    # Structure matters as much as the count: the box's noise arrives
+    # as MINUTES-LONG co-tenant bursts (measured: isolated 5-rep runs
+    # of the same heavy query are flat at ~9.5 s while a burst window
+    # inflates everything 2-3x), so back-to-back reps would put both
+    # extra samples inside the same burst and the median would follow
+    # them. Instead the re-runs happen as FULL PASSES over the heavy
+    # list (pass 1 of everything, then pass 2), minutes apart, so at
+    # most one of the three samples lands in any one burst. Sessions
+    # recycle on execution count, same cadence as the first pass.
     heavy_thresh = float(os.environ.get("SPARK_GRAFT_BENCH_MEDIAN_MIN_SEC", "1.0"))
     heavy_reps = int(os.environ.get("SPARK_GRAFT_BENCH_HEAVY_REPS", "3"))
     heavy = [
@@ -119,40 +126,29 @@ def main() -> None:
         for name in sorted(timings, key=timings.get, reverse=True)
         if timings[name] >= heavy_thresh
     ]
+    samples: dict[str, list[float]] = {name: [timings[name]] for name in heavy}
     if heavy and heavy_reps > 1:
-        try:
-            spark.stop()
-        except Exception:
-            pass
-        gc.collect()
-        spark = get_spark(app_name="bench")
-        try:
-            SPARK_QUERIES["flagship_category_avg"](spark, sf_dir).collect()
-            spark.catalog.clearCache()
-        except Exception:
-            pass
-        since_restart = 0
-        for name in heavy:
-            if since_restart >= restart_every:
-                since_restart = 0
-                try:
-                    spark.stop()
-                except Exception:
-                    pass
-                gc.collect()
-                spark = get_spark(app_name="bench")
-                try:
-                    SPARK_QUERIES["flagship_category_avg"](spark, sf_dir).collect()
-                    spark.catalog.clearCache()
-                except Exception:
-                    pass
-            since_restart += 1
-            samples = [timings[name]]
-            for _ in range(heavy_reps - 1):
+        since_restart = restart_every  # force a fresh session up front
+        for _pass in range(heavy_reps - 1):
+            for name in heavy:
+                if since_restart >= restart_every:
+                    since_restart = 0
+                    try:
+                        spark.stop()
+                    except Exception:
+                        pass
+                    gc.collect()
+                    spark = get_spark(app_name="bench")
+                    try:
+                        SPARK_QUERIES["flagship_category_avg"](spark, sf_dir).collect()
+                        spark.catalog.clearCache()
+                    except Exception:
+                        pass
+                since_restart += 1
                 t0 = time.perf_counter()
                 try:
                     SPARK_QUERIES[name](spark, sf_dir).collect()
-                    samples.append(round(time.perf_counter() - t0, 4))
+                    samples[name].append(round(time.perf_counter() - t0, 4))
                     spark.catalog.clearCache()
                     gc.collect()
                 except Exception as exc:  # noqa: BLE001
@@ -166,18 +162,18 @@ def main() -> None:
                         except Exception:
                             pass
                         spark = get_spark(app_name="bench")
-                    break
-            samples.sort()
-            n = len(samples)
+        for name in heavy:
+            ss = sorted(samples[name])
+            n = len(ss)
             if n % 2:
-                timings[name] = samples[n // 2]
+                timings[name] = ss[n // 2]
             else:
                 # even count (a re-run failed): true median, not the
                 # upper-middle element — picking index n//2 of two
                 # samples would report the MAX and bias upward
-                timings[name] = round((samples[n // 2 - 1] + samples[n // 2]) / 2, 4)
+                timings[name] = round((ss[n // 2 - 1] + ss[n // 2]) / 2, 4)
             print(
-                f"[bench] {name} samples={samples} -> median {timings[name]}",
+                f"[bench] {name} samples={ss} -> median {timings[name]}",
                 file=sys.stderr,
             )
 
