@@ -420,3 +420,197 @@ def _first_vec(emb: DataFrame, vec_col: str):
             "derive hyperplane dimensionality from)"
         )
     return row[0]
+
+
+def _pq_train(
+    train: np.ndarray, m_sub: int, k_codes: int, seed: int, max_iter: int
+) -> list[list[list[float]]]:
+    """Per-subspace codebooks for product quantization (Jégou et al.
+    2011): split the dimension into ``m_sub`` contiguous subvectors
+    and run the bounded driver Lloyd in each subspace. Driver state =
+    m_sub * k_codes * (d/m_sub) = k_codes * d floats — independent of
+    corpus size, the same contract as the IVF coarse quantizer."""
+    d = train.shape[1]
+    if d % m_sub:
+        raise ValueError(f"dim {d} not divisible by m_sub={m_sub}")
+    sd = d // m_sub
+    return [
+        _lloyd_np(
+            np.ascontiguousarray(train[:, j * sd : (j + 1) * sd]),
+            k_codes,
+            seed + j,
+            max_iter,
+        )
+        for j in range(m_sub)
+    ]
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_list: int = 16,
+    n_probe: int = 4,
+    m_sub: int = 8,
+    k_codes: int = 32,
+    refine: int = 4,
+    seed: int = 7,
+    train_cap: int = 4096,
+    kmeans_max_iter: int = 8,
+) -> DataFrame:
+    """IVF-PQ approximate top-k cosine neighbors — the
+    memory-compressed tier above :func:`ivf_topk` (faiss IVFPQ shape,
+    Jégou et al. 2011):
+
+    1. train (driver, bounded): coarse centroids exactly as
+       ``ivf_topk``, plus per-subspace PQ codebooks over the same
+       hash-smallest ``train_cap`` sample;
+    2. index: each corpus vector stores only its coarse list id and
+       ``m_sub`` PQ codes (one argmin per subspace — codegen against
+       the broadcast codebook). At rest this is the compressed
+       representation: m_sub bytes-ish per vector instead of d
+       floats, the property that makes billion-scale ANN fit memory;
+    3. search: probes explode to their ``n_probe`` nearest lists;
+       per probe a LUT of subspace dot products against every code
+       (m_sub x k_codes floats, computed once per probe as a codegen
+       expression) turns candidate scoring into m_sub array lookups +
+       a sum (ADC — no d-dim math per candidate); the top
+       ``k*refine`` ADC candidates per probe are re-scored with the
+       EXACT cosine and the final top-k ranks on that.
+
+    This quantizes raw normalized vectors (not per-list residuals):
+    the exact-refine stage recovers the ranking precision residual-PQ
+    would buy, at the cost of reading the full vector for the
+    shortlist only — the standard refinement trade. Recall vs the
+    exact path is pytest-asserted on a planted-cluster corpus.
+    Rows-only as a driver query: codes depend on iterative float
+    training, like IVF/k-means.
+    """
+    from .clustering import assign_clusters
+
+    def norm(col: Column) -> Column:
+        n = F.sqrt(F.aggregate(col, F.lit(0.0), lambda a, x: a + x * x))
+        return F.transform(col, lambda x: F.when(n > 0, x / n).otherwise(F.lit(0.0)))
+
+    base = emb.select(F.col(id_col), norm(_as_double_vec(vec_col)).alias("_nv"))
+    from ..functions.hashing import md5_hash60
+
+    sample_rows = (
+        base.select("_nv", md5_hash60(F.col(id_col)).alias("_ord"))
+        .orderBy("_ord")
+        .limit(train_cap)
+        .collect()
+    )
+    train = np.array(sorted(r[0] for r in sample_rows))
+    d = train.shape[1]
+    sd = d // m_sub
+    coarse = _lloyd_np(train, n_list, seed, kmeans_max_iter)
+    codebooks = _pq_train(train, m_sub, k_codes, seed, kmeans_max_iter)
+
+    # broadcast data: coarse centroids (for probe routing) + PQ
+    # codebooks (m_sub x k_codes x sd) — never inlined literals
+    spark = emb.sparkSession
+    cb_row = spark.createDataFrame(
+        [([[list(map(float, c)) for c in cb] for cb in codebooks],)],
+        "_cb array<array<array<double>>>",
+    )
+    cents_row = spark.createDataFrame(
+        [([list(map(float, c)) for c in coarse],)], "_cents array<array<double>>"
+    )
+
+    def sub_l2sq(sub: Column, code: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(sub, code, lambda a, b: a - b),
+            F.lit(0.0),
+            lambda acc, x: acc + x * x,
+        )
+
+    # encode: coarse list + m_sub per-subspace argmin codes (0-based).
+    # The per-subspace lambda must be built by a factory: a default-arg
+    # lambda (lambda c, s=sub: ...) has arity 2, which pyspark's
+    # transform() reads as the (element, index) form and feeds the
+    # INDEX into s.
+    def _code_for(j: int) -> Column:
+        sub = F.slice("_nv", j * sd + 1, sd)
+        dists = F.transform(
+            F.element_at("_cb", j + 1), lambda c: sub_l2sq(sub, c)
+        )
+        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+    listed = assign_clusters(base, "_nv", coarse, alias="_list")
+    enc = listed.crossJoin(F.broadcast(cb_row))
+    code_cols = [_code_for(j) for j in range(m_sub)]
+    cands = enc.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("_nv").alias("_cv"),
+        "_list",
+        F.array(*code_cols).alias("_codes"),
+    )
+
+    # probe routing: same ||c||^2 - 2 v.c key as ivf_topk, so the
+    # probed lists agree with the index's assignment metric
+    def probe_lists(vec: Column) -> Column:
+        dists = F.transform(
+            F.col("_cents"),
+            lambda c, i: F.struct(
+                (dot(c, c) - 2.0 * dot(vec, c)).alias("_d2"), i.alias("_i")
+            ),
+        )
+        return F.transform(
+            F.slice(F.array_sort(dists), 1, n_probe), lambda s: s["_i"]
+        )
+
+    # per-probe ADC lookup table: LUT[j][c] = dot(probe_sub_j, cb[j][c])
+    def lut(vec: Column) -> Column:
+        return F.transform(
+            F.col("_cb"),
+            lambda cbj, j: F.transform(
+                cbj, lambda c: dot(F.slice(vec, j * F.lit(sd) + 1, sd), c)
+            ),
+        )
+
+    pr = (
+        probes.select(
+            F.col(id_col).alias("probe_id"),
+            norm(_as_double_vec(vec_col)).alias("_pv"),
+        )
+        .crossJoin(F.broadcast(cents_row))
+        .crossJoin(F.broadcast(cb_row))
+        .select(
+            "probe_id",
+            "_pv",
+            lut(F.col("_pv")).alias("_lut"),
+            F.explode(probe_lists(F.col("_pv"))).alias("_list"),
+        )
+    )
+
+    est = None
+    for j in range(m_sub):
+        term = F.element_at(
+            F.element_at("_lut", j + 1), F.element_at("_codes", j + 1) + 1
+        )
+        est = term if est is None else est + term
+    w_est = Window.partitionBy("probe_id").orderBy(
+        F.col("_est").desc(), F.col("neighbor_id").asc()
+    )
+    shortlist = (
+        pr.join(cands, "_list")
+        .where(F.col("neighbor_id") != F.col("probe_id"))
+        .withColumn("_est", est)
+        .withColumn("_erk", F.row_number().over(w_est))
+        .where(F.col("_erk") <= k * refine)
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        shortlist.select(
+            "probe_id",
+            "neighbor_id",
+            F.round(cosine("_pv", "_cv"), 6).alias("cos_sim"),
+        )
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= k)
+    )

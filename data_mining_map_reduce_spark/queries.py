@@ -2290,6 +2290,21 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("probe_id", "rnk")
 
 
+# X26 IVF-PQ variant: coarse quantizer + product-quantized codes +
+# ADC lookup scoring + exact refinement — the memory-compressed ANN
+# tier (m_sub codes per vector at rest instead of d floats).
+# Rows-only (iterative float training); recall pytest-asserted.
+@query("ann_topk_ivfpq")
+def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.ann import ivfpq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < 10)
+    return ivfpq_topk(
+        emb, probes, k=5, n_list=16, n_probe=8, m_sub=8, k_codes=32, refine=4
+    ).orderBy("probe_id", "rnk")
+
+
 # ---------------------------------------------------------------------------
 # A16: TF-IDF top terms per document (A3 PDF §4.2 formula — tf
 # normalized by the doc's max term frequency, idf = ln(N/df)).
@@ -3510,6 +3525,7 @@ _EXCLUDED_R7 = [
     ("doc_length_percentiles", "r5"),
     ("top_customers_per_segment", "r5"),
     ("approx_distinct_users", "r5 rows-only (HLL++ internals are engine-specific; accuracy pytest)"),
+    ("ann_topk_ivfpq", "new r7, rows-only by nature (PQ codes from iterative float training; recall pytest)"),
 ]
 _DRIVER_ORDER += [name for name, _ in _EXCLUDED_R7]
 
