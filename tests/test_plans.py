@@ -141,3 +141,18 @@ def test_minhash_signature_partial_aggregates(spark, sf_dir):
     )
     plan = _plan(pairs)
     assert "partial_min" in plan  # map-side combine of the signature mins
+
+
+def test_count_min_plans_broadcast_and_partial_agg(spark, sf_dir):
+    """cm_heavy_hitter_partkeys: the <= depth*width-row sketch side
+    must BROADCAST into the estimate join (never shuffle the
+    candidate side for it), the grid build must partial-aggregate
+    map-side, and the final top-20 must be TakeOrderedAndProject,
+    not a global sort."""
+    from data_mining_map_reduce_spark.queries import cm_heavy_hitter_partkeys
+
+    plan = _plan(cm_heavy_hitter_partkeys(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert "partial_count" in plan
+    assert "TakeOrderedAndProject" in plan
