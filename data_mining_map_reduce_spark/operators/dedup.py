@@ -93,17 +93,19 @@ def exact_duplicate_groups(
     of the group (the survivor a dedup pass would keep). Hash
     collisions at 64 bits are negligible at any realistic corpus
     size; a paranoid pass can re-verify groups on the raw text."""
+    # Window over the hash partition instead of groupBy + self-join:
+    # one scan of the (regex-heavy) normalize+hash projection and one
+    # shuffle, where the join form re-executed the projection on both
+    # sides of the equi-join. Same output, half the scan work.
     hashed = docs.select(
         F.col(id_col),
         F.xxhash64(normalize(F.col(text_col))).alias("_h"),
     )
-    groups = hashed.groupBy("_h").agg(
-        F.min(id_col).alias("canonical_id"),
-        F.count(F.lit(1)).alias("group_size"),
-    )
-    return (
-        hashed.join(groups, "_h")
-        .select(id_col, "canonical_id", "group_size")
+    w = W.partitionBy("_h")
+    return hashed.select(
+        id_col,
+        F.min(id_col).over(w).alias("canonical_id"),
+        F.count(F.lit(1)).over(w).alias("group_size"),
     )
 
 
