@@ -3334,6 +3334,142 @@ def train_test_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# X27: benchmark-contamination detection — the train/test overlap
+# check every LLM data pipeline runs before evaluation: a test-split
+# document is contaminated to the degree its word-3-gram shingles
+# also appear ANYWHERE in the train split. Composes the
+# deterministic affine-hash split (X21) with the shared shingle scan;
+# one exploded-shingle join against the distinct train-gram set.
+# Shingles join as exact strings on both engines (a 64-bit
+# dictionary-compression pass is the scale option, traded away here
+# for bit-exact oracle parity). FULL oracle.
+# ---------------------------------------------------------------------------
+_SPLIT_SQL = (
+    "CASE WHEN ((1103515245 * (doc_id % 2147483647) + 12345)"
+    " % 2147483647) % 100 < 80 THEN 'train' ELSE 'test' END"
+)
+
+
+@query(
+    "contamination_ngram_overlap",
+    f"""
+    WITH tagged AS (SELECT doc_id, {_SPLIT_SQL} AS split FROM documents),
+    sh AS ({_DOC_SHINGLES_SQL}),
+    ex AS (SELECT doc_id, UNNEST(s) AS shingle FROM sh),
+    tr AS (
+      SELECT DISTINCT shingle FROM ex JOIN tagged USING (doc_id)
+      WHERE split = 'train'
+    ),
+    te AS (
+      SELECT ex.doc_id, ex.shingle FROM ex JOIN tagged USING (doc_id)
+      WHERE split = 'test'
+    ),
+    per AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_total,
+             CAST(SUM(CASE WHEN tr.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_shared
+      FROM te LEFT JOIN tr ON te.shingle = tr.shingle
+      GROUP BY doc_id
+    )
+    SELECT doc_id, n_shared, n_total,
+           ROUND(n_shared * 1.0 / n_total, 6) AS contamination
+    FROM per
+    ORDER BY contamination DESC, doc_id ASC
+    LIMIT 50
+    """,
+)
+def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import doc_shingle_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        F.pmod(
+            F.lit(1103515245) * F.pmod(F.col("doc_id"), F.lit(2147483647))
+            + F.lit(12345),
+            F.lit(2147483647),
+        ),
+        F.lit(100),
+    )
+    tagged = docs.select(
+        "doc_id", F.when(bucket < 80, "train").otherwise("test").alias("split")
+    )
+    sh = doc_shingle_pairs(docs).join(tagged, "doc_id")
+    train_grams = (
+        sh.where(F.col("split") == "train")
+        .select("shingle")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        sh.where(F.col("split") == "test")
+        .join(train_grams, "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.coalesce("_hit", F.lit(0))).cast("long").alias("n_shared"),
+            F.count(F.lit(1)).cast("long").alias("n_total"),
+        )
+        .select(
+            "doc_id",
+            "n_shared",
+            "n_total",
+            F.round(F.col("n_shared") / F.col("n_total"), 6).alias(
+                "contamination"
+            ),
+        )
+        .orderBy(F.col("contamination").desc(), F.col("doc_id").asc())
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# X28: intra-document repetition score (the Gopher/C4-style quality
+# signal): fraction of a doc's word-3-grams that are duplicates of an
+# earlier gram in the SAME doc. Pure single-scan projection — the
+# n-gram build, distinct, and ratio are all codegen; no shuffle
+# except the output sort. FULL oracle.
+# ---------------------------------------------------------------------------
+@query(
+    "doc_repetition_scores",
+    r"""
+    WITH grams AS (
+      SELECT doc_id,
+             [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+              for i in range(1, len(w)-1)] AS g
+      FROM (
+          SELECT doc_id,
+                 list_filter(
+                     string_split_regex(
+                         translate(lower(text), '([,.!?:;])', ''), '\s+'),
+                     x -> x <> '') AS w
+          FROM documents
+      )
+    )
+    SELECT doc_id,
+           CAST(len(g) AS BIGINT) AS n_ngrams,
+           CAST(len(list_distinct(g)) AS BIGINT) AS n_distinct,
+           ROUND(1.0 - len(list_distinct(g)) * 1.0 / len(g), 6) AS rep_ratio
+    FROM grams WHERE len(g) > 0
+    ORDER BY doc_id
+    """,
+)
+def doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import normalize, tokenize, word_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = word_ngrams(tokenize(normalize(F.col("text"))), 3)
+    out = docs.select("doc_id", grams.alias("_g")).where(F.size("_g") > 0)
+    return out.select(
+        "doc_id",
+        F.size("_g").cast("long").alias("n_ngrams"),
+        F.size(F.array_distinct("_g")).cast("long").alias("n_distinct"),
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct("_g")) / F.size("_g"), 6
+        ).alias("rep_ratio"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
 # Training-data pipeline: quality-weighted per-stratum sampling
 # (Efraimidis-Spirakis A-ES via streaming/reservoir.weighted_sample)
 # — longer docs drawn proportionally more often within each language,
@@ -3461,15 +3597,16 @@ _DRIVER_ORDER = [
     "bloom_probe_custkeys",       # half-up k rounding (ADVICE r6)
     "reservoir_sample_events",    # content-key helper refactor
     "weighted_doc_sample",        # content-key helper refactor
+    # -- new in r7: never driver-checked --
+    "contamination_ngram_overlap",  # X27 train/test n-gram overlap
+    "doc_repetition_scores",        # X28 intra-doc repetition signal
     # -- standing heavies: fresh row each round --
     "cf_item_similarities",
     "cf_predictions",
-    "cf_user_predictions",
     "cf_user_predictions_lsh",
     "content_based_scores",
     "son_itemsets",
     "fpgrowth_itemsets",
-    "cooccurrence_pairs",
     "minhash_lsh_pairs",
     "jaccard_pairs_exact",
     "near_dup_docs_exact",
@@ -3512,6 +3649,8 @@ _EXCLUDED_R7 = [
     ("kmv_distinct_users", "r6"),
     ("source_mix_stats", "r6"),
     ("tfidf_top_terms", "r6"),
+    ("cooccurrence_pairs", "r6; its edge build is also exercised in-window by graph_components/degree/triangle"),
+    ("cf_user_predictions", "r6; the CF family keeps 3 in-window rows (item, predictions, user-LSH)"),
 
     ("doc_quality_stats", "r5"),
     ("token_counts_docs", "r5"),
