@@ -3334,6 +3334,94 @@ def train_test_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# X25 windowed twin: per-day Count-Min heavy-hitter users — the
+# sketch's streaming shape: one bounded counter grid PER time window
+# (day × depth × width rows total, regardless of event volume), built
+# in a single map-side-partial groupBy; a late-data backfill merges
+# by (day, i, pos) sum without rescanning history. Top-3 users per
+# day by the min-of-counters estimate. FULL oracle (same md5 'cm'
+# hash streams, width 256).
+# ---------------------------------------------------------------------------
+_CM256_POS_SQL = (
+    "CAST(('0x' || substr(md5(concat('cm', i, '|', CAST(user_id AS VARCHAR))), 1, 15))"
+    " AS BIGINT) % 256"
+)
+
+
+@query(
+    "window_heavy_hitter_users",
+    f"""
+    WITH ev AS (
+      -- DuckDB's date_trunc('day', …) yields DATE (hour yields
+      -- TIMESTAMP); cast so the column type matches Spark's TIMESTAMP
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, user_id
+      FROM events
+    ),
+    idx AS (SELECT unnest(range(4)) AS i),
+    grid AS (
+      SELECT day, i, {_CM256_POS_SQL} AS pos, COUNT(*) AS c
+      FROM ev CROSS JOIN idx GROUP BY 1, 2, 3
+    ),
+    cand AS (SELECT DISTINCT day, user_id FROM ev),
+    est AS (
+      SELECT cand.day, cand.user_id, MIN(grid.c) AS est
+      FROM (SELECT day, user_id, i, {_CM256_POS_SQL} AS pos
+            FROM cand CROSS JOIN idx) cand
+      JOIN grid USING (day, i, pos)
+      GROUP BY cand.day, cand.user_id
+    )
+    SELECT day, user_id, est, CAST(rnk AS INTEGER) AS rnk FROM (
+      SELECT day, user_id, est,
+             ROW_NUMBER() OVER (PARTITION BY day
+                                ORDER BY est DESC, user_id ASC) AS rnk
+      FROM est
+    ) WHERE rnk <= 3
+    ORDER BY day, rnk
+    """,
+)
+def window_heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sketches import _cm_pos
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    )
+    width, depth = 256, 4
+    cell = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("i"),
+                    _cm_pos(F.col("user_id"), i, width).alias("pos"),
+                )
+                for i in range(depth)
+            ]
+        )
+    ).alias("_cell")
+    grid = (
+        ev.select("day", cell)
+        .select("day", "_cell.i", "_cell.pos")
+        .groupBy("day", "i", "pos")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cand = (
+        ev.distinct()
+        .select("day", "user_id", cell)
+        .select("day", "user_id", "_cell.i", "_cell.pos")
+    )
+    est = (
+        cand.join(grid, ["day", "i", "pos"])
+        .groupBy("day", "user_id")
+        .agg(F.min("c").alias("est"))
+    )
+    w = Window.partitionBy("day").orderBy(F.col("est").desc(), F.col("user_id").asc())
+    return (
+        est.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= 3)
+        .orderBy("day", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
 # X27: benchmark-contamination detection — the train/test overlap
 # check every LLM data pipeline runs before evaluation: a test-split
 # document is contaminated to the degree its word-3-gram shingles
@@ -3600,11 +3688,11 @@ _DRIVER_ORDER = [
     # -- new in r7: never driver-checked --
     "contamination_ngram_overlap",  # X27 train/test n-gram overlap
     "doc_repetition_scores",        # X28 intra-doc repetition signal
+    "window_heavy_hitter_users",    # X25 windowed CM twin
     # -- standing heavies: fresh row each round --
     "cf_item_similarities",
     "cf_predictions",
     "cf_user_predictions_lsh",
-    "content_based_scores",
     "son_itemsets",
     "fpgrowth_itemsets",
     "minhash_lsh_pairs",
@@ -3651,6 +3739,7 @@ _EXCLUDED_R7 = [
     ("tfidf_top_terms", "r6"),
     ("cooccurrence_pairs", "r6; its edge build is also exercised in-window by graph_components/degree/triangle"),
     ("cf_user_predictions", "r6; the CF family keeps 3 in-window rows (item, predictions, user-LSH)"),
+    ("content_based_scores", "r6; content.py unchanged this round"),
 
     ("doc_quality_stats", "r5"),
     ("token_counts_docs", "r5"),
