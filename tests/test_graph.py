@@ -242,3 +242,15 @@ def test_betweenness_sampled_roots_approximates(spark, planted_edges):
     top = max(bt, key=lambda r: r.betweenness)
     assert (top.src, top.dst) == (4, 5)
     assert 8.0 <= top.betweenness <= 32.0
+
+
+def test_local_fast_paths_handle_empty_graphs(spark):
+    """Every bounded local path must return an empty (id, ...) frame
+    — not raise — when the edge list is empty."""
+    empty = spark.createDataFrame([], "src int, dst int")
+    assert G.connected_components(empty).count() == 0
+    assert G.label_propagation(empty).count() == 0
+    assert G.edge_betweenness(empty).count() == 0
+    assign, q = G.girvan_newman(empty, max_removals=2)
+    assert assign.count() == 0
+    assert q == -1.0
