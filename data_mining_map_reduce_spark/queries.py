@@ -3482,7 +3482,11 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     tagged = docs.select(
         "doc_id", F.when(bucket < 80, "train").otherwise("test").alias("split")
     )
-    sh = doc_shingle_pairs(docs).join(tagged, "doc_id")
+    # Lazy checkpoint: the tagged shingle frame feeds BOTH the
+    # train-gram distinct and the test side — without it the
+    # (regex-heavy) shingle build and the documents scan execute
+    # twice (4 parquet scans measured; 2 after).
+    sh = doc_shingle_pairs(docs).join(tagged, "doc_id").localCheckpoint(eager=False)
     train_grams = (
         sh.where(F.col("split") == "train")
         .select("shingle")
