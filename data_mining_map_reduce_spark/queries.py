@@ -3114,6 +3114,32 @@ def doc_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Approximate twin of doc_length_percentiles: percentile_approx
+# (Spark's GK/t-digest-style mergeable quantile sketch — constant
+# memory per group + map-side partial merge, where the exact
+# percentile buffers every value per group). Rows-only by nature
+# (sketch internals are engine-specific); the rank-error bound vs the
+# exact twin is pytest-asserted — the A12-style accuracy contract.
+# ---------------------------------------------------------------------------
+@query("doc_length_percentiles_approx")
+def doc_length_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pct = F.expr(
+        "percentile_approx(n_chars, array(0.5D, 0.9D, 0.99D), 10000)"
+    )
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(pct.getItem(0).cast("double"), 4).alias("p50"),
+            F.round(pct.getItem(1).cast("double"), 4).alias("p90"),
+            F.round(pct.getItem(2).cast("double"), 4).alias("p99"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
 # §2.3 broadcast range join: events banded into non-uniform value
 # tiers via a BETWEEN theta-join against a tiny literal dim. Catalyst
 # plans BroadcastNestedLoopJoin — with a handful of broadcast rows
@@ -3773,6 +3799,7 @@ _EXCLUDED_R7 = [
     ("top_customers_per_segment", "r5"),
     ("approx_distinct_users", "r5 rows-only (HLL++ internals are engine-specific; accuracy pytest)"),
     ("ann_topk_ivfpq", "new r7, rows-only by nature (PQ codes from iterative float training; recall pytest)"),
+    ("doc_length_percentiles_approx", "new r7, rows-only by nature (quantile-sketch internals are engine-specific; rank-error pytest vs the exact twin)"),
 ]
 _DRIVER_ORDER += [name for name, _ in _EXCLUDED_R7]
 

@@ -186,3 +186,29 @@ def test_count_min_overestimates_and_merges(spark, sf_dir):
     assert sorted(map(tuple, merged.collect())) == sorted(
         map(tuple, sketch.collect())
     )
+
+
+def test_percentile_approx_tracks_exact(spark, sf_dir):
+    """doc_length_percentiles_approx (mergeable quantile sketch,
+    constant memory per group) must track the exact buffering twin
+    within a tight relative band at this accuracy setting — the same
+    approx-vs-exact contract the FM/HLL queries carry."""
+    from data_mining_map_reduce_spark.queries import SPARK_QUERIES
+
+    exact = {
+        r.lang: r
+        for r in SPARK_QUERIES["doc_length_percentiles"](spark, sf_dir).collect()
+    }
+    approx = {
+        r.lang: r
+        for r in SPARK_QUERIES["doc_length_percentiles_approx"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(exact) == set(approx)
+    for lang, e in exact.items():
+        a = approx[lang]
+        assert a.n_docs == e.n_docs
+        for col in ("p50", "p90", "p99"):
+            ev, av = getattr(e, col), getattr(a, col)
+            assert abs(av - ev) <= 0.15 * max(ev, 1.0), (lang, col, ev, av)
