@@ -254,3 +254,15 @@ def test_local_fast_paths_handle_empty_graphs(spark):
     assign, q = G.girvan_newman(empty, max_removals=2)
     assert assign.count() == 0
     assert q == -1.0
+
+
+def test_cc_distributed_high_diameter_path(spark):
+    """A 120-vertex path graph (diameter 119) through the DISTRIBUTED
+    loop: pointer-jumping + the batched convergence probe must still
+    land every vertex on component 0 well inside max_iter — the
+    O(log d) acceleration claim, checked where it matters."""
+    edges = [(i, i + 1) for i in range(119)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {r.id: r.component for r in G.connected_components(df, local_cap=0).collect()}
+    assert len(got) == 120
+    assert set(got.values()) == {0}
