@@ -202,14 +202,23 @@ def hyperplane_lsh_topk(
 
 
 def _lloyd_np(
-    points: np.ndarray, k: int, seed: int, max_iter: int, tol: float = 1e-4
+    points: np.ndarray,
+    k: int,
+    seed: int,
+    max_iter: int,
+    tol: float = 1e-4,
+    what: str = "IVF coarse quantizer (n_list)",
 ) -> list[list[float]]:
     """Driver-side seeded Lloyd for quantizer training (bounded input
     by contract — see ivf_topk). Deterministic given (points, seed);
-    empty clusters keep their previous centroid."""
+    empty clusters keep their previous centroid. ``what`` names which
+    knob k came from, so a too-small training sample reports the right
+    one (n_list vs PQ k_codes — ADVICE r7)."""
     rng = np.random.default_rng(seed)
     if len(points) < k:
-        raise ValueError(f"IVF training sample smaller than n_list={k}")
+        raise ValueError(
+            f"training sample ({len(points)}) smaller than k={k} for {what}"
+        )
     cents = points[rng.choice(len(points), size=k, replace=False)].copy()
     for _ in range(max_iter):
         d2 = ((points[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
@@ -440,6 +449,7 @@ def _pq_train(
             k_codes,
             seed + j,
             max_iter,
+            what=f"PQ codebook {j} (k_codes)",
         )
         for j in range(m_sub)
     ]

@@ -219,8 +219,10 @@ def kmeans(
         centroids = seen
 
     path = "distributed"
-    n_rows = loop_pts.count()
-    if local_elems_cap and n_rows * dim <= local_elems_cap:
+    # count() only when a local cap is in play — with local_elems_cap=0
+    # the distributed path needs no row count, so don't pay the job
+    # (ADVICE r7). `and` short-circuits before the count.
+    if local_elems_cap and loop_pts.count() * dim <= local_elems_cap:
         import numpy as np
 
         path = "local"

@@ -203,10 +203,11 @@ def connected_components(
             )
         # Batched convergence probe: rounds 0-2 probe every round
         # (shallow graphs exit at the earliest fixed point), later
-        # rounds every 2nd — unprobed rounds cost zero jobs (their
-        # lazy checkpoints materialize inside the next probe). Sums
-        # only ever decrease, so equality across a 2-round gap still
-        # proves the fixed point.
+        # rounds every 2nd — a skipped probe saves the probe job only
+        # (the eager `stepped` checkpoint above still runs one job per
+        # jump round; the lazy `labels` checkpoint folds into the next
+        # probe). Sums only ever decrease, so equality across a
+        # 2-round gap still proves the fixed point.
         if round_idx < 3 or round_idx % 2 == 1:
             cur_sum = labels.agg(F.sum("component")).collect()[0][0]
             if cur_sum == prev_sum:

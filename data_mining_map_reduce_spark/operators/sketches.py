@@ -366,8 +366,12 @@ def count_min_estimate(
     hash rows of the addressed counter — the classic CM overestimate
     (est >= true count, pytest-asserted; error ~ 2N/width with prob
     1 - (1/2)^depth). The sketch side is tiny (<= depth*width rows)
-    and broadcasts; candidate keys present in the build always hit
-    every row, so the join is inner."""
+    and broadcasts. The join is LEFT with empty cells coalesced to 0:
+    a grid cell no occurrence hashed into has no sketch row, and true
+    CM semantics read that counter as 0 — so a key absent from the
+    build reports est=0 instead of vanishing (all cells empty) or
+    returning a spurious positive min over only its non-empty cells
+    (ADVICE r7)."""
     c = F.col(col)
     keyed = candidates.select(
         col,
@@ -383,7 +387,7 @@ def count_min_estimate(
         ).alias("_cell"),
     ).select(col, F.col("_cell.i").alias("i"), F.col("_cell.pos").alias("pos"))
     return (
-        keyed.join(F.broadcast(sketch), ["i", "pos"])
+        keyed.join(F.broadcast(sketch), ["i", "pos"], "left")
         .groupBy(col)
-        .agg(F.min("c").alias(alias))
+        .agg(F.min(F.coalesce("c", F.lit(0))).alias(alias))
     )

@@ -188,6 +188,35 @@ def test_count_min_overestimates_and_merges(spark, sf_dir):
     )
 
 
+def test_count_min_unseen_key_reports_zero(spark, sf_dir):
+    """True CM semantics for a key ABSENT from the build (ADVICE r7):
+    every counter it addresses that no occurrence hashed into reads 0,
+    so the min must be 0 when any addressed cell is empty — the key
+    must neither vanish from the output nor report a spurious positive
+    min over only its non-empty cells."""
+    from data_mining_map_reduce_spark.operators.sketches import (
+        count_min_build,
+        count_min_estimate,
+    )
+
+    built = spark.createDataFrame([(k,) for k in range(8)], "key int")
+    # wide grid + few keys => an unseen key all but surely addresses
+    # at least one empty cell in some hash row
+    sketch = count_min_build(built, "key", width=4096, depth=4)
+    probes = spark.createDataFrame(
+        [(5,), (999_999,)], "key int"
+    )  # one built, one unseen
+    rows = {
+        r.key: r.est
+        for r in count_min_estimate(
+            probes, sketch, "key", width=4096, depth=4
+        ).collect()
+    }
+    assert set(rows) == {5, 999_999}, "unseen key must not vanish"
+    assert rows[5] >= 1
+    assert rows[999_999] == 0
+
+
 def test_percentile_approx_tracks_exact(spark, sf_dir):
     """doc_length_percentiles_approx (mergeable quantile sketch,
     constant memory per group) must track the exact buffering twin
