@@ -62,12 +62,20 @@ def dictionary_encode_big(
         .repartitionByRange(parts, F.col(col))
         .withColumn("_pid", F.spark_partition_id())
     )
+    # Pin the partition assignment before ANY job reads it:
+    # repartitionByRange picks boundaries by reservoir-sampling the
+    # upstream distinct, and the sample depends on intra-partition
+    # element ORDER — which a recomputed hash aggregate does not
+    # guarantee. Without the checkpoint the offsets job and the final
+    # join job can see DIFFERENT partitionings, corrupting the dense
+    # ids (observed as duplicate ids at sf0.1). Lazy checkpoint: the
+    # sizes collect below is the materializing action.
     local = distinct.withColumn(
         "_local",
         F.row_number().over(
             Window.partitionBy("_pid").orderBy(F.col(col))
         ),
-    )
+    ).localCheckpoint(eager=False)
     sizes = sorted(
         (r._pid, r.n)
         for r in local.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()

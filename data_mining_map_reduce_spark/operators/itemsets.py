@@ -229,8 +229,18 @@ def fpgrowth_frequent_itemsets(
     shrinking the FP-tree the fit must explore — at low relative
     supports the unpruned tree dominates the runtime. Empty baskets
     are kept so the relative minSupport denominator is unchanged.
+
+    Surviving items are dictionary-compressed to dense int codes for
+    the fit (``dictionary_encode_big`` — no single-task sort, scales
+    with the frequent-item domain) and decoded in the output
+    projection: FP-tree nodes and the conditional bases then carry
+    4-byte ints instead of strings, which both shrinks the tree and
+    makes node comparisons cheap. Output contract unchanged:
+    (itemset csv of original items lexicographically sorted, support).
     """
     from pyspark.ml.fpm import FPGrowth
+
+    from .encoding import dictionary_encode_big
 
     keyed = baskets_df.select(
         F.monotonically_increasing_id().alias("_bid"),
@@ -244,16 +254,20 @@ def fpgrowth_frequent_itemsets(
         .where(F.col("_n") >= support)
         .select("_i")
     )
+    # item -> dense int code; the same broadcast join that prunes
+    # infrequent items attaches the code, so encoding costs no extra
+    # shuffle over the pre-r8 prune
+    item_dict = dictionary_encode_big(freq_items, "_i", "_code")
     pruned = (
         keyed.join(
-            exploded.join(F.broadcast(freq_items), "_i")
+            exploded.join(F.broadcast(item_dict), "_i")
             .groupBy("_bid")
-            .agg(F.collect_list("_i").alias("_kept")),
+            .agg(F.collect_list("_code").alias("_kept")),
             "_bid",
             "left",
         )
         .select(
-            F.coalesce("_kept", F.array().cast("array<string>")).alias(items_col)
+            F.coalesce("_kept", F.array().cast("array<int>")).alias(items_col)
         )
     )
     # minCount = ceil(minSupport * total); nudge below the exact
@@ -264,8 +278,21 @@ def fpgrowth_frequent_itemsets(
         minSupport=max(support - 0.5, 0.5) / max(total, 1),
         minConfidence=0.5,
     ).fit(pruned)
-    out = model.freqItemsets.select(
-        F.concat_ws(",", F.array_sort("items")).alias("itemset"),
-        F.col("freq").alias("support"),
-    ).where(F.col("support") >= support)
-    return out
+    coded = model.freqItemsets.where(F.col("freq") >= support)
+    # decode: explode codes, broadcast-join the dictionary back, and
+    # regroup on the (distinct-by-construction) code array — sorting
+    # happens on the DECODED strings so the csv order matches the
+    # pre-encoding contract
+    return (
+        coded.select(
+            F.col("items").alias("_codes"),
+            F.col("freq").alias("support"),
+            F.explode("items").alias("_code"),
+        )
+        .join(F.broadcast(item_dict), "_code")
+        .groupBy("_codes", "support")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_list("_i"))).alias("itemset")
+        )
+        .select("itemset", "support")
+    )
