@@ -12,13 +12,18 @@ Design contract (what IS real and tested):
   never materialize a full partition as one object, and the output
   schema is declared up front so Catalyst can plan around it.
 
-What is STUBBED (decoder libraries are not in this container):
-``decode_image``/``decode_audio`` raise NotImplementedError by
-design; ``extract_features`` defaults to a deterministic fake
-(length + xxhash-derived values) so the plumbing is testable
-end-to-end. Swap ``feature_fn`` for a real decoder (PIL/librosa/
-ffmpeg) in a production image — signature and batch shape are
-already what that code needs.
+Decode surface (r8): ``decode_image`` REALLY decodes the two
+dependency-free uncompressed formats — PPM (P6 binary / P3 ASCII)
+and 24-bit uncompressed BMP — in pure Python, and
+``extract_features``'s default feature path magic-sniffs the payload:
+decodable images yield real pixel statistics, everything else falls
+back to the deterministic byte-stat fake (bit-identical to the
+pre-r8 behavior, which the media_feature_rollup oracle replays).
+Compressed formats (PNG/JPEG/...) still raise NotImplementedError
+from ``decode_image`` — their codecs are not in this container —
+as does ``decode_audio``; swap ``feature_fn`` for a real decoder
+(PIL/librosa/ffmpeg) in a production image — signature and batch
+shape are already what that code needs.
 """
 
 from __future__ import annotations
@@ -50,12 +55,98 @@ FEATURES_SCHEMA = (
 )
 
 
-def decode_image(payload: bytes):
-    """STUB: real image decode requires PIL/opencv (absent here)."""
+def _decode_ppm(payload: bytes) -> tuple[int, int, bytes]:
+    """PPM (netpbm) decode: P6 binary or P3 ASCII, maxval <= 255.
+    Returns (width, height, interleaved RGB bytes, row-major)."""
+    # header tokens may be separated by any whitespace and interleaved
+    # with '#' comments; after the maxval token, P6 pixel data starts
+    # after EXACTLY one whitespace byte
+    magic = payload[:2]
+    pos = 2
+    tokens: list[int] = []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    width, height, maxval = tokens
+    if not (0 < width and 0 < height and 0 < maxval <= 255):
+        raise ValueError(f"unsupported PPM geometry {tokens}")
+    n = width * height * 3
+    if magic == b"P6":
+        pixels = payload[pos + 1 : pos + 1 + n]
+    else:  # P3: pixels are ASCII ints
+        vals = payload[pos:].split()
+        pixels = bytes(int(v) for v in vals[:n])
+    if len(pixels) != n:
+        raise ValueError(
+            f"PPM payload truncated: expected {n} pixel bytes, "
+            f"got {len(pixels)}"
+        )
+    return width, height, pixels
+
+
+def _decode_bmp(payload: bytes) -> tuple[int, int, bytes]:
+    """24-bit uncompressed bottom-up BMP decode (BITMAPINFOHEADER).
+    Returns (width, height, interleaved RGB bytes, row-major
+    top-down) — BGR storage and 4-byte row padding are undone."""
+    import struct
+
+    if len(payload) < 54:
+        raise ValueError("BMP payload shorter than its fixed headers")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    width, height = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0 or width <= 0 or height == 0:
+        raise ValueError(
+            f"only 24-bit uncompressed BMP is supported "
+            f"(bpp={bpp}, compression={compression})"
+        )
+    bottom_up = height > 0
+    height = abs(height)
+    row_stride = (width * 3 + 3) & ~3
+    out = bytearray(width * height * 3)
+    for y in range(height):
+        src_row = height - 1 - y if bottom_up else y
+        row = payload[
+            data_off + src_row * row_stride :
+            data_off + src_row * row_stride + width * 3
+        ]
+        if len(row) != width * 3:
+            raise ValueError("BMP payload truncated")
+        for x in range(width):
+            b, g, r = row[x * 3 : x * 3 + 3]
+            out[(y * width + x) * 3 : (y * width + x) * 3 + 3] = (r, g, b)
+    return width, height, bytes(out)
+
+
+def decode_image(payload: bytes) -> tuple[int, int, bytes]:
+    """Decode an uncompressed image payload in pure Python →
+    (width, height, interleaved RGB bytes, row-major top-down).
+
+    Real decoders for the two container-parseable formats: PPM
+    (P6/P3) and 24-bit uncompressed BMP. Compressed formats (PNG,
+    JPEG, GIF, ...) need codec libraries absent from this container
+    and raise NotImplementedError — pass a real decoder via
+    ``extract_features(feature_fn=...)`` there."""
+    if payload is None or len(payload) < 2:
+        raise ValueError("empty image payload")
+    magic = bytes(payload[:2])
+    if magic in (b"P6", b"P3"):
+        return _decode_ppm(bytes(payload))
+    if magic == b"BM":
+        return _decode_bmp(bytes(payload))
     raise NotImplementedError(
-        "image decoding requires an imaging library not present in "
-        "this environment; extract_features(feature_fn=...) accepts a "
-        "real decoder"
+        f"image format with magic {magic!r} requires a codec library "
+        "not present in this environment; extract_features("
+        "feature_fn=...) accepts a real decoder"
     )
 
 
@@ -82,6 +173,53 @@ def _fake_features(payload: bytes) -> list[float]:
     return acc
 
 
+def _pixel_features(width: int, height: int, rgb: bytes) -> list[float]:
+    """FEATURE_DIM floats from REAL decoded pixels, all in [0, 1]:
+    channel means, luminance mean/std, aspect, fill ratio, extremes.
+    Pure-Python arithmetic — deterministic across runs/engines."""
+    n_px = max(width * height, 1)
+    sums = [0, 0, 0]
+    luma_sum = 0.0
+    luma_sq = 0.0
+    lo, hi = 255, 0
+    for i in range(0, len(rgb), 3):
+        r, g, b = rgb[i], rgb[i + 1], rgb[i + 2]
+        sums[0] += r
+        sums[1] += g
+        sums[2] += b
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        luma_sum += y
+        luma_sq += y * y
+        lo = min(lo, r, g, b)
+        hi = max(hi, r, g, b)
+    mean_y = luma_sum / n_px
+    var_y = max(luma_sq / n_px - mean_y * mean_y, 0.0)
+    return [
+        sums[0] / (255.0 * n_px),
+        sums[1] / (255.0 * n_px),
+        sums[2] / (255.0 * n_px),
+        mean_y / 255.0,
+        var_y**0.5 / 255.0,
+        width / (width + height) if width + height else 0.0,
+        lo / 255.0,
+        hi / 255.0,
+    ]
+
+
+def _default_features(payload: bytes) -> list[float]:
+    """Magic-sniff router: payloads that decode as real images (PPM /
+    24-bit BMP) yield pixel statistics; everything else falls back to
+    the byte-stat fake UNCHANGED (the media_feature_rollup oracle
+    replays that path bit-for-bit on text payloads, so the fallback
+    must stay stable)."""
+    if payload is not None and bytes(payload[:2]) in (b"P6", b"P3", b"BM"):
+        try:
+            return _pixel_features(*decode_image(payload))
+        except (ValueError, NotImplementedError):
+            pass  # looked like an image but is not one → byte stats
+    return _fake_features(payload)
+
+
 def extract_features(
     media: DataFrame,
     feature_fn: Callable[[bytes], list[float]] | None = None,
@@ -91,9 +229,11 @@ def extract_features(
 
     The pandas iterator shape is the real contract: batches arrive as
     Arrow record batches, the payload column is bytes per row, and
-    each output batch declares FEATURES_SCHEMA. A real decoder slots
-    in via ``feature_fn`` without touching the Spark plumbing."""
-    fn = feature_fn or _fake_features
+    each output batch declares FEATURES_SCHEMA. The default
+    ``feature_fn`` routes decodable images through the REAL pure-
+    Python decoder (see ``_default_features``); a production decoder
+    slots in via ``feature_fn`` without touching the Spark plumbing."""
+    fn = feature_fn or _default_features
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

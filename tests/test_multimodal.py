@@ -42,11 +42,81 @@ def test_documents_ascii_assumption_for_oracle(spark):
     assert n_multibyte == 0
 
 
-def test_decode_stubs_raise(media):
+def test_decode_unsupported_formats_raise(media):
+    # compressed formats still need codec libraries: NotImplementedError
     with pytest.raises(NotImplementedError):
-        decode_image(b"x")
+        decode_image(b"\x89PNG fake bytes here")
     with pytest.raises(NotImplementedError):
         decode_audio(b"x")
+
+
+def _ppm_p6() -> bytes:
+    # 2x2: red, green / blue, white
+    return b"P6\n2 2\n255\n" + bytes(
+        [255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255]
+    )
+
+
+def _ppm_p3() -> bytes:
+    return b"P3\n# a comment\n2 2\n255\n255 0 0 0 255 0\n0 0 255 255 255 255\n"
+
+
+def _bmp_24() -> bytes:
+    # 2x1 top-down logical pixels: red, blue; stored bottom-up BGR with
+    # the row padded to 4 bytes
+    import struct
+
+    row = bytes([0, 0, 255, 255, 0, 0]) + b"\x00\x00"
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + len(row), 0, 0, 54
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, 2, 1, 1, 24, 0, len(row), 2835, 2835, 0, 0
+    )
+    return header + row
+
+
+def test_decode_image_real_pixels():
+    """Real decode of the dependency-free formats: PPM P6/P3 and
+    24-bit BMP all yield identical (w, h, RGB) for the same image."""
+    w, h, rgb = decode_image(_ppm_p6())
+    assert (w, h) == (2, 2)
+    assert rgb == bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255])
+    assert decode_image(_ppm_p3()) == (2, 2, rgb)
+
+    w, h, rgb = decode_image(_bmp_24())
+    assert (w, h) == (2, 1)
+    assert rgb == bytes([255, 0, 0, 0, 0, 255])  # padding + BGR undone
+
+
+def test_extract_features_routes_real_decode(spark):
+    """End-to-end through the Spark plumbing: image payloads flow
+    through the REAL decoder (channel means of known pixels), while
+    non-image payloads keep the byte-stat fallback bit-for-bit (the
+    media_feature_rollup oracle replays that path)."""
+    from data_mining_map_reduce_spark.operators.multimodal import (
+        _fake_features,
+    )
+
+    text = b"just some document text, long enough to matter"
+    rows = [
+        (1, "image", "image/x-portable-pixmap", _ppm_p6(), 2, 2, None),
+        (2, "image", "image/bmp", _bmp_24(), 2, 1, None),
+        (3, "text", "text/plain", text, None, None, None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.media_id: list(r.features) for r in extract_features(media).collect()}
+    # P6 2x2 (red, green, blue, white): each channel mean = 510/4/255
+    assert got[1][0] == pytest.approx(0.5)
+    assert got[1][1] == pytest.approx(0.5)
+    assert got[1][2] == pytest.approx(0.5)
+    assert got[1][7] == 1.0  # max channel value 255
+    # BMP 2x1 (red, blue): means r=g? r=127.5/255, g=0, b=127.5/255
+    assert got[2][0] == pytest.approx(0.5)
+    assert got[2][1] == 0.0
+    assert got[2][2] == pytest.approx(0.5)
+    assert got[2][5] == pytest.approx(2 / 3)  # aspect w/(w+h)
+    # text payload: byte-stat fallback unchanged
+    assert got[3] == _fake_features(text)
 
 
 def test_extract_features_shape_and_determinism(spark, media):
