@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from typing import Callable, Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -81,13 +82,37 @@ def _decode_ppm(payload: bytes) -> tuple[int, int, bytes]:
     n = width * height * 3
     if magic == b"P6":
         pixels = payload[pos + 1 : pos + 1 + n]
-    else:  # P3: pixels are ASCII ints
+        if len(pixels) != n:
+            raise ValueError(
+                f"PPM payload truncated: expected {n} pixel bytes, "
+                f"got {len(pixels)}"
+            )
+    else:  # P3: pixels are ASCII ints, parsed vectorized by numpy
         vals = payload[pos:].split()
-        pixels = bytes(int(v) for v in vals[:n])
-    if len(pixels) != n:
-        raise ValueError(
-            f"PPM payload truncated: expected {n} pixel bytes, "
-            f"got {len(pixels)}"
+        # structural sanity: a real P3 stream is EXACTLY the declared
+        # sample count — leftover (or missing) tokens mean this is a
+        # non-image payload that happened to start with 'P3', and it
+        # must fall through to the byte-stat path (r8 advice).
+        if len(vals) != n:
+            raise ValueError(
+                f"P3 token stream not fully consumed: expected {n} "
+                f"samples, got {len(vals)}"
+            )
+        try:
+            arr = np.array(vals, dtype=np.int64)
+        except ValueError as exc:
+            raise ValueError(f"non-numeric P3 sample token: {exc}") from exc
+        if arr.size and (arr.min() < 0 or arr.max() > maxval):
+            raise ValueError("P3 sample out of [0, maxval] range")
+        pixels = arr.astype(np.uint8).tobytes()
+    if maxval != 255:
+        # samples are stored on a [0, maxval] scale; rescale so the
+        # downstream [0, 1] normalization (which divides by 255) is
+        # correct for any maxval (r8 advice).
+        arr = np.frombuffer(pixels, dtype=np.uint8).astype(np.float64)
+        pixels = (
+            np.rint(arr * (255.0 / maxval)).clip(0, 255)
+            .astype(np.uint8).tobytes()
         )
     return width, height, pixels
 
@@ -112,19 +137,16 @@ def _decode_bmp(payload: bytes) -> tuple[int, int, bytes]:
     bottom_up = height > 0
     height = abs(height)
     row_stride = (width * 3 + 3) & ~3
-    out = bytearray(width * height * 3)
-    for y in range(height):
-        src_row = height - 1 - y if bottom_up else y
-        row = payload[
-            data_off + src_row * row_stride :
-            data_off + src_row * row_stride + width * 3
-        ]
-        if len(row) != width * 3:
-            raise ValueError("BMP payload truncated")
-        for x in range(width):
-            b, g, r = row[x * 3 : x * 3 + 3]
-            out[(y * width + x) * 3 : (y * width + x) * 3 + 3] = (r, g, b)
-    return width, height, bytes(out)
+    if len(payload) < data_off + height * row_stride:
+        raise ValueError("BMP payload truncated")
+    # vectorized: view the pixel block as (height, stride), drop the
+    # row padding, flip vertically for bottom-up storage, swap BGR→RGB
+    px = np.frombuffer(
+        payload, dtype=np.uint8, count=height * row_stride, offset=data_off
+    ).reshape(height, row_stride)[:, : width * 3].reshape(height, width, 3)
+    if bottom_up:
+        px = px[::-1]
+    return width, height, px[..., ::-1].tobytes()
 
 
 def decode_image(payload: bytes) -> tuple[int, int, bytes]:
@@ -176,28 +198,21 @@ def _fake_features(payload: bytes) -> list[float]:
 def _pixel_features(width: int, height: int, rgb: bytes) -> list[float]:
     """FEATURE_DIM floats from REAL decoded pixels, all in [0, 1]:
     channel means, luminance mean/std, aspect, fill ratio, extremes.
-    Pure-Python arithmetic — deterministic across runs/engines."""
+    numpy vectorized reductions over the whole pixel buffer — this is
+    the batch idiom a production decoder seam should model (no
+    per-pixel Python loop), and stays deterministic across runs."""
+    px = np.frombuffer(rgb, dtype=np.uint8).reshape(-1, 3).astype(np.float64)
     n_px = max(width * height, 1)
-    sums = [0, 0, 0]
-    luma_sum = 0.0
-    luma_sq = 0.0
-    lo, hi = 255, 0
-    for i in range(0, len(rgb), 3):
-        r, g, b = rgb[i], rgb[i + 1], rgb[i + 2]
-        sums[0] += r
-        sums[1] += g
-        sums[2] += b
-        y = 0.299 * r + 0.587 * g + 0.114 * b
-        luma_sum += y
-        luma_sq += y * y
-        lo = min(lo, r, g, b)
-        hi = max(hi, r, g, b)
-    mean_y = luma_sum / n_px
-    var_y = max(luma_sq / n_px - mean_y * mean_y, 0.0)
+    ch_sum = px.sum(axis=0) if px.size else np.zeros(3)
+    luma = px @ np.array([0.299, 0.587, 0.114])
+    mean_y = float(luma.sum()) / n_px
+    var_y = max(float((luma * luma).sum()) / n_px - mean_y * mean_y, 0.0)
+    lo = float(px.min()) if px.size else 255.0
+    hi = float(px.max()) if px.size else 0.0
     return [
-        sums[0] / (255.0 * n_px),
-        sums[1] / (255.0 * n_px),
-        sums[2] / (255.0 * n_px),
+        float(ch_sum[0]) / (255.0 * n_px),
+        float(ch_sum[1]) / (255.0 * n_px),
+        float(ch_sum[2]) / (255.0 * n_px),
         mean_y / 255.0,
         var_y**0.5 / 255.0,
         width / (width + height) if width + height else 0.0,

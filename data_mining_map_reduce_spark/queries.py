@@ -2351,7 +2351,14 @@ def ann_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.where(F.col("vec_id") < 10)
-    exact = cosine_topk(emb, probes, k=5).select("probe_id", "neighbor_id")
+    # lazy localCheckpoint: the exact top-k (the most expensive stage)
+    # feeds BOTH per-method joins — without it, it recomputes once per
+    # method (r8 advice).
+    exact = (
+        cosine_topk(emb, probes, k=5)
+        .select("probe_id", "neighbor_id")
+        .localCheckpoint(eager=False)
+    )
     approx = {
         "ivf": ivf_topk(emb, probes, k=5, n_list=16, n_probe=8),
         "ivfpq": ivfpq_topk(
@@ -3530,9 +3537,11 @@ def window_heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 # also appear ANYWHERE in the train split. Composes the
 # deterministic affine-hash split (X21) with the shared shingle scan;
 # one exploded-shingle join against the distinct train-gram set.
-# Shingles join as exact strings on both engines (a 64-bit
-# dictionary-compression pass is the scale option, traded away here
-# for bit-exact oracle parity). FULL oracle.
+# Shingles are compressed to 60-bit md5-derived bigints BEFORE the
+# join on BOTH engines (md5 is bit-identical in Spark and DuckDB), so
+# the distinct + overlap join shuffle 8-byte keys instead of raw
+# 3-gram strings; a hash collision collides identically on both
+# sides, so the driver row stays a FULL value check. FULL oracle.
 # ---------------------------------------------------------------------------
 _SPLIT_SQL = (
     "CASE WHEN ((1103515245 * (doc_id % 2147483647) + 12345)"

@@ -39,14 +39,26 @@ def main() -> int:
     sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     only = set(sys.argv[1:])
 
-    spark = (
-        SparkSession.builder.master("local[8]")
-        .config("spark.sql.shuffle.partitions", "8")
+    # Scale-run knobs (r8 verdict item 3): the sf1 co-occurrence graph
+    # build GC-OOMs a default-heap driver, so scale runs need explicit
+    # headroom, e.g.
+    #   SPARK_GRAFT_SF_DIR=$PWD/scaledata/sf1 SPARK_GRAFT_DRIVER_MEM=16g \
+    #   SPARK_GRAFT_SIM_CPUS=16 SPARK_GRAFT_SIM_PARTS=32 \
+    #   python scripts/driver_sim.py <linear-oracle queries...>
+    # Defaults keep the historical sf0.01 verify recipe byte-identical.
+    cpus = os.environ.get("SPARK_GRAFT_SIM_CPUS", "8")
+    parts = os.environ.get("SPARK_GRAFT_SIM_PARTS", "8")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", parts)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .appName("driver-sim")
-        .getOrCreate()
     )
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if mem:  # must be set before the JVM launches
+        builder = builder.config("spark.driver.memory", mem)
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -88,6 +88,31 @@ def test_decode_image_real_pixels():
     assert rgb == bytes([255, 0, 0, 0, 0, 255])  # padding + BGR undone
 
 
+def test_decode_ppm_maxval_rescale_and_p3_sanity():
+    """maxval != 255 samples are rescaled to the [0, 255] range the
+    downstream normalization assumes; a 'P3'-prefixed payload whose
+    token stream is not exactly the declared sample count is rejected
+    (structural sanity gate, r8 advice)."""
+    import pytest
+
+    from data_mining_map_reduce_spark.operators.multimodal import (
+        _decode_ppm,
+    )
+
+    # maxval=15: 15 -> 255, 7 -> round(7*17) = 119, 0 -> 0
+    w, h, rgb = _decode_ppm(b"P3\n1 1\n15\n15 7 0\n")
+    assert (w, h, rgb) == (1, 1, bytes([255, 119, 0]))
+    w, h, rgb = _decode_ppm(b"P6\n1 1\n15\n" + bytes([15, 7, 0]))
+    assert rgb == bytes([255, 119, 0])
+
+    with pytest.raises(ValueError):  # trailing garbage tokens
+        _decode_ppm(b"P3\n1 1\n255\n1 2 3 extra tokens here\n")
+    with pytest.raises(ValueError):  # non-numeric sample
+        _decode_ppm(b"P3 is a nice format, not an image though")
+    with pytest.raises(ValueError):  # sample above maxval
+        _decode_ppm(b"P3\n1 1\n15\n99 0 0\n")
+
+
 def test_extract_features_routes_real_decode(spark):
     """End-to-end through the Spark plumbing: image payloads flow
     through the REAL decoder (channel means of known pixels), while
