@@ -1461,6 +1461,52 @@ def graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Semantically-checked driver row for the sampled-betweenness tier
+# (r8 verdict item 6, the ann_recall_check pattern): n_edges is
+# genuinely recomputed by the DuckDB oracle (every graph edge earns
+# exact Brandes credit from its endpoint root, so exact-betweenness
+# row count == edge count), and mass_ok pins the invariant that makes
+# root-sampling-with-V/|sample|-rescale an unbiased estimator: total
+# sampled credit mass / total exact mass must sit in [0.7, 1.4].
+# Measured with the shipped knobs (f=0.25): 1.005-1.010 at sf0.01,
+# 0.88-1.17 at sf0.1 across seeds {7,13,42}. Per-edge max_rel_err is
+# NOT the pinned metric on purpose — the bench tau=5 graph at sf0.1
+# has only 19 edges, where per-edge max error is 1.4-3.6x pure
+# sampling noise, while the mass ratio stays tight; dropping the
+# rescale (ratio→0.25) or double-counting roots (→2.0) still goes
+# red on VALUES.
+# ---------------------------------------------------------------------------
+@query(
+    "betweenness_mass_check",
+    f"""
+    WITH edges AS ({_EDGES_SQL.format(tau=5)})
+    SELECT 'sampled_f25' AS method,
+           (SELECT COUNT(*) FROM edges) AS n_edges,
+           TRUE AS mass_ok
+    """,
+)
+def betweenness_mass_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import edge_betweenness, grouped_adjacency
+
+    edges = _cooccurrence_edges(spark, sf_dir, tau=5)
+    # one adjacency build feeds both the exact and the sampled sweep
+    adj = grouped_adjacency(edges).localCheckpoint(eager=True)
+    exact = edge_betweenness(edges, adjacency=adj).withColumnRenamed(
+        "betweenness", "b_exact"
+    )
+    sampled = edge_betweenness(
+        edges, sample_fraction=0.25, seed=7, adjacency=adj
+    ).withColumnRenamed("betweenness", "b_sampled")
+    return exact.join(sampled, ["src", "dst"], "left").agg(
+        F.lit("sampled_f25").alias("method"),
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        (
+            F.sum(F.coalesce("b_sampled", F.lit(0.0))) / F.sum("b_exact")
+        ).between(0.7, 1.4).alias("mass_ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # G5: Girvan-Newman modularity-guided communities (rows-only:
 # inherently iterative driver loop; golden-checked on a planted graph
 # in tests/test_graph.py). Bounded removals keep the driver loop

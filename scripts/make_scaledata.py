@@ -30,6 +30,19 @@ factor of the same generator would produce):
   noise (0.25 * global component std) to each vector — planted
   cluster labels keep their geometry (clusters get denser) without
   creating degenerate exact-clone neighbor lists for the ANN queries.
+- planted dense graph block (r8 verdict item 7): replication
+  preserves per-customer co-purchase distributions BY DESIGN, which
+  keeps the tau=5 co-occurrence graph sparse forever (370 vertices at
+  sf1 — under edge_betweenness's 500-vertex local cap). To give the
+  distributed Brandes/Girvan-Newman paths a real sf1 instance, a
+  deterministic block of 640 extra customers is appended: 40 chained
+  groups of 16, each group sharing a group-specific set of 5 new
+  parts (every in-group pair co-purchases 5 parts → a tau=5 16-
+  clique), with group g's first member also buying group g-1's part
+  set (bridge edges with high betweenness → one connected 640-vertex
+  chain-of-cliques). Appended as ordinary customer/part/orders/
+  lineitem rows with keys past the replicated spans, so the block is
+  invisible to join integrity and adds ~0.03% rows to lineitem.
 
 Usage: python scripts/make_scaledata.py [--factor 10]
            [--src /root/testdata/sf0.1] [--out scaledata/sf1]
@@ -191,6 +204,90 @@ def scale_embeddings(src: str, out: str, factor: int) -> None:
     print(f"  embeddings: {len(all_vecs)} rows")
 
 
+def plant_dense_graph(
+    con,
+    out: str,
+    n_groups: int = 40,
+    group_size: int = 16,
+    parts_per_group: int = 5,
+) -> None:
+    """Append the deterministic chain-of-cliques block (see module
+    docstring): 640 customers in 40 bridged 16-cliques on the tau=5
+    co-occurrence graph, pushing its sf1 vertex count past the
+    betweenness local cap so the batched distributed Brandes path has
+    a real instance. Pure SQL over range() — no randomness."""
+    spans = {}
+    for t, k in (
+        ("customer", "c_custkey"),
+        ("part", "p_partkey"),
+        ("orders", "o_orderkey"),
+    ):
+        spans[t] = (
+            con.execute(
+                f"SELECT MAX({k}) + 1 FROM read_parquet('{out}/{t}.parquet')"
+            ).fetchone()[0]
+        )
+    cb, pb, ob = spans["customer"], spans["part"], spans["orders"]
+    # memberships: (customer, part-set) — every group member buys its
+    # group's set; the first member of group g>0 also buys g-1's set
+    member_sql = f"""
+        SELECT {cb} + g * {group_size} + m AS cid, g AS pset
+        FROM range({n_groups}) t(g) CROSS JOIN range({group_size}) u(m)
+        UNION ALL
+        SELECT {cb} + g * {group_size} AS cid, g - 1 AS pset
+        FROM range(1, {n_groups}) t(g)
+    """
+    orders_sql = f"""
+        SELECT {ob} + ROW_NUMBER() OVER (ORDER BY cid, pset) - 1
+                   AS o_orderkey,
+               cid AS o_custkey, 'F' AS o_orderstatus,
+               1000.0 AS o_totalprice,
+               TIMESTAMP '1995-06-15 12:00:00' AS o_orderdate,
+               '3-MEDIUM' AS o_orderpriority
+        FROM ({member_sql})
+    """
+    plants = {
+        "customer": f"""
+            SELECT {cb} + g AS c_custkey,
+                   'Customer#planted' || g AS c_name,
+                   0 AS c_nationkey, 0.0 AS c_acctbal,
+                   'BUILDING' AS c_mktsegment
+            FROM range({n_groups * group_size}) t(g)
+        """,
+        "part": f"""
+            SELECT {pb} + j AS p_partkey,
+                   'planted dense graph part' AS p_name,
+                   'Brand#99' AS p_brand, 'PLANTED BLOCK' AS p_type,
+                   1 AS p_size, 100.0 AS p_retailprice
+            FROM range({n_groups * parts_per_group}) t(j)
+        """,
+        "orders": orders_sql,
+        "lineitem": f"""
+            SELECT o.o_orderkey AS l_orderkey,
+                   {pb} + o.pset * {parts_per_group} + j AS l_partkey,
+                   0 AS l_suppkey, CAST(j + 1 AS INTEGER) AS l_linenumber,
+                   1.0 AS l_quantity, 100.0 AS l_extendedprice,
+                   0.0 AS l_discount, 0.0 AS l_tax,
+                   'N' AS l_returnflag, 'O' AS l_linestatus,
+                   TIMESTAMP '1995-07-01 12:00:00' AS l_shipdate
+            FROM (
+                SELECT {ob} + ROW_NUMBER() OVER (ORDER BY cid, pset) - 1
+                           AS o_orderkey, pset
+                FROM ({member_sql})
+            ) o CROSS JOIN range({parts_per_group}) r(j)
+        """,
+    }
+    for t, sql in plants.items():
+        tmp = f"{out}/{t}.parquet.tmp"
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{out}/{t}.parquet') "
+            f"UNION ALL BY NAME ({sql})) TO '{tmp}' (FORMAT PARQUET)"
+        )
+        os.replace(tmp, f"{out}/{t}.parquet")
+        n = con.execute(f"SELECT COUNT(*) FROM ({sql})").fetchone()[0]
+        print(f"  {t}: +{n} planted rows")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factor", type=int, default=10)
@@ -205,6 +302,7 @@ def main() -> None:
     con = duckdb.connect()
     print(f"scaling {args.src} x{args.factor} -> {out}")
     scale_relational(con, args.src, out, args.factor)
+    plant_dense_graph(con, out)
     scale_documents(args.src, out, args.factor)
     scale_embeddings(args.src, out, args.factor)
     print("done")
