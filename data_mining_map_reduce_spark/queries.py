@@ -3841,116 +3841,118 @@ def partition_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRIVER_ORDER = [
     # -- flagship first (also the entry() smoke query) --
     "flagship_category_avg",
-    # -- never driver-checked (r7 verdict item 3 asked for exactly
-    #    these two; ann_recall_check is new in r8) --
-    "ann_topk_ivfpq",             # registered r7 past the cap
-    "doc_length_percentiles_approx",  # registered r7 past the cap
-    "ann_recall_check",           # NEW r8: recall-pinned IVF/IVF-PQ row
-    # -- code changed this round (r8): need fresh rows --
-    "fpgrowth_itemsets",            # int-coded FP-tree items
-    "dict_encode_brands",           # dictionary_encode_big determinism fix
-    "dict_encode_partkeys_big",     # same fix
-    "contamination_ngram_overlap",  # shingle join hash-compressed to bigint
-    "cm_heavy_hitter_partkeys",     # CM estimate: left join + coalesce(0)
-    "window_heavy_hitter_users",    # same CM change
-    "kmeans_cluster_sizes",         # count() gated behind local cap
-    "bfr_round_stats",              # inner kmeans shares that gate
-    "ann_topk_exact",               # ann.py error-path refactor
-    "ann_topk_lsh",                 # same file
-    "ann_topk_ivf",                 # same file
-    "media_feature_rollup",         # real PPM/BMP decode routing
-    "media_frame_sample",           # same file
-    # -- standing heavies: fresh row each round --
-    "cf_item_similarities",
-    "cf_predictions",
-    "cf_user_predictions_lsh",
+    # -- never driver-checked (new in r9) --
+    "betweenness_mass_check",     # sampled-betweenness mass invariant row
+    # -- code changed this round (r9): need fresh rows --
+    "ann_recall_check",           # exact side now lazily checkpointed
+    "media_feature_rollup",       # numpy-vectorized decode + maxval rescale
+    "media_frame_sample",         # same file
+    # -- rotated back in: last green r6 (stalest — due this round) --
+    "partition_layout_stats",
+    "window_distinct_users_approx",
+    "embedding_pair_distances",
+    "session_windows_per_user",
+    "window_tumbling_hourly",
+    "window_sliding_hourly",
+    "window_distinct_users_exact",
+    "asof_last_purchase",
+    "event_rollup_multigrain",
+    "revenue_cube",
+    "fm_distinct_users",
+    "kmv_distinct_users",
+    "source_mix_stats",
+    "tfidf_top_terms",
+    "cooccurrence_pairs",
+    "cf_user_predictions",
+    "content_based_scores",
+    # -- rotated back in: last green r7 (2 rounds stale after r9) --
+    "count_global",
+    "count_by_year",
+    "distinct_users",
+    "top_users_by_orders",
+    "avg_price_by_priority",
+    "word_count_top20",
+    "join_filter_brand_counts",
+    "customers_in_both_statuses",
+    "corr_qty_price_by_flag",
+    "customers_never_final",
+    "rollup_revenue",
+    "pivot_status_by_priority",
+    "order_item_lists",
+    "graph_degree_distribution",
+    "graph_triangle_count",
+    "frequent_items",
+    "frequent_pairs",
+    "suffstats_by_label",
+    "bloom_probe_custkeys",
+    "reservoir_sample_events",
+    "weighted_doc_sample",
+    "doc_repetition_scores",
+    # -- standing heavies: fresh row each round (the rest of the
+    #    heavy list is r8-green and sits out one round — the rotation
+    #    above consumed the slots) --
+    "fpgrowth_itemsets",
     "son_itemsets",
     "minhash_lsh_pairs",
-    "jaccard_pairs_exact",
-    "near_dup_docs_exact",
-    "near_dup_docs_lsh",
-    "corpus_curation_funnel",
     "dedup_canonical_docs",
-    "dedup_canonical_docs_lsh",
     "graph_components",
     "girvan_newman_communities",
-    "graph_betweenness_top",
-    "graph_betweenness_sampled",
-    "graph_lpa_community_sizes",
-    # -- rotated back in: stalest driver signals (last green r5) --
-    "doc_quality_stats",
-    "token_counts_docs",
-    "language_id_docs",
-    "largest_baskets",
-    "priority_token_counts",
-    "event_props_extract",
-    "union_filtered_event_counts",
-    "event_value_tier_counts",
-    "doc_length_percentiles",
-    "top_customers_per_segment",
-    "approx_distinct_users",
-    # -- rotated back in: last green r6 --
-    "simhash_doc_pairs",
-    "doc_fingerprint_stats",
-    "fingerprint_overlap_pairs",
-    "exact_dup_doc_groups",
-    "train_test_split_counts",
-    "baskets_by_customer",
     # ---- driver cap (50) falls here ----
 ]
 
-# Queries excluded from the r8 driver window: every row below was
-# hash-green (or rows-green with dedicated pytest) in the round noted,
+# Queries excluded from the r9 driver window: every row below was
+# hash-green (or rows-green with dedicated pytest) in CORRECTNESS_r08,
 # its code is unchanged this round, AND it was re-verified green by a
-# full scripts/driver_sim.py run this session (r8, FAILS: none). This
+# full scripts/driver_sim.py run this session (r9, FAILS: none). This
 # manifest is the audit trail the r5 advisor asked for — regressions
 # here are still caught by the pytest suite and driver_sim, just not
 # by the 50-row driver artifact. With this rotation every registered
-# query has a driver row <= 2 rounds old (r7 verdict item 3).
-_EXCLUDED_R8 = [
+# query keeps a driver row <= 2 rounds old: the r6/r7-green rows all
+# rotated back in-window above, and everything below is r8-green.
+_EXCLUDED_R9 = [
     # name                      last green driver row
-    ("count_global", "r7"),
-    ("count_by_year", "r7"),
-    ("distinct_users", "r7"),
-    ("top_users_by_orders", "r7"),
-    ("avg_price_by_priority", "r7"),
-    ("word_count_top20", "r7"),
-    ("join_filter_brand_counts", "r7"),
-    ("customers_in_both_statuses", "r7"),
-    ("corr_qty_price_by_flag", "r7"),
-    ("customers_never_final", "r7"),
-    ("rollup_revenue", "r7"),
-    ("pivot_status_by_priority", "r7"),
-    ("order_item_lists", "r7"),
-    ("graph_degree_distribution", "r7"),
-    ("graph_triangle_count", "r7"),
-    ("frequent_items", "r7"),
-    ("frequent_pairs", "r7"),
-    ("suffstats_by_label", "r7"),
-    ("bloom_probe_custkeys", "r7"),
-    ("reservoir_sample_events", "r7"),
-    ("weighted_doc_sample", "r7"),
-    ("doc_repetition_scores", "r7; the r8 shingle-hash change touches the contamination query only"),
-
-    ("partition_layout_stats", "r6 rows-only (layout is engine-specific by nature)"),
-    ("window_distinct_users_approx", "r6"),
-    ("embedding_pair_distances", "r6"),
-    ("session_windows_per_user", "r6"),
-    ("window_tumbling_hourly", "r6"),
-    ("window_sliding_hourly", "r6"),
-    ("window_distinct_users_exact", "r6"),
-    ("asof_last_purchase", "r6"),
-    ("event_rollup_multigrain", "r6"),
-    ("revenue_cube", "r6"),
-    ("fm_distinct_users", "r6"),
-    ("kmv_distinct_users", "r6"),
-    ("source_mix_stats", "r6"),
-    ("tfidf_top_terms", "r6"),
-    ("cooccurrence_pairs", "r6; its edge build is also exercised in-window by graph_components"),
-    ("cf_user_predictions", "r6; the CF family keeps 3 in-window rows (item, predictions, user-LSH)"),
-    ("content_based_scores", "r6; content.py unchanged this round"),
+    ("ann_topk_ivfpq", "r8 rows-only + in-window ann_recall_check pins its recall"),
+    ("doc_length_percentiles_approx", "r8 rows-only (percentile_approx internals engine-specific)"),
+    ("dict_encode_brands", "r8"),
+    ("dict_encode_partkeys_big", "r8"),
+    ("contamination_ngram_overlap", "r8; r9 touched only its header comment"),
+    ("cm_heavy_hitter_partkeys", "r8"),
+    ("window_heavy_hitter_users", "r8"),
+    ("kmeans_cluster_sizes", "r8 rows-only + parity/seeding pytests"),
+    ("bfr_round_stats", "r8 rows-only + pinned-counts pytest"),
+    ("ann_topk_exact", "r8"),
+    ("ann_topk_lsh", "r8"),
+    ("ann_topk_ivf", "r8 rows-only + in-window ann_recall_check pins its recall"),
+    ("cf_item_similarities", "r8"),
+    ("cf_predictions", "r8"),
+    ("cf_user_predictions_lsh", "r8"),
+    ("jaccard_pairs_exact", "r8"),
+    ("near_dup_docs_exact", "r8"),
+    ("near_dup_docs_lsh", "r8"),
+    ("corpus_curation_funnel", "r8"),
+    ("dedup_canonical_docs_lsh", "r8; dedup_canonical_docs keeps an in-window row"),
+    ("graph_betweenness_top", "r8 rows-only; in-window betweenness_mass_check pins exact+sampled"),
+    ("graph_betweenness_sampled", "r8 rows-only; same in-window value row"),
+    ("graph_lpa_community_sizes", "r8"),
+    ("doc_quality_stats", "r8"),
+    ("token_counts_docs", "r8"),
+    ("language_id_docs", "r8"),
+    ("largest_baskets", "r8"),
+    ("priority_token_counts", "r8"),
+    ("event_props_extract", "r8"),
+    ("union_filtered_event_counts", "r8"),
+    ("event_value_tier_counts", "r8"),
+    ("doc_length_percentiles", "r8"),
+    ("top_customers_per_segment", "r8"),
+    ("approx_distinct_users", "r8 rows-only (HLL++ engine-specific; FM/KMV twins in-window)"),
+    ("simhash_doc_pairs", "r8"),
+    ("doc_fingerprint_stats", "r8"),
+    ("fingerprint_overlap_pairs", "r8"),
+    ("exact_dup_doc_groups", "r8"),
+    ("train_test_split_counts", "r8"),
+    ("baskets_by_customer", "r8"),
 ]
-_DRIVER_ORDER += [name for name, _ in _EXCLUDED_R8]
+_DRIVER_ORDER += [name for name, _ in _EXCLUDED_R9]
 
 
 _V = TypeVar("_V")
