@@ -1766,6 +1766,87 @@ def kmeans_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Semantically-checked driver row for the rows-only k-means tier
+# (the ann_recall_check pattern): the total sum of squares (WCSS at
+# k=1, i.e. squared distance to the global mean) is an exact anchor
+# the DuckDB oracle genuinely recomputes dim-by-dim, and
+# within_bound pins that the k=8 solution explains at least the
+# variance it has always explained (WCSS_k8 / WCSS_k1 <= bound). If
+# Lloyd's init or convergence regresses toward a degenerate
+# clustering (equal/duplicated centroids, everything in one
+# cluster), the ratio rises to ~1.0 and the row goes red on VALUES.
+# Everything is seeded, so the ratio is deterministic at a given sf.
+# The embeddings are near-random in high dim, so k=8 explains only a
+# few percent of variance and the ratio drifts up with n (measured:
+# 0.927 at sf0.01, 0.946 at sf0.1) — bound 0.97 is a
+# degenerate-solution pin, not a tight quality bar.
+# Both WCSS sides run as explode + groupBy(dim) codegen aggregates
+# (sx2 - 2*c*sx + n*c^2 against the broadcast centroid dims), not
+# per-row HOF trees — one scan each, no shuffle growth at any SF.
+# ---------------------------------------------------------------------------
+@query(
+    "kmeans_wcss_check",
+    """
+    WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+    d AS (
+        SELECT generate_subscripts(v, 1) AS dim, unnest(v) AS x FROM e
+    ),
+    per_dim AS (
+        SELECT SUM(x * x) - COUNT(*) * AVG(x) * AVG(x) AS ss
+        FROM d GROUP BY dim
+    )
+    SELECT 'kmeans_k8_embeddings' AS metric,
+           ROUND((SELECT SUM(ss) FROM per_dim), 1) AS exact_anchor,
+           TRUE AS within_bound
+    """,
+)
+def kmeans_wcss_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.clustering import kmeans
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
+    )
+    assigned, centroids = kmeans(emb, "vec", k=8, seed=7)
+    cdims = spark.createDataFrame(
+        [(j, d, float(c)) for j, cent in enumerate(centroids) for d, c in enumerate(cent)],
+        "cluster int, dim int, c double",
+    )
+    stats = (
+        assigned.select("cluster", F.posexplode("vec").alias("dim", "x"))
+        .groupBy("cluster", "dim")
+        .agg(
+            F.sum(F.col("x") * F.col("x")).alias("sx2"),
+            F.sum("x").alias("sx"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    wcss = stats.join(F.broadcast(cdims), ["cluster", "dim"]).agg(
+        F.sum(
+            F.col("sx2")
+            - 2.0 * F.col("c") * F.col("sx")
+            + F.col("n") * F.col("c") * F.col("c")
+        ).alias("wcss_k8"),
+    )
+    k1 = (
+        emb.select(F.posexplode("vec").alias("dim", "x"))
+        .groupBy("dim")
+        .agg(
+            (
+                F.sum(F.col("x") * F.col("x"))
+                - F.sum("x") * F.sum("x") / F.count(F.lit(1))
+            ).alias("ss")
+        )
+        .agg(F.sum("ss").alias("wcss_k1"))
+    )
+    return wcss.crossJoin(k1).select(
+        F.lit("kmeans_k8_embeddings").alias("metric"),
+        F.round("wcss_k1", 1).alias("exact_anchor"),
+        (F.col("wcss_k8") / F.col("wcss_k1") <= 0.97).alias("within_bound"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # LLM-pipeline dedup block (SURVEY §7 phase 5). The documents table
 # carries generator-planted near-duplicates; word-3-gram shingles
 # separate them cleanly (random-pair Jaccard ~0.001, planted ~0.5-1).
@@ -3269,6 +3350,84 @@ def doc_length_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # ---------------------------------------------------------------------------
+# Semantically-checked driver row for the two rows-only sketch tiers
+# (the ann_recall_check / betweenness_mass_check pattern): HLL++'s
+# distinct estimate and percentile_approx's rank accuracy are pinned
+# against exact anchors the DuckDB oracle genuinely recomputes
+# (exact COUNT(DISTINCT) and the exact interpolated median). If
+# either sketch degrades past its bound, the Spark side emits
+# within_bound=false and the driver row goes red on VALUES, not
+# just rows. Bounds: HLL++ rsd=0.02 -> |rel err| <= 0.05 (2.5
+# sigma; the sketch is deterministic for fixed data, so this is a
+# regression pin, not a coin flip); percentile_approx accuracy=10000
+# -> the returned value's tie-aware rank interval must contain the
+# target quantile within eps=0.005.
+# ---------------------------------------------------------------------------
+@query(
+    "sketch_error_check",
+    """
+    SELECT 'hll_user_id' AS metric,
+           CAST((SELECT COUNT(DISTINCT user_id) FROM events) AS DOUBLE)
+               AS exact_anchor,
+           TRUE AS within_bound
+    UNION ALL
+    SELECT 'pctl_doc_nchars' AS metric,
+           ROUND((SELECT MEDIAN(n_chars) FROM documents), 4) AS exact_anchor,
+           TRUE AS within_bound
+    ORDER BY metric
+    """,
+)
+def sketch_error_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    docs = load_table(spark, sf_dir, "documents")
+    hll_row = events.agg(
+        F.count_distinct("user_id").alias("exact"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("est"),
+    ).select(
+        F.lit("hll_user_id").alias("metric"),
+        F.col("exact").cast("double").alias("exact_anchor"),
+        (
+            F.abs(F.col("est").cast("double") / F.col("exact") - 1.0) <= 0.05
+        ).alias("within_bound"),
+    )
+    pcts = [0.5, 0.9, 0.99]
+    apx = docs.agg(
+        F.expr(
+            "percentile_approx(n_chars, array(0.5D, 0.9D, 0.99D), 10000)"
+        ).alias("v"),
+        F.expr("percentile(n_chars, 0.5D)").alias("p50_exact"),
+    )
+    targets = apx.select(
+        "p50_exact", F.posexplode("v").alias("idx", "val")
+    ).withColumn(
+        "p", F.element_at(F.array(*[F.lit(p) for p in pcts]), F.col("idx") + 1)
+    )
+    # Tie-aware rank interval of each approx value in the exact CDF:
+    # the sketch is accurate iff p ∈ [frac(< val) - ε, frac(<= val) + ε].
+    # The 3-row targets side broadcasts; the fact side is one scan with
+    # map-side partial aggregation — no shuffle growth at any SF.
+    eps = 0.005
+    ranked = (
+        docs.crossJoin(F.broadcast(targets))
+        .groupBy("idx", "p", "val", "p50_exact")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("n_chars") < F.col("val")).cast("long")).alias("n_lt"),
+            F.sum((F.col("n_chars") <= F.col("val")).cast("long")).alias("n_le"),
+        )
+    )
+    pct_row = ranked.agg(
+        F.lit("pctl_doc_nchars").alias("metric"),
+        F.round(F.first("p50_exact"), 4).alias("exact_anchor"),
+        F.bool_and(
+            (F.col("n_lt") / F.col("n") - eps <= F.col("p"))
+            & (F.col("p") <= F.col("n_le") / F.col("n") + eps)
+        ).alias("within_bound"),
+    )
+    return hll_row.unionByName(pct_row).orderBy("metric")
+
+
+# ---------------------------------------------------------------------------
 # §2.3 broadcast range join: events banded into non-uniform value
 # tiers via a BETWEEN theta-join against a tiny literal dim. Catalyst
 # plans BroadcastNestedLoopJoin — with a handful of broadcast rows
@@ -3843,6 +4002,8 @@ _DRIVER_ORDER = [
     "flagship_category_avg",
     # -- never driver-checked (new in r9) --
     "betweenness_mass_check",     # sampled-betweenness mass invariant row
+    "sketch_error_check",         # HLL++ rel-err + percentile rank-err pins
+    "kmeans_wcss_check",          # k-means WCSS-ratio degenerate-solution pin
     # -- code changed this round (r9): need fresh rows --
     "ann_recall_check",           # exact side now lazily checkpointed
     "media_feature_rollup",       # numpy-vectorized decode + maxval rescale
@@ -3895,8 +4056,6 @@ _DRIVER_ORDER = [
     "son_itemsets",
     "minhash_lsh_pairs",
     "dedup_canonical_docs",
-    "graph_components",
-    "girvan_newman_communities",
     # ---- driver cap (50) falls here ----
 ]
 
@@ -3911,14 +4070,16 @@ _DRIVER_ORDER = [
 # rotated back in-window above, and everything below is r8-green.
 _EXCLUDED_R9 = [
     # name                      last green driver row
+    ("graph_components", "r8; slot ceded to the new r9 check rows"),
+    ("girvan_newman_communities", "r8 rows-only; r9 sf1 forced-distributed parity artifact (scale_artifacts/graph_proof.json)"),
     ("ann_topk_ivfpq", "r8 rows-only + in-window ann_recall_check pins its recall"),
-    ("doc_length_percentiles_approx", "r8 rows-only (percentile_approx internals engine-specific)"),
+    ("doc_length_percentiles_approx", "r8 rows-only + in-window sketch_error_check pins its rank error"),
     ("dict_encode_brands", "r8"),
     ("dict_encode_partkeys_big", "r8"),
     ("contamination_ngram_overlap", "r8; r9 touched only its header comment"),
     ("cm_heavy_hitter_partkeys", "r8"),
     ("window_heavy_hitter_users", "r8"),
-    ("kmeans_cluster_sizes", "r8 rows-only + parity/seeding pytests"),
+    ("kmeans_cluster_sizes", "r8 rows-only + in-window kmeans_wcss_check pins solution quality"),
     ("bfr_round_stats", "r8 rows-only + pinned-counts pytest"),
     ("ann_topk_exact", "r8"),
     ("ann_topk_lsh", "r8"),
@@ -3944,7 +4105,7 @@ _EXCLUDED_R9 = [
     ("event_value_tier_counts", "r8"),
     ("doc_length_percentiles", "r8"),
     ("top_customers_per_segment", "r8"),
-    ("approx_distinct_users", "r8 rows-only (HLL++ engine-specific; FM/KMV twins in-window)"),
+    ("approx_distinct_users", "r8 rows-only + in-window sketch_error_check pins HLL++ rel err"),
     ("simhash_doc_pairs", "r8"),
     ("doc_fingerprint_stats", "r8"),
     ("fingerprint_overlap_pairs", "r8"),
