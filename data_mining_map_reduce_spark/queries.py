@@ -1381,8 +1381,12 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 # signal into a full driver oracle row (r5 verdict item 8).
 # ---------------------------------------------------------------------------
 def _lpa_oracle_sql(tau: int, iters: int) -> str:
+    # sym is referenced once per unrolled round; MATERIALIZED stops
+    # DuckDB from inlining the (expensive) co-occurrence edge
+    # derivation into every round — without it the sf1 replay
+    # re-derives the edge set ~10x and spills past the box's disk.
     sql = f"""
-    WITH sym AS (
+    WITH sym AS MATERIALIZED (
         SELECT src, dst FROM ({_EDGES_SQL.format(tau=tau)})
         UNION ALL
         SELECT dst AS src, src AS dst FROM ({_EDGES_SQL.format(tau=tau)})
