@@ -22,6 +22,7 @@ Scale posture (the 100 TB design review):
 
 from __future__ import annotations
 
+import itertools
 from functools import reduce
 
 from pyspark.sql import Column, DataFrame, Window as W
@@ -283,43 +284,72 @@ def simhash_near_dup_pairs(
     bands: int = 10,
     hamming_max: int = 7,
 ) -> DataFrame:
-    """SimHash near-dup pairs: band the 60-bit fingerprint into
-    ``bands`` sub-keys, equi-join on (band, value), verify hamming ≤
-    ``hamming_max``.
+    """SimHash near-dup pairs: Manku-style combination banding over
+    the 60-bit fingerprint, equi-join on the banded key, verify
+    hamming ≤ ``hamming_max``.
 
     With hamming_max < bands, pigeonhole guarantees every qualifying
-    pair shares at least one full band — recall 1.0 at that radius.
-    That same pigeonhole makes the driver oracle exact: any pair at
-    hamming ≤ 7 < 10 bands MUST collide in a band, so the banded join
-    + popcount filter returns exactly the all-pairs hamming ≤ 7 set,
-    which DuckDB computes directly from the replayed fingerprints.
-    One shuffle on the band bucket, one distinct on pairs; the
-    verify is a broadcast-free codegen popcount.
+    pair has at least m = bands - hamming_max fully-intact bands —
+    so it shares *some* s-subset of intact bands for any s ≤ m, and
+    joining on every s-subset key keeps recall 1.0 at that radius.
+    That same pigeonhole makes the driver oracle exact: the banded
+    join + popcount filter returns exactly the all-pairs hamming ≤
+    ``hamming_max`` set, which DuckDB computes directly from the
+    replayed fingerprints — the candidate scheme is invisible to the
+    result.
+
+    Why s-subsets instead of single bands (the r9 sf1 finding): with
+    bands=10 over 60 bits a single-band key is only 6 bits wide — 64
+    bucket values — so candidate pairs grow O(n²/2^bits): measured
+    ~195 M join rows at 50 000 docs (19× the sf0.1 wall for 10× the
+    data, and hopeless at 100 TB). Joining on s=3 band-value triples
+    (C(10,3)=120 keys/doc, the scheme of Manku et al., WWW'07 §3)
+    widens the key to 18 bits + combo id: expected bucket size drops
+    below 1 doc, the join output collapses to ~the true pair set,
+    and the explode cost is a linear 12× row factor on the (tiny)
+    fingerprint relation. The verify stays a broadcast-free codegen
+    popcount; ``distinct`` dedups pairs that share several intact
+    subsets.
     """
     bits = SIMHASH_BITS // bands
-    fp = simhash_fingerprints(docs, id_col, text_col, n)
+    m = bands - hamming_max
+    if m <= 0:
+        raise ValueError(
+            f"hamming_max={hamming_max} must be < bands={bands} for recall 1.0"
+        )
+    # s = min(m, 3): s=3 is enough key width at any realistic corpus
+    # (2^18 buckets per combo); larger s just multiplies C(bands, s).
+    s = min(m, 3)
+    combos = list(itertools.combinations(range(bands), s))
+    assert s * bits + (len(combos)).bit_length() < 62  # packed key fits a long
+
+    def _bval(i: int) -> Column:
+        return F.shiftright("simhash", i * bits).bitwiseAND(F.lit((1 << bits) - 1))
+
+    keys = []
+    for cid, combo in enumerate(combos):
+        k: Column = F.lit(cid).cast("long")
+        for i in combo:
+            k = F.shiftleft(k, bits).bitwiseOR(_bval(i))
+        keys.append(k)
+    # persist: the fingerprint relation (the expensive 60-aggregate
+    # scan) feeds BOTH sides of the self-join, and with the 120-key
+    # explode in between Catalyst no longer collapses the two sides
+    # into one reused exchange — unpersisted, the whole fingerprint
+    # pipeline executes twice (measured 2x wall at sf0.1/sf1). The
+    # relation is one long per doc — trivially cacheable at any SF.
+    fp = simhash_fingerprints(docs, id_col, text_col, n).persist()
     banded = fp.select(
-        F.col(id_col),
-        "simhash",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright("simhash", i * bits).bitwiseAND(
-                        F.lit((1 << bits) - 1)
-                    )
-                    for i in range(bands)
-                ]
-            )
-        ).alias("_band", "_bval"),
+        F.col(id_col), "simhash", F.explode(F.array(*keys)).alias("_bkey")
     )
     lhs = banded.select(
-        F.col(id_col).alias("a"), F.col("simhash").alias("_ha"), "_band", "_bval"
+        F.col(id_col).alias("a"), F.col("simhash").alias("_ha"), "_bkey"
     )
     rhs = banded.select(
-        F.col(id_col).alias("b"), F.col("simhash").alias("_hb"), "_band", "_bval"
+        F.col(id_col).alias("b"), F.col("simhash").alias("_hb"), "_bkey"
     )
     return (
-        lhs.join(rhs, ["_band", "_bval"])
+        lhs.join(rhs, ["_bkey"])
         .where(F.col("a") < F.col("b"))
         .select("a", "b", hamming64(F.col("_ha"), F.col("_hb")).alias("hamming"))
         .where(F.col("hamming") <= hamming_max)
