@@ -4012,6 +4012,7 @@ _DRIVER_ORDER = [
     "ann_recall_check",           # exact side now lazily checkpointed
     "media_feature_rollup",       # numpy-vectorized decode + maxval rescale
     "media_frame_sample",         # same file
+    "simhash_doc_pairs",          # Manku 3-subset banding rewrite
     # -- rotated back in: last green r6 (stalest — due this round) --
     "partition_layout_stats",
     "window_distinct_users_approx",
@@ -4056,7 +4057,6 @@ _DRIVER_ORDER = [
     # -- standing heavies: fresh row each round (the rest of the
     #    heavy list is r8-green and sits out one round — the rotation
     #    above consumed the slots) --
-    "fpgrowth_itemsets",
     "son_itemsets",
     "minhash_lsh_pairs",
     "dedup_canonical_docs",
@@ -4074,6 +4074,7 @@ _DRIVER_ORDER = [
 # rotated back in-window above, and everything below is r8-green.
 _EXCLUDED_R9 = [
     # name                      last green driver row
+    ("fpgrowth_itemsets", "r8; heavy slot ceded to the r9-rewritten simhash row"),
     ("graph_components", "r8; slot ceded to the new r9 check rows"),
     ("girvan_newman_communities", "r8 rows-only; r9 sf1 forced-distributed parity artifact (scale_artifacts/graph_proof.json)"),
     ("ann_topk_ivfpq", "r8 rows-only + in-window ann_recall_check pins its recall"),
@@ -4110,7 +4111,6 @@ _EXCLUDED_R9 = [
     ("doc_length_percentiles", "r8"),
     ("top_customers_per_segment", "r8"),
     ("approx_distinct_users", "r8 rows-only + in-window sketch_error_check pins HLL++ rel err"),
-    ("simhash_doc_pairs", "r8"),
     ("doc_fingerprint_stats", "r8"),
     ("fingerprint_overlap_pairs", "r8"),
     ("exact_dup_doc_groups", "r8"),
