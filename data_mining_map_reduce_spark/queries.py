@@ -1531,6 +1531,44 @@ def girvan_newman_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Semantically-checked driver row for the rows-only Girvan-Newman
+# tier (the ann_recall_check pattern): n_vertices is the Spark-side
+# COUNT of the returned assignment — the DuckDB oracle independently
+# recomputes the tau=5 graph's exact vertex count, so a GN loop that
+# ever drops or duplicates a vertex mismatches on VALUES. q_ok pins
+# the chosen partition's modularity to a sane range: the dendrogram
+# search returns the best Q seen INCLUDING the initial
+# connected-components partition, so Q >= -0.01 always holds on a
+# healthy loop (measured best-Q: ~0.0 at sf0.001 where tau=5 is one
+# dense blob, 0.0015 at sf0.01, 0.89 at sf0.1's 19-edge graph,
+# 0.0665 at sf1 — scale-dependent, hence the sanity range rather
+# than a fixed floor; the tight per-graph golden lives in
+# tests/test_graph.py).
+# ---------------------------------------------------------------------------
+@query(
+    "gn_quality_check",
+    f"""
+    WITH e5 AS ({_EDGES_SQL.format(tau=5)})
+    SELECT 'gn_tau5' AS metric,
+           (SELECT COUNT(DISTINCT v) FROM (
+               SELECT src AS v FROM e5 UNION SELECT dst FROM e5
+           )) AS n_vertices,
+           TRUE AS q_ok
+    """,
+)
+def gn_quality_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import girvan_newman
+
+    edges = _cooccurrence_edges(spark, sf_dir, tau=5)
+    assign, q = girvan_newman(edges, max_removals=3)
+    return assign.agg(
+        F.lit("gn_tau5").alias("metric"),
+        F.count(F.lit(1)).alias("n_vertices"),
+        F.lit(bool(-0.01 <= q <= 1.0)).alias("q_ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # M2/ST7: BFR per-round intermediate stats — the reference's graded
 # artifact (A5 PDF §4.3 intermediate CSV: round id, discard-set
 # size, cluster count, leftovers). Chunks = deterministic vec_id
@@ -4016,6 +4054,7 @@ _DRIVER_ORDER = [
     "betweenness_mass_check",     # sampled-betweenness mass invariant row
     "sketch_error_check",         # HLL++ rel-err + percentile rank-err pins
     "kmeans_wcss_check",          # k-means WCSS-ratio degenerate-solution pin
+    "gn_quality_check",           # GN partition-integrity + modularity-sanity pin
     # -- code changed this round (r9): need fresh rows --
     "ann_recall_check",           # exact side now lazily checkpointed
     "media_feature_rollup",       # numpy-vectorized decode + maxval rescale
@@ -4067,7 +4106,6 @@ _DRIVER_ORDER = [
     #    above consumed the slots) --
     "son_itemsets",
     "minhash_lsh_pairs",
-    "dedup_canonical_docs",
     # ---- driver cap (50) falls here ----
 ]
 
@@ -4083,6 +4121,7 @@ _DRIVER_ORDER = [
 _EXCLUDED_R9 = [
     # name                      last green driver row
     ("fpgrowth_itemsets", "r8; heavy slot ceded to the r9-rewritten simhash row"),
+    ("dedup_canonical_docs", "r8; slot ceded to the new gn_quality_check row (r9 sf1 Spark-side run: 50000 rows, distributed CC)"),
     ("graph_components", "r8; slot ceded to the new r9 check rows"),
     ("girvan_newman_communities", "r8 rows-only; r9 sf1 forced-distributed parity artifact (scale_artifacts/graph_proof.json)"),
     ("ann_topk_ivfpq", "r8 rows-only + in-window ann_recall_check pins its recall"),
@@ -4104,7 +4143,7 @@ _EXCLUDED_R9 = [
     ("near_dup_docs_exact", "r8"),
     ("near_dup_docs_lsh", "r8"),
     ("corpus_curation_funnel", "r8"),
-    ("dedup_canonical_docs_lsh", "r8; dedup_canonical_docs keeps an in-window row"),
+    ("dedup_canonical_docs_lsh", "r8"),
     ("graph_betweenness_top", "r8 rows-only; in-window betweenness_mass_check pins exact+sampled"),
     ("graph_betweenness_sampled", "r8 rows-only; same in-window value row"),
     ("graph_lpa_community_sizes", "r8"),
