@@ -332,13 +332,19 @@ def simhash_near_dup_pairs(
         for i in combo:
             k = F.shiftleft(k, bits).bitwiseOR(_bval(i))
         keys.append(k)
-    # persist: the fingerprint relation (the expensive 60-aggregate
-    # scan) feeds BOTH sides of the self-join, and with the 120-key
-    # explode in between Catalyst no longer collapses the two sides
-    # into one reused exchange — unpersisted, the whole fingerprint
-    # pipeline executes twice (measured 2x wall at sf0.1/sf1). The
-    # relation is one long per doc — trivially cacheable at any SF.
-    fp = simhash_fingerprints(docs, id_col, text_col, n).persist()
+    # localCheckpoint: the fingerprint relation (the expensive
+    # 60-aggregate scan) feeds BOTH sides of the self-join, and with
+    # the 120-key explode in between Catalyst no longer collapses the
+    # two sides into one reused exchange — without materializing it,
+    # the whole fingerprint pipeline executes twice (measured 2x wall
+    # at sf0.1/sf1). The relation is one long per doc — trivially
+    # materializable at any SF. eager localCheckpoint (the graph-ops
+    # idiom) instead of persist(): blocks are reclaimed when the
+    # DataFrame is GC'd, so repeated invocations in a long-lived
+    # session leave no storage-tab residue (r9 advice).
+    fp = simhash_fingerprints(docs, id_col, text_col, n).localCheckpoint(
+        eager=True
+    )
     banded = fp.select(
         F.col(id_col), "simhash", F.explode(F.array(*keys)).alias("_bkey")
     )

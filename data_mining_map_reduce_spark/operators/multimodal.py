@@ -99,8 +99,12 @@ def _decode_ppm(payload: bytes) -> tuple[int, int, bytes]:
                 f"samples, got {len(vals)}"
             )
         try:
+            # OverflowError too: a token wider than int64 (e.g. a
+            # 23-digit run in a non-image payload that starts with
+            # 'P3') must also route to the byte-stat fallback, not
+            # crash the mapInPandas task (r9 advice).
             arr = np.array(vals, dtype=np.int64)
-        except ValueError as exc:
+        except (ValueError, OverflowError) as exc:
             raise ValueError(f"non-numeric P3 sample token: {exc}") from exc
         if arr.size and (arr.min() < 0 or arr.max() > maxval):
             raise ValueError("P3 sample out of [0, maxval] range")

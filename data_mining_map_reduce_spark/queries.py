@@ -1536,24 +1536,36 @@ def girvan_newman_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
 # COUNT of the returned assignment — the DuckDB oracle independently
 # recomputes the tau=5 graph's exact vertex count, so a GN loop that
 # ever drops or duplicates a vertex mismatches on VALUES. q_ok pins
-# the chosen partition's modularity to a sane range: the dendrogram
-# search returns the best Q seen INCLUDING the initial
-# connected-components partition, so Q >= -0.01 always holds on a
-# healthy loop (measured best-Q: ~0.0 at sf0.001 where tau=5 is one
-# dense blob, 0.0015 at sf0.01, 0.89 at sf0.1's 19-edge graph,
-# 0.0665 at sf1 — scale-dependent, hence the sanity range rather
-# than a fixed floor; the tight per-graph golden lives in
-# tests/test_graph.py).
+# the chosen partition's modularity to a sane range: Q is the best
+# over POST-removal partitions (the reference never scores the
+# initial partition — Assignment4/task2.py:183 `max_mod = -1`, first
+# score after the first cut — and neither do we), so the -0.01 floor
+# assumes a non-empty graph whose first cut doesn't land below it
+# (true at every tested scale: measured best-Q ~0.0 at sf0.001 where
+# tau=5 is one dense blob, 0.0015 at sf0.01, 0.89 at sf0.1's 19-edge
+# graph, 0.0665 at sf1). q_round pins the EXACT modularity at driver
+# scale (r9 verdict ask 5): at sf0.01 the loop is deterministic, so
+# both sides emit the literal ROUND(Q,4)=0.0015 gated on that
+# scale's unique vertex count (1118); at any other scale both sides
+# emit NULL and the loose q_ok range carries the signal. A
+# modularity regression at driver scale now flips VALUES red, not
+# just n_vertices; the tight per-graph golden lives in
+# tests/test_graph.py.
 # ---------------------------------------------------------------------------
 @query(
     "gn_quality_check",
     f"""
-    WITH e5 AS ({_EDGES_SQL.format(tau=5)})
+    WITH e5 AS ({_EDGES_SQL.format(tau=5)}),
+    nv AS (
+        SELECT (SELECT COUNT(DISTINCT v) FROM (
+            SELECT src AS v FROM e5 UNION SELECT dst FROM e5
+        )) AS n_vertices
+    )
     SELECT 'gn_tau5' AS metric,
-           (SELECT COUNT(DISTINCT v) FROM (
-               SELECT src AS v FROM e5 UNION SELECT dst FROM e5
-           )) AS n_vertices,
-           TRUE AS q_ok
+           n_vertices,
+           TRUE AS q_ok,
+           CASE WHEN n_vertices = 1118 THEN 0.0015 END::DOUBLE AS q_round
+    FROM nv
     """,
 )
 def gn_quality_check(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1565,6 +1577,9 @@ def gn_quality_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("gn_tau5").alias("metric"),
         F.count(F.lit(1)).alias("n_vertices"),
         F.lit(bool(-0.01 <= q <= 1.0)).alias("q_ok"),
+        F.when(
+            F.count(F.lit(1)) == 1118, F.lit(round(q, 4))
+        ).cast("double").alias("q_round"),
     )
 
 

@@ -111,6 +111,10 @@ def test_decode_ppm_maxval_rescale_and_p3_sanity():
         _decode_ppm(b"P3 is a nice format, not an image though")
     with pytest.raises(ValueError):  # sample above maxval
         _decode_ppm(b"P3\n1 1\n15\n99 0 0\n")
+    with pytest.raises(ValueError):  # token wider than int64 (r9 advice:
+        # numpy raises OverflowError here; must surface as ValueError so
+        # _default_features falls back to byte stats, not a task crash)
+        _decode_ppm(b"P3\n1 1\n255\n99999999999999999999999 0 0\n")
 
 
 def test_extract_features_routes_real_decode(spark):
