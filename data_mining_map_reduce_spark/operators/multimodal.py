@@ -12,16 +12,18 @@ Design contract (what IS real and tested):
   never materialize a full partition as one object, and the output
   schema is declared up front so Catalyst can plan around it.
 
-Decode surface (r8): ``decode_image`` REALLY decodes the two
-dependency-free uncompressed formats — PPM (P6 binary / P3 ASCII)
-and 24-bit uncompressed BMP — in pure Python, and
-``extract_features``'s default feature path magic-sniffs the payload:
-decodable images yield real pixel statistics, everything else falls
-back to the deterministic byte-stat fake (bit-identical to the
-pre-r8 behavior, which the media_feature_rollup oracle replays).
-Compressed formats (PNG/JPEG/...) still raise NotImplementedError
-from ``decode_image`` — their codecs are not in this container —
-as does ``decode_audio``; swap ``feature_fn`` for a real decoder
+Decode surface (r8, extended r10): ``decode_image`` REALLY decodes
+the three library-free formats — PPM (P6 binary / P3 ASCII), 24-bit
+uncompressed BMP, and 8-bit non-interlaced PNG (stdlib zlib inflate
++ numpy per-scanline unfilter; ``encode_png`` is its deterministic
+test twin) — in pure Python, and ``extract_features``'s default
+feature path magic-sniffs the payload: decodable images yield real
+pixel statistics, everything else falls back to the deterministic
+byte-stat fake (bit-identical to the pre-r8 behavior, which the
+media_feature_rollup oracle replays). Other compressed formats
+(JPEG/GIF/WebP/...) still raise NotImplementedError from
+``decode_image`` — their codecs are not in this container — as does
+``decode_audio``; swap ``feature_fn`` for a real decoder
 (PIL/librosa/ffmpeg) in a production image — signature and batch
 shape are already what that code needs.
 """
@@ -153,14 +155,189 @@ def _decode_bmp(payload: bytes) -> tuple[int, int, bytes]:
     return width, height, px[..., ::-1].tobytes()
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_unfilter_row(
+    f: int, row: "np.ndarray", prev: "np.ndarray", bpp: int
+) -> "np.ndarray":
+    """Reconstruct one PNG scanline (int64 in, int64 out, values in
+    [0, 255]). Filters 0/1/2 are fully vectorized (Sub is a cumsum
+    over a (pixels, bpp) reshape — recon[x] = filt[x] + recon[x-bpp]
+    is exactly a mod-256 prefix sum per channel lane); Average and
+    Paeth predict from the CURRENT row's reconstructed left pixel, so
+    they are inherently serial in x (r9 verdict ask 6's expected
+    shape) — still numpy row arithmetic for the up/upleft terms."""
+    if f == 0:  # None
+        return row
+    if f == 2:  # Up
+        return (row + prev) & 255
+    if f == 1:  # Sub
+        return (np.cumsum(row.reshape(-1, bpp), axis=0) & 255).ravel()
+    n = row.shape[0]
+    out = np.empty(n, dtype=np.int64)
+    if f == 3:  # Average
+        for x in range(n):
+            left = out[x - bpp] if x >= bpp else 0
+            out[x] = (row[x] + (left + prev[x]) // 2) & 255
+        return out
+    if f == 4:  # Paeth
+        for x in range(n):
+            a = out[x - bpp] if x >= bpp else 0
+            b = int(prev[x])
+            c = int(prev[x - bpp]) if x >= bpp else 0
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            out[x] = (row[x] + pred) & 255
+        return out
+    raise ValueError(f"unknown PNG filter type {f}")
+
+
+def _decode_png(payload: bytes) -> tuple[int, int, bytes]:
+    """PNG decode with stdlib zlib + numpy (r9 verdict ask 6): 8-bit
+    non-interlaced greyscale / grey+alpha / RGB / RGBA. Inflates the
+    IDAT stream, unfilters per scanline (all five filter types), and
+    normalizes to interleaved RGB (alpha dropped, grey replicated).
+    Unsupported variants (16-bit, palette, interlaced) raise
+    ValueError so the byte-stat fallback catches them."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("bad PNG signature")
+    pos = 8
+    ihdr = None
+    idat: list[bytes] = []
+    while pos + 8 <= len(payload):
+        length, ctype = struct.unpack_from(">I4s", payload, pos)
+        pos += 8
+        data = payload[pos : pos + length]
+        if len(data) != length:
+            raise ValueError("PNG chunk truncated")
+        pos += length + 4  # + CRC (not verified: corruption surfaces
+        # as an inflate error or a size mismatch below)
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    width, height, depth, color, comp, filt, interlace = ihdr
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+    if depth != 8 or channels is None or comp or filt or interlace:
+        raise ValueError(
+            f"unsupported PNG variant (depth={depth}, color={color}, "
+            f"interlace={interlace}) — only 8-bit non-interlaced "
+            "grey/RGB/alpha"
+        )
+    if not (0 < width and 0 < height):
+        raise ValueError(f"bad PNG geometry {width}x{height}")
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as exc:
+        raise ValueError(f"PNG IDAT inflate failed: {exc}") from exc
+    stride = width * channels
+    if len(raw) != height * (stride + 1):
+        raise ValueError(
+            f"PNG scanline data size mismatch: got {len(raw)}, "
+            f"expected {height * (stride + 1)}"
+        )
+    lines = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    recon = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(height):
+        prev = _png_unfilter_row(
+            int(lines[y, 0]), lines[y, 1:].astype(np.int64), prev, channels
+        )
+        recon[y] = prev.astype(np.uint8)
+    px = recon.reshape(height, width, channels)
+    if color == 6:  # RGBA -> drop alpha
+        px = px[..., :3]
+    elif color == 4:  # grey+alpha -> grey
+        px = px[..., :1]
+    if px.shape[-1] == 1:  # grey -> replicate to RGB
+        px = np.repeat(px, 3, axis=-1)
+    return width, height, np.ascontiguousarray(px).tobytes()
+
+
+def encode_png(
+    width: int,
+    height: int,
+    rgb: bytes,
+    row_filters: list[int] | None = None,
+) -> bytes:
+    """Minimal deterministic RGB8 PNG encoder — the test/fixture twin
+    of ``_decode_png``. ``row_filters`` picks the per-scanline filter
+    type (default all 0) so tests can exercise every unfilter path.
+    The IDAT stream uses STORED deflate blocks (``zlib.compress``
+    level 0), so the byte output is stable across zlib versions —
+    required for the pinned oracle literals in media_feature_rollup."""
+    import struct
+    import zlib
+
+    px = (
+        np.frombuffer(rgb, dtype=np.uint8)
+        .reshape(height, width * 3)
+        .astype(np.int64)
+    )
+    filters = row_filters if row_filters is not None else [0] * height
+    if len(filters) != height:
+        raise ValueError("row_filters length must equal height")
+    bpp = 3
+    prev = np.zeros(width * 3, dtype=np.int64)
+    scanlines = []
+    for y, f in enumerate(filters):
+        cur = px[y]
+        left = np.concatenate([np.zeros(bpp, dtype=np.int64), cur[:-bpp]])
+        upleft = np.concatenate([np.zeros(bpp, dtype=np.int64), prev[:-bpp]])
+        if f == 0:
+            filt = cur
+        elif f == 1:
+            filt = (cur - left) & 255
+        elif f == 2:
+            filt = (cur - prev) & 255
+        elif f == 3:
+            filt = (cur - (left + prev) // 2) & 255
+        elif f == 4:
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            filt = (cur - pred) & 255
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+        scanlines.append(bytes([f]) + filt.astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    idat = zlib.compress(b"".join(scanlines), 0)
+    return (
+        _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_image(payload: bytes) -> tuple[int, int, bytes]:
-    """Decode an uncompressed image payload in pure Python →
+    """Decode an image payload in pure Python →
     (width, height, interleaved RGB bytes, row-major top-down).
 
-    Real decoders for the two container-parseable formats: PPM
-    (P6/P3) and 24-bit uncompressed BMP. Compressed formats (PNG,
-    JPEG, GIF, ...) need codec libraries absent from this container
-    and raise NotImplementedError — pass a real decoder via
+    Real decoders for the three library-free formats: PPM (P6/P3),
+    24-bit uncompressed BMP, and 8-bit PNG (stdlib zlib inflate +
+    numpy unfilter). Other compressed formats (JPEG, GIF, WebP, ...)
+    need codec libraries absent from this container and raise
+    NotImplementedError — pass a real decoder via
     ``extract_features(feature_fn=...)`` there."""
     if payload is None or len(payload) < 2:
         raise ValueError("empty image payload")
@@ -169,6 +346,8 @@ def decode_image(payload: bytes) -> tuple[int, int, bytes]:
         return _decode_ppm(bytes(payload))
     if magic == b"BM":
         return _decode_bmp(bytes(payload))
+    if magic == _PNG_SIG[:2]:
+        return _decode_png(bytes(payload))
     raise NotImplementedError(
         f"image format with magic {magic!r} requires a codec library "
         "not present in this environment; extract_features("
@@ -231,7 +410,9 @@ def _default_features(payload: bytes) -> list[float]:
     the byte-stat fake UNCHANGED (the media_feature_rollup oracle
     replays that path bit-for-bit on text payloads, so the fallback
     must stay stable)."""
-    if payload is not None and bytes(payload[:2]) in (b"P6", b"P3", b"BM"):
+    if payload is not None and bytes(payload[:2]) in (
+        b"P6", b"P3", b"BM", _PNG_SIG[:2],
+    ):
         try:
             return _pixel_features(*decode_image(payload))
         except (ValueError, NotImplementedError):

@@ -3104,10 +3104,47 @@ def priority_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (sum of every-8th payload byte mod 997), and the documents corpus
 # is ASCII (asserted by the oracle-parity test), so the oracle can
 # replay it on character positions — proving the mapInPandas plumbing
-# end-to-end, not just row counts.
+# end-to-end, not just row counts. A planted constant PNG row (r9
+# verdict ask 6) additionally drives the REAL zlib+numpy PNG decoder
+# through the same mapInPandas plumbing: its expected feature is
+# pinned from the PIXEL CONSTANTS below (never by running the
+# decoder), so a decode regression flips the driver row red on
+# VALUES.
+def _demo_png() -> tuple[bytes, int, int]:
+    """Deterministic 16x12 RGB PNG whose row filters cycle through
+    all five PNG filter types. Returns (payload, total_bytes,
+    f0_mean_ppm): the payload bytes are stable across environments
+    (encode_png emits STORED deflate blocks), and f0_mean_ppm is
+    derived from the raw pixel constants — independent of
+    _decode_png, which must reproduce it through decode + pixel
+    stats + the f0_k integerization at query time."""
+    import numpy as np
+
+    from .operators.multimodal import encode_png
+
+    w, h = 16, 12
+    x = np.arange(w)[None, :]
+    y = np.arange(h)[:, None]
+    px = np.stack(
+        [(x * 31 + y * 17) % 256, (x * 13 + y * 7) % 256, (x * 5 + y * 3) % 256],
+        axis=-1,
+    ).astype(np.uint8)
+    payload = encode_png(w, h, px.tobytes(), [i % 5 for i in range(h)])
+    # mirror _pixel_features' f0 (R-channel mean / 255) and the
+    # query's integerization: k = round(f0 * 997), ppm = round(k *
+    # 1e6 / 997) — same float64 op order, half-up like Spark/DuckDB
+    f0 = float(px[..., 0].astype(np.float64).sum()) / (255.0 * w * h)
+    k = int(np.floor(f0 * 997.0 + 0.5))
+    ppm = int(np.floor(k * 1000000.0 / 997.0 + 0.5))
+    return payload, len(payload), ppm
+
+
+_DEMO_PNG_PAYLOAD, _DEMO_PNG_BYTES, _DEMO_PNG_PPM = _demo_png()
+
+
 @query(
     "media_feature_rollup",
-    """
+    f"""
     WITH f AS (
       SELECT source AS modality, strlen(text) AS n_bytes,
              (list_sum(list_transform(range(1, strlen(text) + 1, 8),
@@ -3116,11 +3153,17 @@ def priority_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
               % 997) AS f0_k
       FROM documents
     )
-    SELECT modality, COUNT(*) AS n_items,
-           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
-           CAST(ROUND(SUM(f0_k) * 1000000.0 / (997.0 * COUNT(*)))
-                AS BIGINT) AS f0_mean_ppm
-    FROM f GROUP BY modality ORDER BY modality
+    SELECT modality, n_items, total_bytes, f0_mean_ppm FROM (
+        SELECT modality, COUNT(*) AS n_items,
+               CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+               CAST(ROUND(SUM(f0_k) * 1000000.0 / (997.0 * COUNT(*)))
+                    AS BIGINT) AS f0_mean_ppm
+        FROM f GROUP BY modality
+        UNION ALL
+        SELECT 'png' AS modality, CAST(1 AS BIGINT) AS n_items,
+               CAST({_DEMO_PNG_BYTES} AS BIGINT) AS total_bytes,
+               CAST({_DEMO_PNG_PPM} AS BIGINT) AS f0_mean_ppm
+    ) ORDER BY modality
     """,
 )
 def media_feature_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3131,6 +3174,11 @@ def media_feature_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("media_id"),
         F.col("source").alias("modality"),
         F.encode("text", "utf-8").alias("payload"),
+    ).unionByName(
+        spark.createDataFrame(
+            [(-1, "png", bytearray(_DEMO_PNG_PAYLOAD))],
+            "media_id long, modality string, payload binary",
+        )
     )
     # f0 is k/997 with k an integer in [0, 996]; round(f0*997)
     # recovers k exactly, so both sides sum integers and perform one

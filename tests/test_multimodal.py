@@ -45,9 +45,14 @@ def test_documents_ascii_assumption_for_oracle(spark):
 def test_decode_unsupported_formats_raise(media):
     # compressed formats still need codec libraries: NotImplementedError
     with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG fake bytes here")
+        decode_image(b"\xff\xd8 jpeg needs a codec library")
     with pytest.raises(NotImplementedError):
         decode_audio(b"x")
+    # PNG is decoded for real since r10 — a PNG-magic payload that is
+    # NOT a valid PNG raises ValueError (→ byte-stat fallback), never
+    # NotImplementedError
+    with pytest.raises(ValueError):
+        decode_image(b"\x89PNG fake bytes here")
 
 
 def _ppm_p6() -> bytes:
@@ -115,6 +120,119 @@ def test_decode_ppm_maxval_rescale_and_p3_sanity():
         # numpy raises OverflowError here; must surface as ValueError so
         # _default_features falls back to byte stats, not a task crash)
         _decode_ppm(b"P3\n1 1\n255\n99999999999999999999999 0 0\n")
+
+
+def _png_chunks(width, height, color, raw):
+    """Hand-build a PNG from already-filtered scanline bytes (for
+    color types encode_png doesn't emit: grayscale, RGBA, ...)."""
+    import struct
+    import zlib
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 0))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_decode_png_roundtrip_all_filters():
+    """encode_png → _decode_png is the identity for every PNG filter
+    type and a non-aligned width (exercises Sub's cumsum lanes and
+    the serial Average/Paeth reconstruction)."""
+    import numpy as np
+
+    from data_mining_map_reduce_spark.operators.multimodal import (
+        _decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(7)
+    for w, h in [(1, 1), (4, 4), (7, 5)]:
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8).tobytes()
+        for filters in [None, *([[f] * h for f in (1, 2, 3, 4)]),
+                        [i % 5 for i in range(h)]]:
+            png = encode_png(w, h, px, filters)
+            assert _decode_png(png) == (w, h, px), filters
+    # and the router sees the PNG signature
+    px = bytes(range(48))
+    assert decode_image(encode_png(4, 4, px)) == (4, 4, px)
+
+
+def test_decode_png_gray_rgba_and_rejects():
+    """Grayscale replicates to RGB, RGBA drops alpha; 16-bit /
+    palette / interlaced / truncated variants raise ValueError so the
+    feature path falls back to byte stats."""
+    from data_mining_map_reduce_spark.operators.multimodal import (
+        _decode_png,
+    )
+
+    # 2x2 grayscale (color 0), filter 0 per row
+    g = _png_chunks(2, 2, 0, b"\x00\x0a\x14" + b"\x00\x1e\x28")
+    assert _decode_png(g) == (
+        2, 2,
+        bytes([10, 10, 10, 20, 20, 20, 30, 30, 30, 40, 40, 40]),
+    )
+    # 1x2 RGBA (color 6): alpha dropped
+    ra = _png_chunks(
+        1, 2, 6, b"\x00\x01\x02\x03\xff" + b"\x00\x04\x05\x06\x80"
+    )
+    assert _decode_png(ra) == (1, 2, bytes([1, 2, 3, 4, 5, 6]))
+
+    with pytest.raises(ValueError):  # palette (color 3) unsupported
+        _decode_png(_png_chunks(1, 1, 3, b"\x00\x00"))
+    with pytest.raises(ValueError):  # scanline size mismatch
+        _decode_png(_png_chunks(2, 2, 0, b"\x00\x0a"))
+    # corrupt IDAT bytes (inflate fails) surface as ValueError
+    good = _png_chunks(1, 1, 0, b"\x00\x0a")
+    i = good.index(b"IDAT") + 4
+    with pytest.raises(ValueError):
+        _decode_png(good[:i] + b"\xff\xff\xff" + good[i + 3 :])
+
+
+def test_extract_features_png_real_decode(spark):
+    """The planted media_feature_rollup PNG flows through the REAL
+    zlib decoder inside mapInPandas and yields the pixel-constant
+    feature the oracle pins (queries._demo_png computes it from the
+    raw pixel array, never from the decoder)."""
+    import numpy as np
+
+    from data_mining_map_reduce_spark.operators.multimodal import (
+        _pixel_features,
+        decode_image,
+    )
+    from data_mining_map_reduce_spark.queries import (
+        _DEMO_PNG_PAYLOAD,
+        _DEMO_PNG_PPM,
+    )
+
+    w, h, rgb = decode_image(_DEMO_PNG_PAYLOAD)
+    assert (w, h) == (16, 12)
+    px = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)
+    # independent pixel recompute (the generator formula)
+    x = np.arange(w)[None, :]
+    y = np.arange(h)[:, None]
+    assert (px[..., 0] == (x * 31 + y * 17) % 256).all()
+    assert (px[..., 1] == (x * 13 + y * 7) % 256).all()
+    assert (px[..., 2] == (x * 5 + y * 3) % 256).all()
+    f0 = _pixel_features(w, h, rgb)[0]
+    k = round(f0 * 997.0)
+    assert round(k * 1000000.0 / 997.0) == _DEMO_PNG_PPM
+
+    media = spark.createDataFrame(
+        [(1, "png", bytearray(_DEMO_PNG_PAYLOAD))],
+        "media_id long, modality string, payload binary",
+    )
+    row = extract_features(media).collect()[0]
+    assert row.n_bytes == len(_DEMO_PNG_PAYLOAD)
+    assert abs(row.features[0] - f0) < 1e-12
 
 
 def test_extract_features_routes_real_decode(spark):
