@@ -4113,121 +4113,117 @@ def partition_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRIVER_ORDER = [
     # -- flagship first (also the entry() smoke query) --
     "flagship_category_avg",
-    # -- never driver-checked (new in r9) --
-    "betweenness_mass_check",     # sampled-betweenness mass invariant row
-    "sketch_error_check",         # HLL++ rel-err + percentile rank-err pins
-    "kmeans_wcss_check",          # k-means WCSS-ratio degenerate-solution pin
-    "gn_quality_check",           # GN partition-integrity + modularity-sanity pin
-    # -- code changed this round (r9): need fresh rows --
-    "ann_recall_check",           # exact side now lazily checkpointed
-    "media_feature_rollup",       # numpy-vectorized decode + maxval rescale
-    "media_frame_sample",         # same file
-    "simhash_doc_pairs",          # Manku 3-subset banding rewrite
-    # -- rotated back in: last green r6 (stalest — due this round) --
-    "partition_layout_stats",
-    "window_distinct_users_approx",
-    "embedding_pair_distances",
-    "session_windows_per_user",
-    "window_tumbling_hourly",
-    "window_sliding_hourly",
-    "window_distinct_users_exact",
-    "asof_last_purchase",
-    "event_rollup_multigrain",
-    "revenue_cube",
-    "fm_distinct_users",
-    "kmv_distinct_users",
-    "source_mix_stats",
-    "tfidf_top_terms",
-    "cooccurrence_pairs",
-    "cf_user_predictions",
-    "content_based_scores",
-    # -- rotated back in: last green r7 (2 rounds stale after r9) --
-    "count_global",
-    "count_by_year",
-    "distinct_users",
-    "top_users_by_orders",
-    "avg_price_by_priority",
-    "word_count_top20",
-    "join_filter_brand_counts",
-    "customers_in_both_statuses",
-    "corr_qty_price_by_flag",
-    "customers_never_final",
-    "rollup_revenue",
-    "pivot_status_by_priority",
-    "order_item_lists",
-    "graph_degree_distribution",
-    "graph_triangle_count",
-    "frequent_items",
-    "frequent_pairs",
-    "suffstats_by_label",
-    "bloom_probe_custkeys",
-    "reservoir_sample_events",
-    "weighted_doc_sample",
-    "doc_repetition_scores",
-    # -- standing heavies: fresh row each round (the rest of the
-    #    heavy list is r8-green and sits out one round — the rotation
-    #    above consumed the slots) --
+    # -- code changed this round (r10): need fresh rows --
+    "gn_quality_check",           # r10: exact Q pinned at driver scale (q_round)
+    "media_feature_rollup",       # r10: planted PNG row through the real zlib decoder
+    "media_frame_sample",         # same module (multimodal.py) changed
+    "simhash_doc_pairs",          # r10: fingerprint persist -> eager localCheckpoint
+    # -- rotated back in: the whole r9 exclusion manifest (last green
+    #    r8 — due this round so no row goes > 2 rounds stale) --
+    "fpgrowth_itemsets",
+    "dedup_canonical_docs",
+    "graph_components",
+    "girvan_newman_communities",
+    "ann_topk_ivfpq",
+    "doc_length_percentiles_approx",
+    "dict_encode_brands",
+    "dict_encode_partkeys_big",
+    "contamination_ngram_overlap",
+    "cm_heavy_hitter_partkeys",
+    "window_heavy_hitter_users",
+    "kmeans_cluster_sizes",
+    "bfr_round_stats",
+    "ann_topk_exact",
+    "ann_topk_lsh",
+    "ann_topk_ivf",
+    "cf_item_similarities",
+    "cf_predictions",
+    "cf_user_predictions_lsh",
+    "jaccard_pairs_exact",
+    "near_dup_docs_exact",
+    "near_dup_docs_lsh",
+    "corpus_curation_funnel",
+    "dedup_canonical_docs_lsh",
+    "graph_betweenness_top",
+    "graph_betweenness_sampled",
+    "graph_lpa_community_sizes",
+    "doc_quality_stats",
+    "token_counts_docs",
+    "language_id_docs",
+    "largest_baskets",
+    "priority_token_counts",
+    "event_props_extract",
+    "union_filtered_event_counts",
+    "event_value_tier_counts",
+    "doc_length_percentiles",
+    "top_customers_per_segment",
+    "approx_distinct_users",
+    "doc_fingerprint_stats",
+    "fingerprint_overlap_pairs",
+    "exact_dup_doc_groups",
+    "train_test_split_counts",
+    "baskets_by_customer",
+    # -- standing heavies: fresh row each round --
     "son_itemsets",
     "minhash_lsh_pairs",
     # ---- driver cap (50) falls here ----
 ]
 
-# Queries excluded from the r9 driver window: every row below was
-# hash-green (or rows-green with dedicated pytest) in CORRECTNESS_r08,
-# its code is unchanged this round, AND it was re-verified green by a
-# full scripts/driver_sim.py run this session (r9, FAILS: none). This
-# manifest is the audit trail the r5 advisor asked for — regressions
-# here are still caught by the pytest suite and driver_sim, just not
-# by the 50-row driver artifact. With this rotation every registered
-# query keeps a driver row <= 2 rounds old: the r6/r7-green rows all
-# rotated back in-window above, and everything below is r8-green.
-_EXCLUDED_R9 = [
+# Queries excluded from the r10 driver window: every row below was
+# green in CORRECTNESS_r09 (49 hash-green + 1 rows-only), its code is
+# unchanged this round, AND the full-registry driver_sim re-verify
+# this session covers it (see the rotation contract note above the
+# r9 manifest in git history). Each sits out exactly ONE round: the
+# audit invariant "every registered query keeps a driver row <= 2
+# rounds old" holds — everything here is r9-green and rotates back
+# in r11.
+_EXCLUDED_R10 = [
     # name                      last green driver row
-    ("fpgrowth_itemsets", "r8; heavy slot ceded to the r9-rewritten simhash row"),
-    ("dedup_canonical_docs", "r8; slot ceded to the new gn_quality_check row (r9 sf1 Spark-side run: 50000 rows, distributed CC)"),
-    ("graph_components", "r8; slot ceded to the new r9 check rows"),
-    ("girvan_newman_communities", "r8 rows-only; r9 sf1 forced-distributed parity artifact (scale_artifacts/graph_proof.json)"),
-    ("ann_topk_ivfpq", "r8 rows-only + in-window ann_recall_check pins its recall"),
-    ("doc_length_percentiles_approx", "r8 rows-only + in-window sketch_error_check pins its rank error"),
-    ("dict_encode_brands", "r8"),
-    ("dict_encode_partkeys_big", "r8"),
-    ("contamination_ngram_overlap", "r8; r9 touched only its header comment"),
-    ("cm_heavy_hitter_partkeys", "r8"),
-    ("window_heavy_hitter_users", "r8"),
-    ("kmeans_cluster_sizes", "r8 rows-only + in-window kmeans_wcss_check pins solution quality"),
-    ("bfr_round_stats", "r8 rows-only + pinned-counts pytest"),
-    ("ann_topk_exact", "r8"),
-    ("ann_topk_lsh", "r8"),
-    ("ann_topk_ivf", "r8 rows-only + in-window ann_recall_check pins its recall"),
-    ("cf_item_similarities", "r8"),
-    ("cf_predictions", "r8"),
-    ("cf_user_predictions_lsh", "r8"),
-    ("jaccard_pairs_exact", "r8"),
-    ("near_dup_docs_exact", "r8"),
-    ("near_dup_docs_lsh", "r8"),
-    ("corpus_curation_funnel", "r8"),
-    ("dedup_canonical_docs_lsh", "r8"),
-    ("graph_betweenness_top", "r8 rows-only; in-window betweenness_mass_check pins exact+sampled"),
-    ("graph_betweenness_sampled", "r8 rows-only; same in-window value row"),
-    ("graph_lpa_community_sizes", "r8"),
-    ("doc_quality_stats", "r8"),
-    ("token_counts_docs", "r8"),
-    ("language_id_docs", "r8"),
-    ("largest_baskets", "r8"),
-    ("priority_token_counts", "r8"),
-    ("event_props_extract", "r8"),
-    ("union_filtered_event_counts", "r8"),
-    ("event_value_tier_counts", "r8"),
-    ("doc_length_percentiles", "r8"),
-    ("top_customers_per_segment", "r8"),
-    ("approx_distinct_users", "r8 rows-only + in-window sketch_error_check pins HLL++ rel err"),
-    ("doc_fingerprint_stats", "r8"),
-    ("fingerprint_overlap_pairs", "r8"),
-    ("exact_dup_doc_groups", "r8"),
-    ("train_test_split_counts", "r8"),
-    ("baskets_by_customer", "r8"),
+    ("betweenness_mass_check", "r9 (new value-pinned row, hash-green)"),
+    ("sketch_error_check", "r9 (new value-pinned row, hash-green)"),
+    ("kmeans_wcss_check", "r9 (new value-pinned row, hash-green)"),
+    ("ann_recall_check", "r9"),
+    ("partition_layout_stats", "r9 rows-only (no oracle by design) + zero-Exchange plan pytest"),
+    ("window_distinct_users_approx", "r9"),
+    ("embedding_pair_distances", "r9"),
+    ("session_windows_per_user", "r9"),
+    ("window_tumbling_hourly", "r9"),
+    ("window_sliding_hourly", "r9"),
+    ("window_distinct_users_exact", "r9"),
+    ("asof_last_purchase", "r9"),
+    ("event_rollup_multigrain", "r9"),
+    ("revenue_cube", "r9"),
+    ("fm_distinct_users", "r9"),
+    ("kmv_distinct_users", "r9"),
+    ("source_mix_stats", "r9"),
+    ("tfidf_top_terms", "r9"),
+    ("cooccurrence_pairs", "r9"),
+    ("cf_user_predictions", "r9"),
+    ("content_based_scores", "r9"),
+    ("count_global", "r9"),
+    ("count_by_year", "r9"),
+    ("distinct_users", "r9"),
+    ("top_users_by_orders", "r9"),
+    ("avg_price_by_priority", "r9"),
+    ("word_count_top20", "r9"),
+    ("join_filter_brand_counts", "r9"),
+    ("customers_in_both_statuses", "r9"),
+    ("corr_qty_price_by_flag", "r9"),
+    ("customers_never_final", "r9"),
+    ("rollup_revenue", "r9"),
+    ("pivot_status_by_priority", "r9"),
+    ("order_item_lists", "r9"),
+    ("graph_degree_distribution", "r9"),
+    ("graph_triangle_count", "r9"),
+    ("frequent_items", "r9"),
+    ("frequent_pairs", "r9"),
+    ("suffstats_by_label", "r9"),
+    ("bloom_probe_custkeys", "r9"),
+    ("reservoir_sample_events", "r9"),
+    ("weighted_doc_sample", "r9"),
+    ("doc_repetition_scores", "r9"),
 ]
-_DRIVER_ORDER += [name for name, _ in _EXCLUDED_R9]
+_DRIVER_ORDER += [name for name, _ in _EXCLUDED_R10]
 
 
 _V = TypeVar("_V")
