@@ -23,8 +23,18 @@ QUERIES=(
   dedup_canonical_docs
 )
 
+# 16g heap, NOT 64g: the isolation matrix in SCALE.md (r10) measured
+# minhash_lsh_pairs at sf1 8x SLOWER under a 64g heap than 16g at
+# identical cpus/partitions (437-492s vs 48-57s; 32g lands between at
+# 105s; GC pause logs rule out stop-the-world time — the cost is the
+# oversized in-memory hash-aggregation state of the candidate-pair
+# distinct, which stays resident instead of taking the
+# better-locality sort/spill path). Same effect on graph_lpa
+# (208s@64g -> 44s@16g). A generic Tungsten groupBy-count is
+# heap-insensitive (measured), so moderate heaps + scale-out is the
+# right cluster prescription, not big heaps.
 export SPARK_GRAFT_SKIP_ORACLE=1
-export SPARK_GRAFT_DRIVER_MEM=64g
+export SPARK_GRAFT_DRIVER_MEM=16g
 export SPARK_GRAFT_SIM_CPUS=32
 export SPARK_GRAFT_SIM_PARTS=128
 
