@@ -2066,18 +2066,41 @@ def simhash_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # End-to-end corpus curation funnel — the composed training-data
 # pipeline every LLM corpus goes through: raw → exact dedup (content
-# hash survivor) → near-dedup (exact-Jaccard ≥ 0.5 pair drop, greedy
+# hash survivor) → near-dedup (pair drop at Jaccard ≥ 0.5, greedy
 # keep-lowest-id) → quality filter (≥ 20 tokens, distinct ratio ≥
 # 0.3) → language filter (en). One row per stage with surviving doc
 # and whitespace-token counts. Every stage reuses a shipped operator;
 # the whole funnel aggregates in ONE pass over per-doc survival flags
 # (conditional sums), so the only non-trivial cost is the near-dup
-# pair search itself. Scale posture: flags are per-doc projections and
-# hash-groupBy joins; nothing materializes beyond (doc_id, flags).
+# pair search itself.
+#
+# TWO variants, differing ONLY in the near-dup pair source:
+# - corpus_curation_funnel: exact-Jaccard all-pairs (X18 prefix
+#   filter). Ground truth, but the candidate join's shuffle grows
+#   superlinearly in corpus size — the r10 sf10 probe measured it
+#   EXHAUSTING LOCAL DISK at 500 k docs (SCALE.md r10 section).
+# - corpus_curation_funnel_lsh: MinHash-LSH banded candidates (64
+#   hashes × 32 bands, collision prob ≈ 0.9999 at s = 0.5) + exact
+#   verify — the scale path; same md5 hash family, so the ENTIRE
+#   funnel including banding replays as a DuckDB oracle.
+# Scale posture: flags are per-doc projections and hash-groupBy
+# joins; nothing materializes beyond (doc_id, flags).
 # ---------------------------------------------------------------------------
-@query(
-    "corpus_curation_funnel",
-    r"""
+_FUNNEL_NEAR_EXACT_CTE = r"""near_dropped AS (
+      SELECT DISTINCT b.doc_id
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.s, b.s)) * 1.0
+            / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+    )"""
+
+
+def _funnel_oracle_sql(near_dropped_ctes: str) -> str:
+    """Funnel oracle with a pluggable near-dup stage: the supplied CTE
+    chain must end in a ``near_dropped`` CTE with a ``doc_id`` column,
+    and may reference ``sh`` (the exact-dedup survivors' distinct
+    3-gram shingle arrays)."""
+    return (
+        r"""
     WITH nrm AS (
       SELECT doc_id, translate(lower(text), '([,.!?:;])', '') AS norm
       FROM documents
@@ -2100,12 +2123,9 @@ def simhash_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents d JOIN s1 USING (doc_id)
       )
     ),
-    near_dropped AS (
-      SELECT DISTINCT b.doc_id
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      WHERE len(list_intersect(a.s, b.s)) * 1.0
-            / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
-    ),
+    """
+        + near_dropped_ctes
+        + r""",
     tokw AS (
       SELECT doc_id,
              list_filter(
@@ -2169,12 +2189,14 @@ def simhash_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(COUNT(*) AS BIGINT), CAST(SUM(n_ws) AS BIGINT)
       FROM flags WHERE k2 AND q_ok AND en
     ) ORDER BY stage_idx
-    """,
-)
-def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+    )
+
+
+def _corpus_funnel_impl(spark: SparkSession, sf_dir: str, lsh: bool) -> DataFrame:
     from .functions.text import normalize, tokenize
-    from .operators.dedup import doc_shingle_pairs, exact_duplicate_groups
-    from .operators.similarity import exact_jaccard_pairs
+    from .operators.dedup import doc_shingle_pairs, doc_shingles, exact_duplicate_groups
+    from .operators.similarity import exact_jaccard_pairs, minhash_lsh_pairs
     from .operators.text_analysis import language_pred_exprs
 
     docs = load_table(spark, sf_dir, "documents")
@@ -2182,11 +2204,25 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", (F.col("doc_id") == F.col("canonical_id")).alias("_k1")
     )
     docs1 = docs.join(exact.where(F.col("_k1")).select("doc_id"), "doc_id")
-    near_dropped = (
-        exact_jaccard_pairs(
+    if lsh:
+        # Scale path: banded LSH candidates + exact verify. Precision
+        # is 1.0 by construction (the verify join applies the same
+        # threshold), so _nd drops a SUBSET of the exact variant's
+        # drops; 64x32 banding makes the miss probability per true
+        # pair ~(1 - 0.25)^32 ~ 1e-4 at s = 0.5. max_bucket=None so
+        # the DuckDB oracle replays banding exactly (near_dup_docs_lsh
+        # precedent); shingle buckets are high-cardinality so no
+        # bucket approaches the cap even at sf10.
+        pairs = minhash_lsh_pairs(
+            doc_shingles(docs1), "doc_id", "shingles",
+            threshold=0.5, num_hashes=64, bands=32, max_bucket=None,
+        )
+    else:
+        pairs = exact_jaccard_pairs(
             doc_shingle_pairs(docs1), "doc_id", "shingle", threshold=0.5
         )
-        .select(F.col("b").alias("doc_id"))
+    near_dropped = (
+        pairs.select(F.col("b").alias("doc_id"))
         .distinct()
         .withColumn("_nd", F.lit(True))
     )
@@ -2252,6 +2288,27 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return row.select(F.inline(stages)).orderBy("stage_idx")
+
+
+@query("corpus_curation_funnel", _funnel_oracle_sql(_FUNNEL_NEAR_EXACT_CTE))
+def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _corpus_funnel_impl(spark, sf_dir, lsh=False)
+
+
+@query(
+    "corpus_curation_funnel_lsh",
+    _funnel_oracle_sql(
+        _minhash_pairs_ctes(
+            "SELECT doc_id AS k, unnest(s) AS i FROM sh",
+            num_hashes=64,
+            bands=32,
+            threshold=0.5,
+        )
+        + ",\n    near_dropped AS (SELECT DISTINCT b AS doc_id FROM mh_pairs)"
+    ),
+)
+def corpus_curation_funnel_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _corpus_funnel_impl(spark, sf_dir, lsh=True)
 
 
 # ---------------------------------------------------------------------------
@@ -4114,6 +4171,7 @@ _DRIVER_ORDER = [
     # -- flagship first (also the entry() smoke query) --
     "flagship_category_avg",
     # -- code changed this round (r10): need fresh rows --
+    "corpus_curation_funnel_lsh", # NEW r10: LSH scale twin (sf10 probe found the exact variant exhausts disk at 500k docs)
     "gn_quality_check",           # r10: exact Q pinned at driver scale (q_round)
     "media_feature_rollup",       # r10: planted PNG row through the real zlib decoder
     "media_frame_sample",         # same module (multimodal.py) changed
@@ -4163,9 +4221,11 @@ _DRIVER_ORDER = [
     "exact_dup_doc_groups",
     "train_test_split_counts",
     "baskets_by_customer",
-    # -- standing heavies: fresh row each round --
+    # -- standing heavies: fresh row each round (minhash_lsh_pairs
+    #    cedes its slot this round to the new funnel-LSH row; it is
+    #    r9-green and rotates back in r11, keeping the <= 2-rounds
+    #    invariant) --
     "son_itemsets",
-    "minhash_lsh_pairs",
     # ---- driver cap (50) falls here ----
 ]
 
@@ -4179,6 +4239,7 @@ _DRIVER_ORDER = [
 # in r11.
 _EXCLUDED_R10 = [
     # name                      last green driver row
+    ("minhash_lsh_pairs", "r9; standing-heavy slot ceded to the new corpus_curation_funnel_lsh row"),
     ("betweenness_mass_check", "r9 (new value-pinned row, hash-green)"),
     ("sketch_error_check", "r9 (new value-pinned row, hash-green)"),
     ("kmeans_wcss_check", "r9 (new value-pinned row, hash-green)"),

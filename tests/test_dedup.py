@@ -215,3 +215,35 @@ def test_corpus_curation_funnel_invariants(spark, sf_dir):
         assert cur.n_tokens <= prev.n_tokens
     # non-degenerate on the test corpus: something survives to the end
     assert rows[-1].n_docs > 0
+
+
+def test_corpus_curation_funnel_lsh_refines_exact(spark, sf_dir):
+    """The LSH funnel twin (r10 — added after the sf10 probe measured
+    the exact variant exhausting local disk at 500 k docs) drops a
+    SUBSET of the exact variant's near-dup drops (verify-after-bucket
+    gives precision 1.0; banding can only MISS true pairs), so every
+    stage's surviving doc/token counts are >= the exact funnel's, the
+    raw and exact_dedup stages are IDENTICAL (those stages don't
+    depend on the pair source), and the funnel invariant holds."""
+    from data_mining_map_reduce_spark.queries import (
+        corpus_curation_funnel,
+        corpus_curation_funnel_lsh,
+    )
+
+    exact = corpus_curation_funnel(spark, sf_dir).collect()
+    lsh = corpus_curation_funnel_lsh(spark, sf_dir).collect()
+    assert [r.stage for r in lsh] == [
+        "raw", "exact_dedup", "near_dedup", "quality", "lang_en",
+    ]
+    for e, l in zip(exact[:2], lsh[:2]):  # pair-source-independent stages
+        assert (e.n_docs, e.n_tokens) == (l.n_docs, l.n_tokens)
+    for e, l in zip(exact, lsh):
+        assert l.n_docs >= e.n_docs
+        assert l.n_tokens >= e.n_tokens
+    for prev, cur in zip(lsh, lsh[1:]):  # still a funnel
+        assert cur.n_docs <= prev.n_docs
+        assert cur.n_tokens <= prev.n_tokens
+    # 64x32 banding at s>=0.5 should be near-lossless on the planted
+    # corpus: identical near-dedup survivors here (deterministic md5
+    # family — a fixed outcome, not a flaky sample).
+    assert lsh[2].n_docs == exact[2].n_docs
