@@ -1186,6 +1186,7 @@ def _minhash_pairs_ctes(
     num_hashes: int,
     bands: int,
     threshold: float | None,
+    max_bucket: int | None = None,
 ) -> str:
     """CTE chain (splice after ``WITH``) replaying
     operators/similarity.minhash_lsh_pairs over an ``items_sql``
@@ -1193,7 +1194,19 @@ def _minhash_pairs_ctes(
     universal-hash family (functions/hashing.hash_params), same
     banding. Final CTE: ``mh_pairs`` — (a, b, jaccard) when
     ``threshold`` is set (exact-Jaccard verify), (a, b) candidates
-    only when ``threshold`` is None (the verify=False contract)."""
+    only when ``threshold`` is None (the verify=False contract).
+
+    ``max_bucket`` (NEW r10): when set, replays the operator's
+    hot-bucket cap — candidates are enumerated per (band, slot
+    values) BUCKET (one UNION ALL arm per band over the signature
+    relation, which is therefore MATERIALIZED — the sf1 LPA
+    CTE-inlining lesson) and buckets wider than the cap are dropped
+    before pairing, exactly like the Spark side's count+join guard.
+    When None, candidates come from the original all-pairs band-OR
+    theta-join (brute-force semantic twin). The bucket formulation is
+    also the one that SCALES in DuckDB — the sf10 probe (SCALE.md
+    r10) is what motivated modeling the cap instead of disabling it
+    in the bench query."""
     from .functions.hashing import FOLD_PRIME, hash_params
 
     r = num_hashes // bands
@@ -1203,27 +1216,53 @@ def _minhash_pairs_ctes(
             (i, hash_params(i, FOLD_PRIME)) for i in range(num_hashes)
         )
     )
-    band_or = "\n            OR ".join(
-        "("
-        + " AND ".join(f"sa.h{b_ * r + j} = sb.h{b_ * r + j}" for j in range(r))
-        + ")"
-        for b_ in range(bands)
-    )
+    if max_bucket is None:
+        band_or = "\n            OR ".join(
+            "("
+            + " AND ".join(f"sa.h{b_ * r + j} = sb.h{b_ * r + j}" for j in range(r))
+            + ")"
+            for b_ in range(bands)
+        )
+        sig_kw = ""
+        cand = f"""mh_cand AS (
+      SELECT sa.k AS ka, sb.k AS kb
+      FROM mh_sig sa JOIN mh_sig sb ON sa.k < sb.k
+      WHERE {band_or}
+    )"""
+    else:
+        slots = ", ".join(f"s{j}" for j in range(r))
+        arms = "\n      UNION ALL ".join(
+            f"SELECT k, {b_} AS band, "
+            + ", ".join(f"h{b_ * r + j} AS s{j}" for j in range(r))
+            + " FROM mh_sig"
+            for b_ in range(bands)
+        )
+        sig_kw = "MATERIALIZED "
+        cand = f"""mh_bands AS MATERIALIZED (
+      {arms}
+    ),
+    mh_ok AS (
+      SELECT band, {slots} FROM mh_bands
+      GROUP BY band, {slots} HAVING COUNT(*) <= {max_bucket}
+    ),
+    mh_cand AS (
+      SELECT DISTINCT a.k AS ka, b.k AS kb
+      FROM mh_bands a
+      JOIN mh_bands b USING (band, {slots})
+      JOIN mh_ok USING (band, {slots})
+      WHERE a.k < b.k
+    )"""
     ctes = f"""mh_items AS ({items_sql}),
     mh_hx AS (
       SELECT k, i,
              CAST(('0x' || substr(md5(i), 1, 15)) AS BIGINT) % {FOLD_PRIME} AS f
       FROM mh_items
     ),
-    mh_sig AS (
+    mh_sig AS {sig_kw}(
       SELECT k, {mins}
       FROM mh_hx GROUP BY k
     ),
-    mh_cand AS (
-      SELECT sa.k AS ka, sb.k AS kb
-      FROM mh_sig sa JOIN mh_sig sb ON sa.k < sb.k
-      WHERE {band_or}
-    )"""
+    {cand}"""
     if threshold is None:
         return ctes + ",\n    mh_pairs AS (SELECT ka AS a, kb AS b FROM mh_cand)"
     return (
@@ -1249,10 +1288,14 @@ def _minhash_oracle_sql(
     threshold: float,
     key_a: str = "a",
     key_b: str = "b",
+    max_bucket: int | None = None,
 ) -> str:
     """Standalone oracle query over :func:`_minhash_pairs_ctes`."""
+    ctes = _minhash_pairs_ctes(
+        items_sql, num_hashes, bands, threshold, max_bucket=max_bucket
+    )
     return f"""
-    WITH {_minhash_pairs_ctes(items_sql, num_hashes, bands, threshold)}
+    WITH {ctes}
     SELECT a AS {key_a}, b AS {key_b}, jaccard
     FROM mh_pairs
     ORDER BY {key_a}, {key_b}
@@ -1269,6 +1312,7 @@ def _minhash_oracle_sql(
         num_hashes=32,
         bands=32,
         threshold=0.05,
+        max_bucket=5000,
     ),
 )
 def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1282,13 +1326,16 @@ def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k",
         "i",
     )
-    # max_bucket=None: the SQL oracle replays banding as an exact
-    # band-OR join and cannot model the hot-bucket cap; at this
-    # query's scales no bucket approaches the default cap anyway, so
-    # the uncapped run is identical. Scale users keep the default cap.
+    # Operator-default max_bucket=5000 — this query IS the scale path
+    # since r10: the oracle models the hot-bucket cap via per-band
+    # bucket enumeration (see _minhash_pairs_ctes), so the old
+    # max_bucket=None oracle-fidelity escape hatch is gone. The sf10
+    # probe measured the capped/uncapped outputs IDENTICAL at sf0.01,
+    # sf1 AND sf10 on this corpus (every dropped candidate fails the
+    # verify threshold or re-collides in another band) with the
+    # capped wall 2x lower at sf10 (SCALE.md r10).
     return minhash_lsh_pairs(
         b, "k", "items", threshold=0.05, num_hashes=32, bands=32,
-        max_bucket=None,
     ).orderBy("a", "b")
 
 
@@ -4172,6 +4219,7 @@ _DRIVER_ORDER = [
     "flagship_category_avg",
     # -- code changed this round (r10): need fresh rows --
     "corpus_curation_funnel_lsh", # NEW r10: LSH scale twin (sf10 probe found the exact variant exhausts disk at 500k docs)
+    "minhash_lsh_pairs",          # r10: now runs the operator-default hot-bucket cap; oracle models the cap via bucket enumeration
     "gn_quality_check",           # r10: exact Q pinned at driver scale (q_round)
     "media_feature_rollup",       # r10: planted PNG row through the real zlib decoder
     "media_frame_sample",         # same module (multimodal.py) changed
@@ -4221,11 +4269,11 @@ _DRIVER_ORDER = [
     "exact_dup_doc_groups",
     "train_test_split_counts",
     "baskets_by_customer",
-    # -- standing heavies: fresh row each round (minhash_lsh_pairs
-    #    cedes its slot this round to the new funnel-LSH row; it is
-    #    r9-green and rotates back in r11, keeping the <= 2-rounds
-    #    invariant) --
-    "son_itemsets",
+    # -- standing heavies: son_itemsets cedes its slot this round
+    #    (r9-green, unchanged code, back in r11 — <= 2-rounds
+    #    invariant holds) because BOTH its usual companions demanded
+    #    in-window rows: corpus_curation_funnel_lsh is new and
+    #    minhash_lsh_pairs changed code (capped variant) --
     # ---- driver cap (50) falls here ----
 ]
 
@@ -4239,7 +4287,7 @@ _DRIVER_ORDER = [
 # in r11.
 _EXCLUDED_R10 = [
     # name                      last green driver row
-    ("minhash_lsh_pairs", "r9; standing-heavy slot ceded to the new corpus_curation_funnel_lsh row"),
+    ("son_itemsets", "r9; standing-heavy slot ceded — the new corpus_curation_funnel_lsh row and the r10-capped minhash_lsh_pairs both need in-window rows"),
     ("betweenness_mass_check", "r9 (new value-pinned row, hash-green)"),
     ("sketch_error_check", "r9 (new value-pinned row, hash-green)"),
     ("kmeans_wcss_check", "r9 (new value-pinned row, hash-green)"),
