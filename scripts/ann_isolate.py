@@ -5,8 +5,11 @@ flagship warmup (the bench.py condition), one timed collect each.
 Run several times, minutes apart, on a quiet box.
 """
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 
