@@ -1196,17 +1196,19 @@ def _minhash_pairs_ctes(
     ``threshold`` is set (exact-Jaccard verify), (a, b) candidates
     only when ``threshold`` is None (the verify=False contract).
 
-    ``max_bucket`` (NEW r10): when set, replays the operator's
-    hot-bucket cap — candidates are enumerated per (band, slot
-    values) BUCKET (one UNION ALL arm per band over the signature
-    relation, which is therefore MATERIALIZED — the sf1 LPA
-    CTE-inlining lesson) and buckets wider than the cap are dropped
-    before pairing, exactly like the Spark side's count+join guard.
-    When None, candidates come from the original all-pairs band-OR
-    theta-join (brute-force semantic twin). The bucket formulation is
-    also the one that SCALES in DuckDB — the sf10 probe (SCALE.md
-    r10) is what motivated modeling the cap instead of disabling it
-    in the bench query."""
+    Candidates are enumerated per (band, slot values) BUCKET — one
+    UNION ALL arm per band over the signature relation, which is
+    therefore MATERIALIZED (the sf1 LPA CTE-inlining lesson) — and
+    DISTINCT-paired within buckets. This is set-identical to the
+    pre-r10 all-pairs band-OR theta-join (a pair shares ≥ 1 full
+    band ⟺ it shares a bucket) but SCALES in DuckDB: the band-OR
+    form was O(n²) and pinned every LSH oracle to sf0.01, the bucket
+    form is green at sf0.1/sf1 (SCALE.md r10).
+
+    ``max_bucket`` (NEW r10): when set, additionally replays the
+    operator's hot-bucket cap — buckets wider than the cap are
+    dropped before pairing, exactly like the Spark side's count+join
+    guard."""
     from .functions.hashing import FOLD_PRIME, hash_params
 
     r = num_hashes // bands
@@ -1216,53 +1218,42 @@ def _minhash_pairs_ctes(
             (i, hash_params(i, FOLD_PRIME)) for i in range(num_hashes)
         )
     )
+    slots = ", ".join(f"s{j}" for j in range(r))
+    arms = "\n      UNION ALL ".join(
+        f"SELECT k, {b_} AS band, "
+        + ", ".join(f"h{b_ * r + j} AS s{j}" for j in range(r))
+        + " FROM mh_sig"
+        for b_ in range(bands)
+    )
     if max_bucket is None:
-        band_or = "\n            OR ".join(
-            "("
-            + " AND ".join(f"sa.h{b_ * r + j} = sb.h{b_ * r + j}" for j in range(r))
-            + ")"
-            for b_ in range(bands)
-        )
-        sig_kw = ""
-        cand = f"""mh_cand AS (
-      SELECT sa.k AS ka, sb.k AS kb
-      FROM mh_sig sa JOIN mh_sig sb ON sa.k < sb.k
-      WHERE {band_or}
-    )"""
+        cap_cte = ""
+        cap_join = ""
     else:
-        slots = ", ".join(f"s{j}" for j in range(r))
-        arms = "\n      UNION ALL ".join(
-            f"SELECT k, {b_} AS band, "
-            + ", ".join(f"h{b_ * r + j} AS s{j}" for j in range(r))
-            + " FROM mh_sig"
-            for b_ in range(bands)
-        )
-        sig_kw = "MATERIALIZED "
-        cand = f"""mh_bands AS MATERIALIZED (
-      {arms}
-    ),
-    mh_ok AS (
+        cap_cte = f"""mh_ok AS (
       SELECT band, {slots} FROM mh_bands
       GROUP BY band, {slots} HAVING COUNT(*) <= {max_bucket}
     ),
-    mh_cand AS (
-      SELECT DISTINCT a.k AS ka, b.k AS kb
-      FROM mh_bands a
-      JOIN mh_bands b USING (band, {slots})
-      JOIN mh_ok USING (band, {slots})
-      WHERE a.k < b.k
-    )"""
+    """
+        cap_join = f"\n      JOIN mh_ok USING (band, {slots})"
     ctes = f"""mh_items AS ({items_sql}),
     mh_hx AS (
       SELECT k, i,
              CAST(('0x' || substr(md5(i), 1, 15)) AS BIGINT) % {FOLD_PRIME} AS f
       FROM mh_items
     ),
-    mh_sig AS {sig_kw}(
+    mh_sig AS MATERIALIZED (
       SELECT k, {mins}
       FROM mh_hx GROUP BY k
     ),
-    {cand}"""
+    mh_bands AS MATERIALIZED (
+      {arms}
+    ),
+    {cap_cte}mh_cand AS (
+      SELECT DISTINCT a.k AS ka, b.k AS kb
+      FROM mh_bands a
+      JOIN mh_bands b USING (band, {slots}){cap_join}
+      WHERE a.k < b.k
+    )"""
     if threshold is None:
         return ctes + ",\n    mh_pairs AS (SELECT ka AS a, kb AS b FROM mh_cand)"
     return (
