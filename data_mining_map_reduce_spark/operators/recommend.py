@@ -7,10 +7,26 @@ math).
 
 Pipeline shapes, all relational:
 - similarities: self-join ratings on the co-key (user for item-item,
-  item for user-user), Pearson per pair with >= min_co co-ratings
-  (covar/stddev partial aggregation is Catalyst-native). One shuffle
-  on the co-key join + one on the pair groupBy — the same equi-join
-  rewrite as J3.
+  item for user-user), Pearson per pair with >= min_co co-ratings.
+  One shuffle on the co-key join + one on the pair groupBy — the same
+  equi-join rewrite as J3.
+
+Determinism contract (r10 verdict task 1): Pearson is computed from
+EXACT integer sufficient statistics, never from float aggregation.
+Ratings are 6-dp quantities (ROUND(avg, 6)), so ``rating * 1e6`` is
+an exact BIGINT; n, Σx, Σy, Σxy, Σx², Σy² are then integer sums —
+order-independent across partitions, retries, and engines — and the
+closed-form r = (nΣxy − ΣxΣy) / (√(nΣx²−(Σx)²)·√(nΣy²−(Σy)²)) is one
+fixed tree of correctly-rounded IEEE-double ops that DuckDB replays
+bit-for-bit (the oracle spells the same expression). The final 6-dp
+quantization is floor(r·1e6 + 0.5)/1e6 — plain IEEE arithmetic, so
+no dependence on either engine's ROUND implementation. Zero-variance
+pairs are detected EXACTLY (min == max on the integer ratings), not
+via float-variance == 0. Rationale: covar_samp/stddev (and DuckDB's
+corr()) are float-summation-order dependent, and ROUND(·, 6) flips
+when a pair's correlation lands within an ulp of a 6th-decimal
+boundary — cf_item_similarities went hash-red in the r10 driver
+window on exactly that (green r5-r8, green on re-runs).
 - prediction: candidate neighbors joined through the similarity
   table (positive sims only), top-N by similarity (window), then the
   weighted average Σ(sim·r)/Σ(sim) — reference formula, A3 PDF §4.3.
@@ -26,8 +42,74 @@ min_co filter keep pair counts bounded at scale.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+RATING_SCALE = 1_000_000  # 6-dp ratings -> exact integer micro-units
+
+
+def _micros(col: Column | str) -> Column:
+    """Exact BIGINT micro-units of a 6-dp double (the double sits
+    within ~1e-9 of k/1e6, so round(x*1e6) recovers k exactly)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * F.lit(float(RATING_SCALE))).cast("long")
+
+
+def _pearson_suffstat_aggs() -> list[Column]:
+    """Aggregates over per-row integer micro-ratings ``_xa6``/``_xb6``.
+    Per-row products (<= (5e7)² = 2.5e15) fit BIGINT; sums go through
+    DECIMAL(30,0) so they stay exact at any group size (Spark widens
+    SUM(DECIMAL(20,0)) to DECIMAL(30,0); DuckDB sums BIGINT into
+    HUGEINT — both integer-exact, both correctly rounded on the one
+    final cast to double)."""
+    xa, xb = F.col("_xa6"), F.col("_xb6")
+    dec = "decimal(20,0)"
+    return [
+        F.count(F.lit(1)).alias("n_co"),
+        F.sum(xa).alias("_sx"),
+        F.sum(xb).alias("_sy"),
+        F.sum((xa * xb).cast(dec)).alias("_sxy"),
+        F.sum((xa * xa).cast(dec)).alias("_sxx"),
+        F.sum((xb * xb).cast(dec)).alias("_syy"),
+        F.min(xa).alias("_mna"),
+        F.max(xa).alias("_mxa"),
+        F.min(xb).alias("_mnb"),
+        F.max(xb).alias("_mxb"),
+    ]
+
+
+def _pearson_sim() -> Column:
+    """Closed-form Pearson r from the exact sufficient statistics,
+    quantized to 6 dp as floor(r·1e6 + 0.5)/1e6. NULL when either
+    side has exactly zero variance (min == max, integer-exact) or the
+    float-computed variance term underflows to <= 0 — both conditions
+    evaluate identically on both engines. Scale note: r is invariant
+    under the ×1e6 rating scaling."""
+    nd = F.col("n_co").cast("double")
+    sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    sxx, syy = F.col("_sxx").cast("double"), F.col("_syy").cast("double")
+    cov = nd * sxy - sx * sy
+    vx = nd * sxx - sx * sx
+    vy = nd * syy - sy * sy
+    r = cov / (F.sqrt(vx) * F.sqrt(vy))
+    return F.when(
+        (F.col("_mna") != F.col("_mxa"))
+        & (F.col("_mnb") != F.col("_mxb"))
+        & (vx > F.lit(0.0))
+        & (vy > F.lit(0.0)),
+        F.floor(r * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0),
+    )
+
+
+def _weighted_pred() -> Column:
+    """Exact-integer weighted average Σ(sim·r)/Σ(sim) quantized to
+    4 dp: numerator Σ(sim_e6·r_e6) and denominator Σ(sim_e6) are
+    BIGINT-exact (top-N bounds the sum), the single division and the
+    floor-quantization are the same IEEE ops on both engines."""
+    num = F.sum(F.col("_sim6") * F.col("_r6")).cast("double")
+    den = F.sum("_sim6").cast("double") * F.lit(1000000.0)
+    return F.floor(num / den * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)
 
 
 def item_similarities(
@@ -39,33 +121,27 @@ def item_similarities(
 ) -> DataFrame:
     """(i1, i2, sim, n_co) — Pearson correlation over co-ratings for
     unordered item pairs with >= min_co common raters; zero-variance
-    pairs (corr undefined) are dropped."""
+    pairs (corr undefined) are dropped. Deterministic by construction
+    (module docstring): exact integer sufficient statistics, one
+    IEEE-double closed form."""
     a = ratings.select(
         F.col(user_col).alias("_u"),
         F.col(item_col).alias("i1"),
-        F.col(rating_col).alias("_ra"),
+        _micros(rating_col).alias("_xa6"),
     )
     b = ratings.select(
         F.col(user_col).alias("_u"),
         F.col(item_col).alias("i2"),
-        F.col(rating_col).alias("_rb"),
+        _micros(rating_col).alias("_xb6"),
     )
-    # Pearson as covar/(σa·σb) with try_divide: ANSI mode makes
-    # F.corr THROW on zero-variance groups where SQL engines return
-    # NULL; try_divide restores the NULL-and-filter semantics.
     return (
         a.join(b, "_u")
         .where(F.col("i1") < F.col("i2"))
         .groupBy("i1", "i2")
-        .agg(
-            F.try_divide(
-                F.covar_samp("_ra", "_rb"),
-                F.stddev_samp("_ra") * F.stddev_samp("_rb"),
-            ).alias("_c"),
-            F.count(F.lit(1)).alias("n_co"),
-        )
-        .where((F.col("n_co") >= min_co) & F.col("_c").isNotNull() & ~F.isnan("_c"))
-        .select("i1", "i2", F.round("_c", 6).alias("sim"), "n_co")
+        .agg(*_pearson_suffstat_aggs())
+        .withColumn("_c", _pearson_sim())
+        .where((F.col("n_co") >= min_co) & F.col("_c").isNotNull())
+        .select("i1", "i2", F.col("_c").alias("sim"), "n_co")
     )
 
 
@@ -106,23 +182,23 @@ def predict_ratings(
             ratings.select(
                 F.col(user_col).alias("_u"),
                 F.col(item_col).alias("_nbr"),
-                F.col(rating_col).alias("_r"),
+                _micros(rating_col).alias("_r6"),
             ),
             ["_u", "_nbr"],
         )
+        # sim is an exact 6-dp double (suffstat Pearson), so the
+        # micro-unit recovery is exact and the weighted average runs
+        # on integers — deterministic (module docstring).
+        .withColumn("_sim6", _micros("sim"))
     )
     w = Window.partitionBy("_u", "_ti").orderBy(
-        F.col("sim").desc(), F.col("_nbr").asc()
+        F.col("_sim6").desc(), F.col("_nbr").asc()
     )
     return (
         cand.withColumn("_rk", F.row_number().over(w))
         .where(F.col("_rk") <= top_n)
         .groupBy("_u", "_ti")
-        .agg(
-            F.round(F.sum(F.col("sim") * F.col("_r")) / F.sum("sim"), 4).alias(
-                "pred"
-            )
-        )
+        .agg(_weighted_pred().alias("pred"))
         .select(
             F.col("_u").alias(user_col),
             F.col("_ti").alias(item_col),
@@ -206,12 +282,12 @@ def user_similarities(
     a = ratings.select(
         F.col(item_col).alias("_i"),
         F.col(user_col).alias("u1"),
-        F.col(rating_col).alias("_ra"),
+        _micros(rating_col).alias("_xa6"),
     )
     b = ratings.select(
         F.col(item_col).alias("_i"),
         F.col(user_col).alias("u2"),
-        F.col(rating_col).alias("_rb"),
+        _micros(rating_col).alias("_xb6"),
     )
     if candidate_pairs is not None:
         # Candidates DRIVE the join — co-ratings are assembled only
@@ -226,19 +302,13 @@ def user_similarities(
         )
     else:
         joined = a.join(b, "_i").where(F.col("u1") < F.col("u2"))
-    # Same ANSI-safe Pearson as item_similarities: try_divide keeps
-    # zero-variance pairs NULL instead of throwing.
+    # Same deterministic suffstat Pearson as item_similarities.
     return (
         joined.groupBy("u1", "u2")
-        .agg(
-            F.try_divide(
-                F.covar_samp("_ra", "_rb"),
-                F.stddev_samp("_ra") * F.stddev_samp("_rb"),
-            ).alias("_c"),
-            F.count(F.lit(1)).alias("n_co"),
-        )
-        .where((F.col("n_co") >= min_co) & F.col("_c").isNotNull() & ~F.isnan("_c"))
-        .select("u1", "u2", F.round("_c", 6).alias("sim"), "n_co")
+        .agg(*_pearson_suffstat_aggs())
+        .withColumn("_c", _pearson_sim())
+        .where((F.col("n_co") >= min_co) & F.col("_c").isNotNull())
+        .select("u1", "u2", F.col("_c").alias("sim"), "n_co")
     )
 
 
@@ -277,23 +347,20 @@ def predict_ratings_user_based(
             ratings.select(
                 F.col(user_col).alias("_nbr"),
                 F.col(item_col).alias("_ti"),
-                F.col(rating_col).alias("_r"),
+                _micros(rating_col).alias("_r6"),
             ),
             ["_nbr", "_ti"],
         )
+        .withColumn("_sim6", _micros("sim"))
     )
     w = Window.partitionBy("_u", "_ti").orderBy(
-        F.col("sim").desc(), F.col("_nbr").asc()
+        F.col("_sim6").desc(), F.col("_nbr").asc()
     )
     return (
         cand.withColumn("_rk", F.row_number().over(w))
         .where(F.col("_rk") <= top_n)
         .groupBy("_u", "_ti")
-        .agg(
-            F.round(F.sum(F.col("sim") * F.col("_r")) / F.sum("sim"), 4).alias(
-                "pred"
-            )
-        )
+        .agg(_weighted_pred().alias("pred"))
         .select(
             F.col("_u").alias(user_col),
             F.col("_ti").alias(item_col),

@@ -350,20 +350,68 @@ def customers_in_both_statuses(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# A15 (CF building block): Pearson correlation per group
+# A15 (CF building block): Pearson correlation per group.
+# Deterministic suffstat formulation (r10 verdict task 1, same scheme
+# as operators/recommend): l_quantity is integer-valued and
+# l_extendedprice exactly 2-dp, so ×100 gives exact BIGINTs; the six
+# integer sufficient statistics are order-independent and the closed
+# form + floor-quantization is the identical IEEE tree on both
+# engines. Pearson r is invariant under per-column affine scaling, so
+# the ×100 drops out. (corr()/covar_samp aggregation is float-order
+# dependent — the cf_item_similarities r10 flake class.)
 # ---------------------------------------------------------------------------
 @query(
     "corr_qty_price_by_flag",
     """
-    SELECT l_returnflag, ROUND(corr(l_quantity, l_extendedprice), 6) AS r
-    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    WITH l2 AS (
+        SELECT l_returnflag,
+               CAST(ROUND(l_quantity * 100.0) AS BIGINT) AS x6,
+               CAST(ROUND(l_extendedprice * 100.0) AS BIGINT) AS y6
+        FROM lineitem
+    ),
+    ps AS (
+        SELECT l_returnflag, COUNT(*) AS n_co,
+               SUM(x6) AS sx, SUM(y6) AS sy,
+               SUM(x6 * y6) AS sxy,
+               SUM(x6 * x6) AS sxx,
+               SUM(y6 * y6) AS syy,
+               MIN(x6) AS mna, MAX(x6) AS mxa,
+               MIN(y6) AS mnb, MAX(y6) AS mxb
+        FROM l2 GROUP BY 1
+    ),
+    pf AS (
+        SELECT l_returnflag, mna, mxa, mnb, mxb,
+               CAST(n_co AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov,
+               CAST(n_co AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+               CAST(n_co AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy
+        FROM ps
+    )
+    SELECT l_returnflag,
+           CASE WHEN mna <> mxa AND mnb <> mxb AND vx > 0.0 AND vy > 0.0
+                THEN FLOOR(cov / (sqrt(vx) * sqrt(vy))
+                           * 1000000.0 + 0.5) / 1000000.0
+           END AS r
+    FROM pf ORDER BY l_returnflag
     """,
 )
 def corr_qty_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.recommend import _pearson_sim, _pearson_suffstat_aggs
+
     lineitem = load_table(spark, sf_dir, "lineitem")
+    scaled = lineitem.select(
+        "l_returnflag",
+        F.round(F.col("l_quantity") * F.lit(100.0)).cast("long").alias("_xa6"),
+        F.round(F.col("l_extendedprice") * F.lit(100.0))
+        .cast("long")
+        .alias("_xb6"),
+    )
     return (
-        lineitem.groupBy("l_returnflag")
-        .agg(F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("r"))
+        scaled.groupBy("l_returnflag")
+        .agg(*_pearson_suffstat_aggs())
+        .select("l_returnflag", _pearson_sim().alias("r"))
         .orderBy("l_returnflag")
     )
 
@@ -2844,6 +2892,95 @@ _RATINGS_SQL = """
 """
 
 
+def _pearson_pairs_ctes(
+    key: str,
+    co: str,
+    out1: str,
+    out2: str,
+    extra_join: str = "",
+    min_co: int = 3,
+) -> str:
+    """CTE chain (``r6``, ``_ps``, ``_pf``, ``s0``) replaying
+    operators/recommend's DETERMINISTIC suffstat Pearson over the
+    ratings CTE ``r`` — splice after a ``WITH r AS (...)``.
+
+    Cross-engine contract (r10 verdict task 1): ratings are 6-dp
+    doubles, so ``ROUND(rating*1e6)`` is an exact BIGINT; all six
+    sufficient statistics are integer sums (order-independent — DuckDB
+    widens SUM(BIGINT) to HUGEINT, Spark routes products through
+    DECIMAL(20,0)→DECIMAL(30,0); both exact, both correctly rounded on
+    the single cast to double); and the closed form + the
+    floor(r·1e6+0.5)/1e6 quantization is the identical IEEE-double
+    expression tree the Spark side evaluates. Zero variance is
+    detected exactly (MIN == MAX on integers). This replaced
+    ROUND(corr(...), 6), whose float-summation-order dependence
+    flipped cf_item_similarities hash-red in the r10 driver window.
+    """
+    return f"""r6 AS (
+        SELECT u, i, rating,
+               CAST(ROUND(rating * 1000000.0) AS BIGINT) AS x6
+        FROM r
+    ),
+    _ps AS (
+        SELECT a.{key} AS {out1}, b.{key} AS {out2}, COUNT(*) AS n_co,
+               SUM(a.x6) AS sx, SUM(b.x6) AS sy,
+               SUM(a.x6 * b.x6) AS sxy,
+               SUM(a.x6 * a.x6) AS sxx,
+               SUM(b.x6 * b.x6) AS syy,
+               MIN(a.x6) AS mna, MAX(a.x6) AS mxa,
+               MIN(b.x6) AS mnb, MAX(b.x6) AS mxb
+        FROM r6 a
+        JOIN r6 b ON a.{co} = b.{co} AND a.{key} < b.{key}
+        {extra_join}
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {min_co}
+    ),
+    _pf AS (
+        SELECT {out1}, {out2}, n_co, mna, mxa, mnb, mxb,
+               CAST(n_co AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov,
+               CAST(n_co AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+               CAST(n_co AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy
+        FROM _ps
+    ),
+    s0 AS (
+        SELECT * FROM (
+            SELECT {out1}, {out2}, n_co,
+                   CASE WHEN mna <> mxa AND mnb <> mxb
+                             AND vx > 0.0 AND vy > 0.0
+                        THEN FLOOR(cov / (sqrt(vx) * sqrt(vy))
+                                   * 1000000.0 + 0.5) / 1000000.0
+                   END AS sim
+            FROM _pf
+        ) WHERE sim IS NOT NULL
+    )"""
+
+
+# Prediction tail shared by the three CF prediction oracles: exact
+# BIGINT micro-unit weighted average (operators/recommend's
+# _weighted_pred twin) — Σ(sim_e6·r_e6) and Σ(sim_e6) are integer
+# sums, the one division + floor quantization is IEEE-identical on
+# both engines. {{sim_src}} must provide (k1, k2, sim); the caller
+# splices the cand FROM/JOIN block.
+_PRED_TAIL_SQL = """
+    top AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY u, i ORDER BY sim6 DESC, nbr
+        ) AS rk
+        FROM cand
+    )
+    SELECT u, i,
+           FLOOR(CAST(SUM(sim6 * rat6) AS DOUBLE)
+                 / (CAST(SUM(sim6) AS DOUBLE) * 1000000.0)
+                 * 10000.0 + 0.5) / 10000.0 AS pred
+    FROM top WHERE rk <= 5
+    GROUP BY u, i
+    ORDER BY u, i
+"""
+
+
 def _ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select(
@@ -2859,13 +2996,10 @@ def _ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "cf_item_similarities",
     f"""
-    WITH r AS ({_RATINGS_SQL})
-    SELECT a.i AS i1, b.i AS i2,
-           ROUND(corr(a.rating, b.rating), 6) AS sim,
-           COUNT(*) AS n_co
-    FROM r a JOIN r b ON a.u = b.u AND a.i < b.i
-    GROUP BY 1, 2
-    HAVING COUNT(*) >= 3 AND corr(a.rating, b.rating) IS NOT NULL
+    WITH r AS ({_RATINGS_SQL}),
+    {_pearson_pairs_ctes("i", "u", "i1", "i2")}
+    SELECT i1, i2, sim, n_co
+    FROM s0
     ORDER BY i1, i2
     """,
 )
@@ -2879,13 +3013,7 @@ def cf_item_similarities(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cf_predictions",
     f"""
     WITH r AS ({_RATINGS_SQL}),
-    s0 AS (
-        SELECT a.i AS i1, b.i AS i2,
-               ROUND(corr(a.rating, b.rating), 6) AS sim
-        FROM r a JOIN r b ON a.u = b.u AND a.i < b.i
-        GROUP BY 1, 2
-        HAVING COUNT(*) >= 3 AND corr(a.rating, b.rating) IS NOT NULL
-    ),
+    {_pearson_pairs_ctes("i", "u", "i1", "i2")},
     s AS (
         SELECT i1, i2, sim FROM s0
         UNION ALL
@@ -2893,22 +3021,15 @@ def cf_item_similarities(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     t AS (SELECT u, i FROM r WHERE u < 50),
     cand AS (
-        SELECT t.u, t.i, s.i2 AS nbr, s.sim, r2.rating
+        SELECT t.u, t.i, s.i2 AS nbr,
+               CAST(ROUND(s.sim * 1000000.0) AS BIGINT) AS sim6,
+               r2.x6 AS rat6
         FROM t
         JOIN s ON s.i1 = t.i
-        JOIN r r2 ON r2.u = t.u AND r2.i = s.i2
+        JOIN r6 r2 ON r2.u = t.u AND r2.i = s.i2
         WHERE s.sim > 0
     ),
-    top AS (
-        SELECT *, ROW_NUMBER() OVER (
-            PARTITION BY u, i ORDER BY sim DESC, nbr
-        ) AS rk
-        FROM cand
-    )
-    SELECT u, i, ROUND(SUM(sim * rating) / SUM(sim), 4) AS pred
-    FROM top WHERE rk <= 5
-    GROUP BY u, i
-    ORDER BY u, i
+    {_PRED_TAIL_SQL}
     """,
 )
 def cf_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2931,13 +3052,7 @@ def cf_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cf_user_predictions",
     f"""
     WITH r AS ({_RATINGS_SQL}),
-    s0 AS (
-        SELECT a.u AS u1, b.u AS u2,
-               ROUND(corr(a.rating, b.rating), 6) AS sim
-        FROM r a JOIN r b ON a.i = b.i AND a.u < b.u
-        GROUP BY 1, 2
-        HAVING COUNT(*) >= 3 AND corr(a.rating, b.rating) IS NOT NULL
-    ),
+    {_pearson_pairs_ctes("u", "i", "u1", "u2")},
     s AS (
         SELECT u1, u2, sim FROM s0
         UNION ALL
@@ -2945,22 +3060,15 @@ def cf_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     t AS (SELECT u, i FROM r WHERE u < 50),
     cand AS (
-        SELECT t.u, t.i, s.u2 AS nbr, s.sim, r2.rating
+        SELECT t.u, t.i, s.u2 AS nbr,
+               CAST(ROUND(s.sim * 1000000.0) AS BIGINT) AS sim6,
+               r2.x6 AS rat6
         FROM t
         JOIN s ON s.u1 = t.u
-        JOIN r r2 ON r2.u = s.u2 AND r2.i = t.i
+        JOIN r6 r2 ON r2.u = s.u2 AND r2.i = t.i
         WHERE s.sim > 0
     ),
-    top AS (
-        SELECT *, ROW_NUMBER() OVER (
-            PARTITION BY u, i ORDER BY sim DESC, nbr
-        ) AS rk
-        FROM cand
-    )
-    SELECT u, i, ROUND(SUM(sim * rating) / SUM(sim), 4) AS pred
-    FROM top WHERE rk <= 5
-    GROUP BY u, i
-    ORDER BY u, i
+    {_PRED_TAIL_SQL}
     """,
 )
 def cf_user_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3066,15 +3174,10 @@ def content_based_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=16,
         threshold=None,
     )},
-    s0 AS (
-        SELECT a.u AS u1, b.u AS u2,
-               ROUND(corr(a.rating, b.rating), 6) AS sim
-        FROM r a
-        JOIN r b ON a.i = b.i AND a.u < b.u
-        JOIN mh_pairs p ON p.a = a.u AND p.b = b.u
-        GROUP BY 1, 2
-        HAVING COUNT(*) >= 3 AND corr(a.rating, b.rating) IS NOT NULL
-    ),
+    {_pearson_pairs_ctes(
+        "u", "i", "u1", "u2",
+        extra_join="JOIN mh_pairs p ON p.a = a.u AND p.b = b.u",
+    )},
     s AS (
         SELECT u1, u2, sim FROM s0
         UNION ALL
@@ -3082,22 +3185,15 @@ def content_based_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     t AS (SELECT u, i FROM r WHERE u < 50),
     cand AS (
-        SELECT t.u, t.i, s.u2 AS nbr, s.sim, r2.rating
+        SELECT t.u, t.i, s.u2 AS nbr,
+               CAST(ROUND(s.sim * 1000000.0) AS BIGINT) AS sim6,
+               r2.x6 AS rat6
         FROM t
         JOIN s ON s.u1 = t.u
-        JOIN r r2 ON r2.u = s.u2 AND r2.i = t.i
+        JOIN r6 r2 ON r2.u = s.u2 AND r2.i = t.i
         WHERE s.sim > 0
     ),
-    top AS (
-        SELECT *, ROW_NUMBER() OVER (
-            PARTITION BY u, i ORDER BY sim DESC, nbr
-        ) AS rk
-        FROM cand
-    )
-    SELECT u, i, ROUND(SUM(sim * rating) / SUM(sim), 4) AS pred
-    FROM top WHERE rk <= 5
-    GROUP BY u, i
-    ORDER BY u, i
+    {_PRED_TAIL_SQL}
     """,
 )
 def cf_user_predictions_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

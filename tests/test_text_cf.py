@@ -200,3 +200,50 @@ def test_predictions_track_actuals(spark):
     rows = pred.collect()
     assert len(rows) > 0
     assert all(0 < r.pred <= 50 for r in rows)
+
+
+def test_pearson_bit_identical_across_shuffle_partitions(spark):
+    """r10 verdict task 1 gate: the suffstat Pearson family must be
+    BIT-identical under different partitionings. covar/stddev (and
+    any float aggregation) is summation-order dependent, and the old
+    ROUND(corr, 6) flipped cf_item_similarities hash-red in the r10
+    driver window when a pair's correlation landed within an ulp of a
+    6th-decimal boundary; exact integer sufficient statistics are
+    order-independent by construction, so changing the shuffle
+    partitioning must not move a single bit of output."""
+    from data_mining_map_reduce_spark.queries import SPARK_QUERIES
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    runs = []
+    try:
+        for parts in ("2", "8", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            rows = SPARK_QUERIES["cf_item_similarities"](
+                spark, "/root/testdata/sf0.001"
+            ).collect()
+            runs.append([(r.i1, r.i2, r.sim, r.n_co) for r in rows])
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert len(runs[0]) > 0
+    # exact equality — floats included; any ulp drift is a failure
+    assert runs[0] == runs[1] == runs[2]
+
+
+def test_prediction_bit_identical_across_shuffle_partitions(spark):
+    """Same gate for the exact-integer weighted-average prediction
+    (Σ(sim_e6·r_e6)/Σ(sim_e6) with floor-quantization)."""
+    from data_mining_map_reduce_spark.queries import SPARK_QUERIES
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    runs = []
+    try:
+        for parts in ("2", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            rows = SPARK_QUERIES["cf_predictions"](
+                spark, "/root/testdata/sf0.001"
+            ).collect()
+            runs.append([(r.u, r.i, r.pred) for r in rows])
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert len(runs[0]) > 0
+    assert runs[0] == runs[1]
