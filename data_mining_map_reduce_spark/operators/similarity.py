@@ -20,9 +20,47 @@ Engine design (fully distributed, no driver dicts):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 from ..functions.hashing import FOLD_PRIME, hash_params
+
+# Scale guard for the exact all-pairs twins (r10 verdict task 2): the
+# sf10 probe measured the exact self-join paths exhausting local disk
+# at ~500 k docs (SCALE.md) — the candidate/verify shuffle is
+# superlinear in set count, and on a cluster it grinds shuffle disks
+# the same way. The exact path is a VERIFICATION twin; above this many
+# distinct set keys the banded MinHash-LSH twin is the shipped scale
+# path. Env-overridable like son_itemsets' SPARK_GRAFT_ITEMSET_SUPPORT
+# (0 disables — e.g. for a deliberate ground-truth run on a cluster
+# with the disk to pay for it).
+EXACT_PAIRS_DEFAULT_MAX_KEYS = 200_000
+
+
+def _guard_exact_pairs(df: DataFrame, key: str) -> None:
+    cap = int(
+        os.environ.get(
+            "SPARK_GRAFT_EXACT_PAIRS_MAX", str(EXACT_PAIRS_DEFAULT_MAX_KEYS)
+        )
+    )
+    if cap <= 0:
+        return
+    # Single linear scan of the key column (map-side partial HLL, no
+    # shuffle of note); ±2% sketch error is irrelevant to a
+    # disk-death guard with a 2.5x safety margin under the measured
+    # failure point.
+    n = df.select(F.approx_count_distinct(key).alias("n")).collect()[0]["n"]
+    if n > cap:
+        raise ValueError(
+            f"exact_jaccard_pairs: ~{n} distinct '{key}' sets exceeds the "
+            f"exact all-pairs guard ({cap}). This operator is the QUADRATIC "
+            "VERIFICATION twin (the r10 sf10 probe measured it exhausting "
+            "local disk at ~500k docs) — use the banded MinHash-LSH variant "
+            "(minhash_lsh_pairs / the *_lsh query twin) at scale, or raise "
+            "SPARK_GRAFT_EXACT_PAIRS_MAX (0 disables) for a deliberate "
+            "ground-truth run."
+        )
 
 
 def exact_jaccard_pairs(
@@ -73,7 +111,12 @@ def exact_jaccard_pairs(
     (P ≈ n²/2⁶⁵ per pair — negligible at any corpus size where this
     engine runs; the prefix filter itself is order-agnostic, so the
     hash only changes the tie-break of the rarity sort).
+
+    Guarded against scale misuse: raises ValueError above
+    ``SPARK_GRAFT_EXACT_PAIRS_MAX`` (default 200 k) distinct set keys
+    — see ``_guard_exact_pairs``.
     """
+    _guard_exact_pairs(df, key)
     base = (
         df.select(F.col(key).alias("_k"), F.xxhash64(item).alias("_i"))
         .distinct()

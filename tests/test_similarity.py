@@ -42,3 +42,31 @@ def test_lsh_deterministic(spark, sf_dir):
     r1 = sorted(map(tuple, minhash_lsh_pairs(b, "k", "items", 0.05).collect()))
     r2 = sorted(map(tuple, minhash_lsh_pairs(b, "k", "items", 0.05).collect()))
     assert r1 == r2
+
+
+def test_exact_pairs_scale_guard(spark, monkeypatch):
+    """r10 verdict task 2: the exact all-pairs twin must refuse to run
+    above the key-count threshold the sf10 probe measured as fatal
+    (~500k docs on one box), with a message routing users to the
+    banded _lsh twin; below the threshold (and with the guard
+    disabled) it must run unchanged."""
+    import pytest as _pytest
+
+    from data_mining_map_reduce_spark.operators.similarity import (
+        exact_jaccard_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(k, f"item{i}") for k in range(10) for i in range(k, k + 4)],
+        "k long, it string",
+    )
+    # over the cap -> clear refusal naming the _lsh escape hatch
+    monkeypatch.setenv("SPARK_GRAFT_EXACT_PAIRS_MAX", "5")
+    with _pytest.raises(ValueError, match="_lsh"):
+        exact_jaccard_pairs(df, "k", "it", threshold=0.5)
+    # under the cap -> runs
+    monkeypatch.setenv("SPARK_GRAFT_EXACT_PAIRS_MAX", "100")
+    assert exact_jaccard_pairs(df, "k", "it", threshold=0.5).count() > 0
+    # 0 disables (deliberate ground-truth runs)
+    monkeypatch.setenv("SPARK_GRAFT_EXACT_PAIRS_MAX", "0")
+    assert exact_jaccard_pairs(df, "k", "it", threshold=0.5).count() > 0
