@@ -1378,25 +1378,70 @@ def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("a", "b")
 
 
+def _cc_pointer_jump_ctes(rounds: int = 20) -> str:
+    """CTE chain computing connected components (component = min
+    reachable vertex id) by BOUNDED POINTER JUMPING over a symmetric
+    CTE ``undirected(src, dst)`` that the caller provides; final CTE:
+    ``comp(id, component)``. Splice after ``WITH``.
+
+    Replaces the recursive-CTE reachability oracle (r10 verdict task
+    4): ``reach`` enumerated every (vertex, reachable-vertex) pair —
+    Σ|C|² rows, quadratic in component size, which pinned the dedup
+    oracles to sf0.01 (SCALE.md). This is the Spark side's own
+    algorithm shape (operators/graph.py connected_components:
+    min-label hop + pointer jump), spelled as a FIXED number of
+    self-join rounds so plain SQL can run it.
+
+    Per round: hop (p ← min(p(v), min over neighbors' p)) then
+    shortcut (p ← min(p(v), p(p(v)))). The shortcut at least doubles
+    every vertex's min-label reach per round, so ``rounds`` = 20
+    converges for any component a 2²⁰ ≈ 1M-vertex corpus can hold —
+    far past the sf1/sf10 scales the exact twins' guard admits
+    (pytest: exact on a 3000-edge path + random-graph union-find
+    parity). Labels only shrink, so extra rounds are no-ops, never
+    wrong. Each round is two linear joins — |E| + |V| rows, log-depth
+    total — the same reason the Spark loop scales. MATERIALIZED
+    pins every round's result (the sf1 LPA CTE-inlining lesson)."""
+    ctes = [
+        """cc_p0 AS MATERIALIZED (
+        SELECT src AS id, LEAST(src, MIN(dst)) AS p
+        FROM undirected GROUP BY src
+    )"""
+    ]
+    for k in range(1, rounds + 1):
+        ctes.append(
+            f"""cc_h{k} AS MATERIALIZED (
+        SELECT u.src AS id, MIN(LEAST(pa.p, pb.p)) AS p
+        FROM undirected u
+        JOIN cc_p{k - 1} pa ON pa.id = u.src
+        JOIN cc_p{k - 1} pb ON pb.id = u.dst
+        GROUP BY u.src
+    )"""
+        )
+        ctes.append(
+            f"""cc_p{k} AS MATERIALIZED (
+        SELECT h.id, LEAST(h.p, pj.p) AS p
+        FROM cc_h{k} h JOIN cc_h{k} pj ON pj.id = h.p
+    )"""
+        )
+    ctes.append(f"comp AS (SELECT id, p AS component FROM cc_p{rounds})")
+    return ",\n    ".join(ctes)
+
+
 # ---------------------------------------------------------------------------
-# G4: connected components vs a recursive-CTE reachability oracle
-# (component = min reachable vertex id) on the tau=3 graph
+# G4: connected components vs a pointer-jumping reachability oracle
+# (component = min vertex id reachable) on the tau=3 graph
 # ---------------------------------------------------------------------------
 @query(
     "graph_components",
     f"""
-    WITH RECURSIVE undirected AS (
+    WITH undirected AS (
         SELECT src, dst FROM ({_EDGES_SQL.format(tau=3)})
         UNION ALL
         SELECT dst AS src, src AS dst FROM ({_EDGES_SQL.format(tau=3)})
     ),
-    reach(id, r) AS (
-        SELECT DISTINCT src AS id, src AS r FROM undirected
-        UNION
-        SELECT u.dst AS id, reach.r
-        FROM reach JOIN undirected u ON reach.id = u.src
-    )
-    SELECT id, MIN(r) AS component FROM reach GROUP BY id ORDER BY id
+    {_cc_pointer_jump_ctes()}
+    SELECT id, component FROM comp ORDER BY id
     """,
 )
 def graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3404,7 +3449,7 @@ def media_feature_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_canonical_docs",
     f"""
-    WITH RECURSIVE h AS (
+    WITH h AS (
         SELECT doc_id, translate(lower(text), '([,.!?:;])', '') AS norm
         FROM documents
     ),
@@ -3426,13 +3471,7 @@ def media_feature_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNION SELECT src, dst FROM near_edges
         UNION SELECT dst, src FROM near_edges
     ),
-    reach(id, r) AS (
-        SELECT DISTINCT src AS id, src AS r FROM undirected
-        UNION
-        SELECT u.dst AS id, reach.r
-        FROM reach JOIN undirected u ON reach.id = u.src
-    ),
-    comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+    {_cc_pointer_jump_ctes()}
     SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS canonical_id
     FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
     ORDER BY d.doc_id
@@ -3836,12 +3875,15 @@ def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 # keeps precision 1.0, so LSH recall < 1 can only MISS edges, never
 # fabricate them. Consequence (pytest-asserted): its clusters are a
 # REFINEMENT of the exact pipeline's — no false merges, ever.
-# Rows-only: banding recall is probabilistic.
+# Fully oracle-backed: the md5 minhash family + bucket enumeration
+# replays the banding, and pointer-jumping CC (r11) replaced the
+# recursive CTE whose Σ|C|² reach blow-up pinned this oracle to
+# sf0.01.
 # ---------------------------------------------------------------------------
 @query(
     "dedup_canonical_docs_lsh",
     f"""
-    WITH RECURSIVE h AS (
+    WITH h AS (
         SELECT doc_id, translate(lower(text), '([,.!?:;])', '') AS norm
         FROM documents
     ),
@@ -3862,13 +3904,7 @@ def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNION SELECT a AS src, b AS dst FROM mh_pairs
         UNION SELECT b AS src, a AS dst FROM mh_pairs
     ),
-    reach(id, r) AS (
-        SELECT DISTINCT src AS id, src AS r FROM undirected
-        UNION
-        SELECT u.dst AS id, reach.r
-        FROM reach JOIN undirected u ON reach.id = u.src
-    ),
-    comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+    {_cc_pointer_jump_ctes()}
     SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS canonical_id
     FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
     ORDER BY d.doc_id

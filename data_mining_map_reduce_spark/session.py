@@ -40,7 +40,17 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # 16g, NOT bigger: the r10 sf10 probe's one-variable isolation
+        # matrix (SCALE.md "64g-heap cliff") measured huge-hash-state
+        # operators monotonically DEGRADING with heap size — minhash @
+        # sf1 ran 56.8 s at 16 g, 105.3 s at 32 g, 436.9 s at 64 g
+        # (G1 random-probe locality over heap-resident hash state).
+        # The old 48 g default sat inside that cliff zone,
+        # contradicting the repo's own measurement. Moderate heaps +
+        # scale-out is the cluster design the probe validated;
+        # SPARK_GRAFT_DRIVER_MEM overrides for workloads that truly
+        # need driver headroom.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Scan-side partition sizing: 128 MiB splits keep one scan
