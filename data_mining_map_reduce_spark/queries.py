@@ -1400,19 +1400,25 @@ def _cc_pointer_jump_ctes(rounds: int = 20) -> str:
     (pytest: exact on a 3000-edge path + random-graph union-find
     parity). Labels only shrink, so extra rounds are no-ops, never
     wrong. Each round is two linear joins — |E| + |V| rows, log-depth
-    total — the same reason the Spark loop scales. MATERIALIZED
-    pins every round's result (the sf1 LPA CTE-inlining lesson)."""
+    total — the same reason the Spark loop scales. MATERIALIZED pins
+    every round's result AND the edge list itself (the sf1 LPA
+    CTE-inlining lesson, re-learned in-round: without ``cc_e`` DuckDB
+    inlines ``undirected`` — and the entire upstream LSH-verify DAG
+    it references — into all 21 consumers; measured 29 GB of temp
+    spill at sf1 before the kill, vs seconds with the edge list
+    pinned once)."""
     ctes = [
+        "cc_e AS MATERIALIZED (SELECT src, dst FROM undirected)",
         """cc_p0 AS MATERIALIZED (
         SELECT src AS id, LEAST(src, MIN(dst)) AS p
-        FROM undirected GROUP BY src
-    )"""
+        FROM cc_e GROUP BY src
+    )""",
     ]
     for k in range(1, rounds + 1):
         ctes.append(
             f"""cc_h{k} AS MATERIALIZED (
         SELECT u.src AS id, MIN(LEAST(pa.p, pb.p)) AS p
-        FROM undirected u
+        FROM cc_e u
         JOIN cc_p{k - 1} pa ON pa.id = u.src
         JOIN cc_p{k - 1} pb ON pb.id = u.dst
         GROUP BY u.src
@@ -3396,7 +3402,7 @@ _DEMO_PNG_PAYLOAD, _DEMO_PNG_BYTES, _DEMO_PNG_PPM = _demo_png()
                     AS BIGINT) AS f0_mean_ppm
         FROM f GROUP BY modality
         UNION ALL
-        SELECT 'png' AS modality, CAST(1 AS BIGINT) AS n_items,
+        SELECT '_probe_png' AS modality, CAST(1 AS BIGINT) AS n_items,
                CAST({_DEMO_PNG_BYTES} AS BIGINT) AS total_bytes,
                CAST({_DEMO_PNG_PPM} AS BIGINT) AS f0_mean_ppm
     ) ORDER BY modality
@@ -3406,13 +3412,17 @@ def media_feature_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.multimodal import extract_features
 
     docs = load_table(spark, sf_dir, "documents")
+    # '_probe_png', not 'png' (r10 advice): a corpus that ever ships
+    # source='png' would merge with a bare 'png' probe row on the
+    # Spark side while the oracle UNION ALL keeps two rows — the
+    # sentinel can't collide with any corpus source value.
     media = docs.select(
         F.col("doc_id").alias("media_id"),
         F.col("source").alias("modality"),
         F.encode("text", "utf-8").alias("payload"),
     ).unionByName(
         spark.createDataFrame(
-            [(-1, "png", bytearray(_DEMO_PNG_PAYLOAD))],
+            [(-1, "_probe_png", bytearray(_DEMO_PNG_PAYLOAD))],
             "media_id long, modality string, payload binary",
         )
     )

@@ -122,9 +122,9 @@ def test_decode_ppm_maxval_rescale_and_p3_sanity():
         _decode_ppm(b"P3\n1 1\n255\n99999999999999999999999 0 0\n")
 
 
-def _png_chunks(width, height, color, raw):
+def _png_chunks(width, height, color, raw, plte=None, ihdr_raw=None):
     """Hand-build a PNG from already-filtered scanline bytes (for
-    color types encode_png doesn't emit: grayscale, RGBA, ...)."""
+    color types encode_png doesn't emit: grayscale, RGBA, palette)."""
     import struct
     import zlib
 
@@ -134,10 +134,15 @@ def _png_chunks(width, height, color, raw):
             + struct.pack(">I", zlib.crc32(ctype + data))
         )
 
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+    ihdr = (
+        ihdr_raw
+        if ihdr_raw is not None
+        else struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+    )
     return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
+        + (chunk(b"PLTE", plte) if plte is not None else b"")
         + chunk(b"IDAT", zlib.compress(raw, 0))
         + chunk(b"IEND", b"")
     )
@@ -186,7 +191,7 @@ def test_decode_png_gray_rgba_and_rejects():
     )
     assert _decode_png(ra) == (1, 2, bytes([1, 2, 3, 4, 5, 6]))
 
-    with pytest.raises(ValueError):  # palette (color 3) unsupported
+    with pytest.raises(ValueError):  # palette (color 3) without PLTE
         _decode_png(_png_chunks(1, 1, 3, b"\x00\x00"))
     with pytest.raises(ValueError):  # scanline size mismatch
         _decode_png(_png_chunks(2, 2, 0, b"\x00\x0a"))
@@ -195,6 +200,90 @@ def test_decode_png_gray_rgba_and_rejects():
     i = good.index(b"IDAT") + 4
     with pytest.raises(ValueError):
         _decode_png(good[:i] + b"\xff\xff\xff" + good[i + 3 :])
+
+
+def test_decode_png_palette():
+    """Palette (color type 3) PNGs resolve indices through the PLTE
+    lookup (r10 verdict optional ask 8) — common in real scraped
+    corpora, no new codec work."""
+    from data_mining_map_reduce_spark.operators.multimodal import (
+        _decode_png,
+        decode_image,
+    )
+
+    # 3-entry palette: red, green, blue; 2x2 indices with a Sub(1)
+    # filter on row 2 to prove unfilter runs at bpp=1 for palette
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    png = _png_chunks(
+        2, 2, 3, b"\x00\x00\x01" + b"\x01\x02\x00", plte=plte
+    )  # row2 Sub: recon = [2, 2] -> both blue
+    # row 1: indices [0, 1] -> red, green; row 2 Sub-reconstructs to
+    # indices [2, 2] -> blue, blue
+    assert _decode_png(png) == (
+        2, 2,
+        bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 0, 0, 255]),
+    )
+    # the magic-sniff router reaches it too
+    assert decode_image(png)[0] == 2
+    # out-of-range palette index -> ValueError (byte-stat fallback)
+    with pytest.raises(ValueError):
+        _decode_png(_png_chunks(1, 1, 3, b"\x00\x07", plte=plte))
+    # malformed PLTE (not a multiple of 3) -> ValueError
+    with pytest.raises(ValueError):
+        _decode_png(_png_chunks(1, 1, 3, b"\x00\x00", plte=b"\x01\x02"))
+
+
+def test_decode_png_hardening():
+    """r10 advice items: a non-13-byte IHDR must raise ValueError
+    (struct.error escaped the byte-stat fallback contract), and the
+    inflate is geometry-capped so a decompression bomb / absurd
+    declared size cannot balloon executor memory."""
+    import struct
+    import zlib
+
+    from data_mining_map_reduce_spark.operators.multimodal import (
+        _decode_png,
+        _default_features,
+        _fake_features,
+    )
+
+    # IHDR length 12 (truncated): ValueError, and the feature router
+    # must fall back to byte stats instead of crashing
+    bad_ihdr = _png_chunks(
+        1, 1, 0, b"\x00\x0a", ihdr_raw=struct.pack(">IIBBBB", 1, 1, 8, 0, 0, 0)
+    )
+    with pytest.raises(ValueError):
+        _decode_png(bad_ihdr)
+    assert _default_features(bad_ihdr) == _fake_features(bad_ihdr)
+
+    # absurd declared geometry: rejected BEFORE any inflate
+    huge = _png_chunks(
+        1, 1, 2, b"",
+        ihdr_raw=struct.pack(">IIBBBBB", 2**20, 2**20, 8, 2, 0, 0, 0),
+    )
+    with pytest.raises(ValueError, match="decode cap"):
+        _decode_png(huge)
+
+    # bomb: tiny compressed stream declaring 1x1 grey but inflating
+    # far past the 2-byte scanline — the capped inflate stops at
+    # expected+1 and the size check rejects; never materializes 1 MiB
+    bomb_raw = zlib.compress(b"\x00" * (1 << 20), 9)
+    import struct as _s
+
+    def chunk(ctype, data):
+        return (
+            _s.pack(">I", len(data)) + ctype + data
+            + _s.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    bomb = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", _s.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", bomb_raw)
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="size mismatch"):
+        _decode_png(bomb)
 
 
 def test_extract_features_png_real_decode(spark):
