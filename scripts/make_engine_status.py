@@ -139,20 +139,38 @@ EXTENSION_ROWS: list[tuple[str, str, list[str], str]] = [
 
 def last_green() -> dict[str, str]:
     """name -> 'rN' (hash-green) or 'rN rows' (rows-only row), from
-    the newest round backwards."""
+    the newest round backwards. A name whose NEWEST driver row is
+    hash-RED is flagged '**rN RED** (last green rM)' — an older green
+    row must never paper over a current red one (the r10 verdict
+    caught exactly that: cf_item_similarities showed 'r8' while its
+    r10 row was red)."""
     out: dict[str, str] = {}
+    red: dict[str, str] = {}
     for path in sorted(
-        glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")), reverse=True
+        glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")),
+        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+        reverse=True,
     ):
-        rnd = re.search(r"r(\d+)", os.path.basename(path)).group(1)
+        rnd = int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
         data = json.load(open(path))
         for name, row in data.items():
             if name in out:
                 continue
             if row.get("hash_match") is True:
-                out[name] = f"r{int(rnd)}"
+                out[name] = f"r{rnd}"
             elif row.get("err") == "no_oracle" and (row.get("spark_rows") or 0) >= 0:
-                out[name] = f"r{int(rnd)} rows"
+                out[name] = f"r{rnd} rows"
+            elif name not in red and (
+                row.get("hash_match") is False or row.get("err")
+            ):
+                red[name] = f"r{rnd}"
+    for name, rnd in red.items():
+        green = out.get(name)
+        out[name] = (
+            f"**{rnd} RED** (last green {green})"
+            if green
+            else f"**{rnd} RED** (never green)"
+        )
     return out
 
 
@@ -169,10 +187,13 @@ def main() -> None:
 
     def fmt(qs: list[str], extra: str) -> tuple[str, str]:
         names = ", ".join(f"`{q}`" for q in qs) if qs else "—"
-        seen = sorted(
-            {greens[q] for q in qs if q in greens},
-            key=lambda s: (-int(s.split()[0][1:]), s),
-        )
+        # RED-flagged entries sort FIRST regardless of round: a row
+        # with any currently-red query must show it
+        def key(s: str) -> tuple[int, int, str]:
+            rnd = int(re.search(r"r(\d+)", s).group(1))
+            return (0 if "RED" in s else 1, -rnd, s)
+
+        seen = sorted({greens[q] for q in qs if q in greens}, key=key)
         if extra.startswith("n/a"):
             green = "n/a"
         else:
@@ -182,12 +203,16 @@ def main() -> None:
     lines = [
         "# ENGINE STATUS — generated by scripts/make_engine_status.py",
         "",
-        "Mechanically regenerated per round: SURVEY.md §2 rows mapped to",
-        "registry query names, with each row's most recent green driver",
-        "round read from the CORRECTNESS_r*.json artifacts. Rows whose",
-        "primary evidence is a dedicated pytest (streaming, sinks) say",
-        "so. `rN` = hash-green in CORRECTNESS_rN; `rN rows` = rows-only",
-        "driver row (no SQL-expressible oracle).",
+        "Mechanically regenerated per round from the NEWEST",
+        "CORRECTNESS_r*.json present (the r10 verdict's ordering fix:",
+        "regenerate at round open AND after the driver writes the new",
+        "artifact, so the committed table always reflects the newest",
+        "round on disk). Rows whose primary evidence is a dedicated",
+        "pytest (streaming, sinks) say so. `rN` = hash-green in",
+        "CORRECTNESS_rN; `rN rows` = rows-only driver row (no",
+        "SQL-expressible oracle); `**rN RED**` = that query's newest",
+        "driver row is hash-red — an older green never papers over a",
+        "current red.",
         "",
         f"Registry: **{len(SPARK_QUERIES)} named queries, "
         f"{len(ORACLES)} with DuckDB oracle SQL** "
