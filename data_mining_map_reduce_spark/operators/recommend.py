@@ -55,22 +55,40 @@ def _micros(col: Column | str) -> Column:
     return F.round(c * F.lit(float(RATING_SCALE))).cast("long")
 
 
+# Split point for the hi/lo product sums below. Per-row products of
+# micro-ratings (<= (5e7)² = 2.5e15) fit BIGINT, but their GROUP sums
+# don't at scale — and summing through DECIMAL buffers measured 2× the
+# whole aggregation wall at sf0.1 (decimal aggs fall out of Tungsten's
+# primitive fast path; BENCH_NOTES r11). So each product is split into
+# (p >> 26, p & (2^26 - 1)) and the two halves are summed as plain
+# BIGINTs: hi <= 3.7e7 and lo <= 6.7e7 per row, so both sums stay
+# exact past 1e11 rows per pair — far beyond any co-rating count — at
+# primitive-aggregation speed. The oracle replays the identical
+# split + reconstruction (the reconstruction's rounding order is part
+# of the cross-engine contract).
+SPLIT_SHIFT = 26
+SPLIT_BASE = 1 << SPLIT_SHIFT
+
+
 def _pearson_suffstat_aggs() -> list[Column]:
-    """Aggregates over per-row integer micro-ratings ``_xa6``/``_xb6``.
-    Per-row products (<= (5e7)² = 2.5e15) fit BIGINT; sums go through
-    DECIMAL(30,0) so they stay exact at any group size (Spark widens
-    SUM(DECIMAL(20,0)) to DECIMAL(30,0); DuckDB sums BIGINT into
-    HUGEINT — both integer-exact, both correctly rounded on the one
-    final cast to double)."""
+    """Aggregates over per-row integer micro-ratings ``_xa6``/``_xb6``
+    — all plain BIGINT (see SPLIT_SHIFT note), integer-exact and
+    order-independent."""
     xa, xb = F.col("_xa6"), F.col("_xb6")
-    dec = "decimal(20,0)"
+
+    def split_sums(p: Column, name: str) -> list[Column]:
+        return [
+            F.sum(F.shiftright(p, SPLIT_SHIFT)).alias(f"_{name}_hi"),
+            F.sum(p.bitwiseAND(F.lit(SPLIT_BASE - 1))).alias(f"_{name}_lo"),
+        ]
+
     return [
         F.count(F.lit(1)).alias("n_co"),
         F.sum(xa).alias("_sx"),
         F.sum(xb).alias("_sy"),
-        F.sum((xa * xb).cast(dec)).alias("_sxy"),
-        F.sum((xa * xa).cast(dec)).alias("_sxx"),
-        F.sum((xb * xb).cast(dec)).alias("_syy"),
+        *split_sums(xa * xb, "sxy"),
+        *split_sums(xa * xa, "sxx"),
+        *split_sums(xb * xb, "syy"),
         F.min(xa).alias("_mna"),
         F.max(xa).alias("_mxa"),
         F.min(xb).alias("_mnb"),
@@ -87,8 +105,16 @@ def _pearson_sim() -> Column:
     under the ×1e6 rating scaling."""
     nd = F.col("n_co").cast("double")
     sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
-    sxy = F.col("_sxy").cast("double")
-    sxx, syy = F.col("_sxx").cast("double"), F.col("_syy").cast("double")
+
+    def rejoin(name: str) -> Column:
+        # fl(fl(Σhi)·2^26 + Σlo): one multiply by an exact power of
+        # two + one add — the oracle spells the identical expression,
+        # so the (at most 1-ulp) reconstruction rounding is shared
+        return F.col(f"_{name}_hi").cast("double") * F.lit(
+            float(SPLIT_BASE)
+        ) + F.col(f"_{name}_lo").cast("double")
+
+    sxy, sxx, syy = rejoin("sxy"), rejoin("sxx"), rejoin("syy")
     cov = nd * sxy - sx * sy
     vx = nd * sxx - sx * sx
     vy = nd * syy - sy * sy

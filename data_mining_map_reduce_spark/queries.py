@@ -372,20 +372,20 @@ def customers_in_both_statuses(spark: SparkSession, sf_dir: str) -> DataFrame:
     ps AS (
         SELECT l_returnflag, COUNT(*) AS n_co,
                SUM(x6) AS sx, SUM(y6) AS sy,
-               SUM(x6 * y6) AS sxy,
-               SUM(x6 * x6) AS sxx,
-               SUM(y6 * y6) AS syy,
+               SUM((x6 * y6) >> 26) AS sxy_hi, SUM((x6 * y6) & 67108863) AS sxy_lo,
+               SUM((x6 * x6) >> 26) AS sxx_hi, SUM((x6 * x6) & 67108863) AS sxx_lo,
+               SUM((y6 * y6) >> 26) AS syy_hi, SUM((y6 * y6) & 67108863) AS syy_lo,
                MIN(x6) AS mna, MAX(x6) AS mxa,
                MIN(y6) AS mnb, MAX(y6) AS mxb
         FROM l2 GROUP BY 1
     ),
     pf AS (
         SELECT l_returnflag, mna, mxa, mnb, mxb,
-               CAST(n_co AS DOUBLE) * CAST(sxy AS DOUBLE)
+               CAST(n_co AS DOUBLE) * (CAST(sxy_hi AS DOUBLE) * 67108864.0 + CAST(sxy_lo AS DOUBLE))
                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov,
-               CAST(n_co AS DOUBLE) * CAST(sxx AS DOUBLE)
+               CAST(n_co AS DOUBLE) * (CAST(sxx_hi AS DOUBLE) * 67108864.0 + CAST(sxx_lo AS DOUBLE))
                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
-               CAST(n_co AS DOUBLE) * CAST(syy AS DOUBLE)
+               CAST(n_co AS DOUBLE) * (CAST(syy_hi AS DOUBLE) * 67108864.0 + CAST(syy_lo AS DOUBLE))
                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy
         FROM ps
     )
@@ -2957,16 +2957,25 @@ def _pearson_pairs_ctes(
 
     Cross-engine contract (r10 verdict task 1): ratings are 6-dp
     doubles, so ``ROUND(rating*1e6)`` is an exact BIGINT; all six
-    sufficient statistics are integer sums (order-independent — DuckDB
-    widens SUM(BIGINT) to HUGEINT, Spark routes products through
-    DECIMAL(20,0)→DECIMAL(30,0); both exact, both correctly rounded on
-    the single cast to double); and the closed form + the
-    floor(r·1e6+0.5)/1e6 quantization is the identical IEEE-double
-    expression tree the Spark side evaluates. Zero variance is
-    detected exactly (MIN == MAX on integers). This replaced
-    ROUND(corr(...), 6), whose float-summation-order dependence
-    flipped cf_item_similarities hash-red in the r10 driver window.
+    sufficient statistics are integer sums (order-independent), with
+    each product split into (p >> 26, p & (2^26-1)) halves summed as
+    plain BIGINTs — the Spark side's Tungsten-primitive fast path
+    (DECIMAL buffers measured 2× the agg wall; operators/recommend
+    SPLIT_SHIFT note) — and rejoined as the IDENTICAL IEEE-double
+    expression fl(fl(Σhi)·2²⁶ + Σlo) on both engines. The closed form
+    + the floor(r·1e6+0.5)/1e6 quantization is likewise the identical
+    IEEE tree. Zero variance is detected exactly (MIN == MAX on
+    integers). This replaced ROUND(corr(...), 6), whose
+    float-summation-order dependence flipped cf_item_similarities
+    hash-red in the r10 driver window.
     """
+    from .operators.recommend import SPLIT_BASE, SPLIT_SHIFT
+
+    mask = SPLIT_BASE - 1
+    rj = "(CAST({n}_hi AS DOUBLE) * {b}.0 + CAST({n}_lo AS DOUBLE))"
+    sxy, sxx, syy = (
+        rj.format(n=n, b=SPLIT_BASE) for n in ("sxy", "sxx", "syy")
+    )
     return f"""r6 AS (
         SELECT u, i, rating,
                CAST(ROUND(rating * 1000000.0) AS BIGINT) AS x6
@@ -2975,9 +2984,12 @@ def _pearson_pairs_ctes(
     _ps AS (
         SELECT a.{key} AS {out1}, b.{key} AS {out2}, COUNT(*) AS n_co,
                SUM(a.x6) AS sx, SUM(b.x6) AS sy,
-               SUM(a.x6 * b.x6) AS sxy,
-               SUM(a.x6 * a.x6) AS sxx,
-               SUM(b.x6 * b.x6) AS syy,
+               SUM((a.x6 * b.x6) >> {SPLIT_SHIFT}) AS sxy_hi,
+               SUM((a.x6 * b.x6) & {mask}) AS sxy_lo,
+               SUM((a.x6 * a.x6) >> {SPLIT_SHIFT}) AS sxx_hi,
+               SUM((a.x6 * a.x6) & {mask}) AS sxx_lo,
+               SUM((b.x6 * b.x6) >> {SPLIT_SHIFT}) AS syy_hi,
+               SUM((b.x6 * b.x6) & {mask}) AS syy_lo,
                MIN(a.x6) AS mna, MAX(a.x6) AS mxa,
                MIN(b.x6) AS mnb, MAX(b.x6) AS mxb
         FROM r6 a
@@ -2988,11 +3000,11 @@ def _pearson_pairs_ctes(
     ),
     _pf AS (
         SELECT {out1}, {out2}, n_co, mna, mxa, mnb, mxb,
-               CAST(n_co AS DOUBLE) * CAST(sxy AS DOUBLE)
+               CAST(n_co AS DOUBLE) * {sxy}
                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov,
-               CAST(n_co AS DOUBLE) * CAST(sxx AS DOUBLE)
+               CAST(n_co AS DOUBLE) * {sxx}
                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
-               CAST(n_co AS DOUBLE) * CAST(syy AS DOUBLE)
+               CAST(n_co AS DOUBLE) * {syy}
                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy
         FROM _ps
     ),
