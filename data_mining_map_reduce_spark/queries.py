@@ -49,11 +49,11 @@ _STOPWORDS_SQL = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
 # ---------------------------------------------------------------------------
 # Flagship (SURVEY §7 phase 0): scan + broadcast join + explode + agg
 # + sort + limit in one query — the A1-task2 shape (reference
-# Assignment1/task2.py:26-43) on testdata.
+# Assignment1/task2.py:26-43) on testdata. The oracle is shared with
+# solo_flagship_parity (S10): the no-Spark twin must agree with the
+# exact same SQL ground truth.
 # ---------------------------------------------------------------------------
-@query(
-    "flagship_category_avg",
-    """
+_FLAGSHIP_ORACLE = """
     SELECT category,
            ROUND(AVG(l_extendedprice), 4) AS avg_price,
            COUNT(*) AS n
@@ -65,8 +65,10 @@ _STOPWORDS_SQL = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
     GROUP BY category
     ORDER BY avg_price DESC, category ASC
     LIMIT 10
-    """,
-)
+    """
+
+
+@query("flagship_category_avg", _FLAGSHIP_ORACLE)
 def flagship_category_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Avg extended price per part-type token, top-10.
 
@@ -4347,6 +4349,190 @@ def partition_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("layout", "pid")
 
 
+# ---------------------------------------------------------------------------
+# S10: single-node no-Spark path (reference Assignment1/task2.py:61-151,
+# the '--if_spark no_spark' branch — the one SURVEY §2 row that had no
+# implementation until r11). solo.py recomputes the flagship query with
+# pyarrow + numpy in the driver process — no Spark job at all — and this
+# driver row replays that result against the SAME DuckDB oracle the
+# Spark flagship uses, so the artifact records "the no-Spark twin agrees
+# with SQL ground truth" every round. Driver-side compute is the
+# operator's semantics here, not an anti-pattern: S10 exists to answer
+# the reference's own question (single-node vs cluster at this scale),
+# and the scale path remains flagship_category_avg.
+# ---------------------------------------------------------------------------
+@query("solo_flagship_parity", _FLAGSHIP_ORACLE)
+def solo_flagship_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .solo import flagship_category_avg_solo
+
+    rows = flagship_category_avg_solo(sf_dir)
+    return spark.createDataFrame(
+        [tuple(r) for r in rows],
+        "category string, avg_price double, n bigint",
+    )
+
+
+# ---------------------------------------------------------------------------
+# X30: duplicated n-gram spans across documents — the discovery half of
+# exact-substring training-data dedup (Lee et al. 2022, "Deduplicating
+# Training Data Makes Language Models Better", at word-8-gram
+# granularity): every 8-token span appearing in 2+ distinct documents,
+# ranked by document reach. Spark side: explode each doc into its
+# sliding 8-gram spans with transform(sequence(...), slice) — all
+# codegen, no Python in the hot path — then a two-level aggregate.
+# Scale: the shuffle is the distinct (gram, doc_id) pair stream (same
+# order of magnitude as the corpus token stream) with map-side partial
+# dedup; hot spans cannot skew a reducer because partial aggregation
+# collapses each (gram, doc_id) pair before the exchange. For 100 TB
+# corpora, pair this discovery query with doc_fingerprint_stats'
+# winnowing to cut candidate docs first.
+# ---------------------------------------------------------------------------
+_DUP_SPAN_N = 8
+
+
+@query(
+    "duplicate_ngram_spans",
+    f"""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             array_to_string(list_slice(w, g, g + {_DUP_SPAN_N - 1}), ' ')
+               AS gram
+      FROM words, UNNEST(generate_series(1, len(w) - {_DUP_SPAN_N - 1}))
+           AS t(g)
+      WHERE len(w) >= {_DUP_SPAN_N}
+    )
+    SELECT gram, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occ
+    FROM grams
+    GROUP BY gram
+    HAVING COUNT(DISTINCT doc_id) >= 2
+    ORDER BY n_docs DESC, n_occ DESC, gram ASC
+    LIMIT 25
+    """,
+)
+def duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _DUP_SPAN_N
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    grams = docs.where(F.size("w") >= n).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - (n - 1)),
+                lambda i: F.array_join(F.slice("w", i, n), " "),
+            )
+        ).alias("gram"),
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+        )
+        .where(F.col("n_docs") >= 2)
+        .orderBy(
+            F.col("n_docs").desc(), F.col("n_occ").desc(), F.col("gram").asc()
+        )
+        .limit(25)
+    )
+
+
+# ---------------------------------------------------------------------------
+# X31: PII scan over the document corpus — per-source counts of email /
+# phone / IPv4 matches, the detection half of a scrubbing stage (the
+# redaction half is the same three patterns through regexp_replace).
+# The synthetic corpus contains no PII, so — exactly like the planted
+# PNG in media_feature_rollup — three probe documents with known PII
+# under the collision-proof source '_probe_pii' are unioned on BOTH
+# engines; the driver row then checks that two independent regex
+# engines (Java util.regex in Spark, RE2 in DuckDB) agree match-for-
+# match on the same payloads. Patterns deliberately stay in the
+# dialect intersection (no lookaround, ASCII classes only). Scale:
+# one stateless scan, regexp in codegen, no shuffle past the per-
+# source partial agg.
+# ---------------------------------------------------------------------------
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+_PII_IPV4 = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+_PII_PROBES = [
+    (-901, "reach me at alice@example.com or bob.smith+test@mail.example.org thanks"),
+    (-902, "call 415-555-0143 or 650-555-0100 backup host 10.0.0.1"),
+    (-903, "server 192.168.1.100 peers 172.16.254.3 and 8.8.8.8 admin root@10.1.1.5"),
+]
+_PII_PROBES_SQL = " UNION ALL ".join(
+    f"SELECT CAST({doc_id} AS BIGINT) AS doc_id, '{text}' AS text, "
+    "'_probe_pii' AS source"
+    for doc_id, text in _PII_PROBES
+)
+
+
+@query(
+    "pii_scan_stats",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id, text, source FROM documents
+      UNION ALL {_PII_PROBES_SQL}
+    ),
+    scanned AS (
+      SELECT source,
+             len(regexp_extract_all(text, '{_PII_EMAIL}')) AS n_emails,
+             len(regexp_extract_all(text, '{_PII_PHONE}')) AS n_phones,
+             len(regexp_extract_all(text, '{_PII_IPV4}')) AS n_ips
+      FROM corpus
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN n_emails + n_phones + n_ips > 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+           CAST(SUM(n_emails) AS BIGINT) AS emails,
+           CAST(SUM(n_phones) AS BIGINT) AS phones,
+           CAST(SUM(n_ips) AS BIGINT) AS ips
+    FROM scanned
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def pii_scan_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    corpus = docs.unionByName(
+        spark.createDataFrame(
+            [(doc_id, text, "_probe_pii") for doc_id, text in _PII_PROBES],
+            "doc_id long, text string, source string",
+        )
+    )
+    scanned = corpus.select(
+        "source",
+        F.size(F.regexp_extract_all("text", F.lit(_PII_EMAIL), 0)).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all("text", F.lit(_PII_PHONE), 0)).alias(
+            "n_phones"
+        ),
+        F.size(F.regexp_extract_all("text", F.lit(_PII_IPV4), 0)).alias("n_ips"),
+    )
+    return (
+        scanned.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(
+                    F.col("n_emails") + F.col("n_phones") + F.col("n_ips") > 0,
+                    1,
+                ).otherwise(0)
+            ).alias("docs_with_pii"),
+            F.sum("n_emails").alias("emails"),
+            F.sum("n_phones").alias("phones"),
+            F.sum("n_ips").alias("ips"),
+        )
+        .orderBy("source")
+    )
+
+
 # The driver's CORRECTNESS artifact records at most the FIRST 50
 # registered queries, so ordering is part of the contract surface.
 # Rotation policy (documented per the r5 advisor's request):
@@ -4362,6 +4548,10 @@ def partition_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRIVER_ORDER = [
     # -- flagship first (also the entry() smoke query) --
     "flagship_category_avg",
+    # -- new queries this round (r11): never had a driver row --
+    "solo_flagship_parity",       # r11 NEW: S10 no-Spark twin vs the flagship oracle
+    "duplicate_ngram_spans",      # r11 NEW: X30 exact-substring (8-gram) dup discovery
+    "pii_scan_stats",             # r11 NEW: X31 PII detection w/ planted probe docs
     # -- code/oracle/output changed this round (r11): need fresh rows --
     "cf_item_similarities",       # r11: suffstat Pearson rewrite (r10's flaky-red row — must re-green on the new deterministic formulation)
     "cf_predictions",             # r11: suffstat Pearson + exact-integer weighted average
@@ -4395,9 +4585,6 @@ _DRIVER_ORDER = [
     "cooccurrence_pairs",
     "cf_user_predictions",
     "content_based_scores",
-    "count_global",
-    "count_by_year",
-    "distinct_users",
     "top_users_by_orders",
     "avg_price_by_priority",
     "word_count_top20",
@@ -4441,6 +4628,16 @@ _DRIVER_ORDER = [
 #     sf0.01 this session.
 _EXCLUDED_R11 = [
     # name                      last green driver row
+    # -- deferred ONE extra round to make window room for the three
+    #    r11 NEW queries (the rotation policy gives never-rowed
+    #    queries priority). All three are one-expression aggregates
+    #    whose code is untouched since r1, r9-green, re-verified by
+    #    driver_sim this session; a r9 row is exactly 2 rounds old at
+    #    r11 close, the invariant's limit, so these three lead the
+    #    r12 window. --
+    ("count_global", "r9 (2 rounds old at r11 close — MUST rotate in r12)"),
+    ("count_by_year", "r9 (2 rounds old at r11 close — MUST rotate in r12)"),
+    ("distinct_users", "r9 (2 rounds old at r11 close — MUST rotate in r12)"),
     ("corpus_curation_funnel_lsh", "r10 (new row, hash-green)"),
     ("minhash_lsh_pairs", "r10 (capped variant, hash-green)"),
     ("gn_quality_check", "r10 (pinned Q, hash-green)"),

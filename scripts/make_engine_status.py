@@ -39,7 +39,7 @@ SURVEY_ROWS: list[tuple[str, str, list[str], str]] = [
     ("S7", "Driver-side JSON-dict sink", [], "pytest test_io"),
     ("S8", "Line-delimited JSON sink", [], "pytest test_io"),
     ("S9", "Text/CSV report sink", [], "pytest test_io"),
-    ("S10", "Single-node no-Spark path", [], "n/a by design (SURVEY §2.1)"),
+    ("S10", "Single-node no-Spark path", ["solo_flagship_parity"], "solo.py (r11): pyarrow+numpy twin, pytest parity vs Spark flagship"),
     ("P1", "Field projection", ["flagship_category_avg"], ""),
     ("P2", "Equality filter", ["count_by_year"], ""),
     ("P3", "Null filter", ["join_filter_brand_counts"], ""),
@@ -134,6 +134,8 @@ EXTENSION_ROWS: list[tuple[str, str, list[str], str]] = [
     ("X27", "Contamination detection", ["contamination_ngram_overlap"], ""),
     ("X28", "Repetition score", ["doc_repetition_scores"], ""),
     ("X29", "Mergeable quantile sketch", ["doc_length_percentiles_approx", "sketch_error_check"], ""),
+    ("X30", "Exact-substring (8-gram span) dup discovery", ["duplicate_ngram_spans"], "r11: Lee-et-al-style span reach, all-codegen expansion"),
+    ("X31", "PII scan (email/phone/IPv4)", ["pii_scan_stats"], "r11: planted '_probe_pii' docs; Java-regex vs RE2 agreement pytest-pinned"),
 ]
 
 
