@@ -13,19 +13,23 @@ Design contract (what IS real and tested):
   schema is declared up front so Catalyst can plan around it.
 
 Decode surface (r8, extended r10/r11): ``decode_image`` REALLY
-decodes the three library-free formats — PPM (P6 binary / P3 ASCII),
-24-bit uncompressed BMP, and 8-bit non-interlaced PNG including
+decodes the four library-free formats — PPM (P6 binary / P3 ASCII),
+24-bit uncompressed BMP, 8-bit non-interlaced PNG including
 palette (color type 3) images (stdlib zlib inflate + numpy
 per-scanline unfilter; ``encode_png`` is its deterministic test
 twin; inflate is CAPPED at the declared geometry so untrusted
-payloads can't balloon executor memory) — in pure Python, and ``extract_features``'s default
+payloads can't balloon executor memory), and non-interlaced GIF
+(r11: pure-Python LZW with the same decode cap; ``encode_gif``
+deterministic twin) — in pure Python, and ``extract_features``'s default
 feature path magic-sniffs the payload: decodable images yield real
 pixel statistics, everything else falls back to the deterministic
 byte-stat fake (bit-identical to the pre-r8 behavior, which the
-media_feature_rollup oracle replays). Other compressed formats
-(JPEG/GIF/WebP/...) still raise NotImplementedError from
-``decode_image`` — their codecs are not in this container — as does
-``decode_audio``; swap ``feature_fn`` for a real decoder
+media_feature_rollup oracle replays). ``decode_audio`` REALLY
+decodes WAV integer PCM (r11: stdlib struct + numpy, ``encode_wav``
+deterministic twin) into real audio statistics. Remaining stubs are
+the formats whose codecs genuinely aren't in this container:
+JPEG/WebP for images, mp3/flac/ogg for audio — those raise
+NotImplementedError; swap ``feature_fn`` for a real decoder
 (PIL/librosa/ffmpeg) in a production image — signature and batch
 shape are already what that code needs.
 """
@@ -372,14 +376,222 @@ def encode_png(
     )
 
 
+def _gif_lzw_decode(data: bytes, min_code: int, max_pixels: int) -> bytes:
+    """GIF-variant LZW decode: LSB-first bit packing, code width
+    starts at min_code+1 and grows with the dictionary to 12 bits,
+    CLEAR resets, END terminates. Output is CAPPED at max_pixels (the
+    image descriptor's declared geometry) — same bomb-guard contract
+    as the PNG inflate cap."""
+    clear = 1 << min_code
+    end = clear + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    width = min_code + 1
+    bitpos = 0
+    nbits = len(data) * 8
+    out = bytearray()
+    prev: bytes | None = None
+    while bitpos + width <= nbits:
+        byte_idx = bitpos >> 3
+        code = (
+            int.from_bytes(data[byte_idx : byte_idx + 3], "little")
+            >> (bitpos & 7)
+        ) & ((1 << width) - 1)
+        bitpos += width
+        if code == clear:
+            table = list(base)
+            width = min_code + 1
+            prev = None
+            continue
+        if code == end:
+            return bytes(out)
+        if prev is None:
+            if code >= clear:
+                raise ValueError("LZW stream starts with a non-literal")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"LZW code {code} beyond table size {len(table)}")
+        out += entry
+        if len(out) > max_pixels:
+            raise ValueError(
+                f"LZW output exceeds declared geometry ({max_pixels} px)"
+            )
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+    raise ValueError("LZW stream ended without END code")
+
+
+def _decode_gif(payload: bytes) -> tuple[int, int, bytes]:
+    """GIF decode in pure Python (r11): GIF87a/GIF89a, non-interlaced,
+    first image frame, global or local color table, full LZW
+    dictionary decode. Returns the frame's own geometry (animation
+    compositing is out of scope: the FIRST frame is the thumbnail
+    contract). Interlaced frames and transparency compositing raise
+    ValueError → byte-stat fallback."""
+    import struct
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("bad GIF signature")
+    if len(payload) < 13:
+        raise ValueError("GIF truncated before screen descriptor")
+    _sw, _sh, flags, _bg, _aspect = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    global_table: bytes | None = None
+    if flags & 0x80:
+        size = 3 * (2 << (flags & 7))
+        global_table = payload[pos : pos + size]
+        if len(global_table) != size:
+            raise ValueError("GIF global color table truncated")
+        pos += size
+
+    def skip_subblocks(p: int) -> int:
+        while True:
+            if p >= len(payload):
+                raise ValueError("GIF sub-blocks truncated")
+            n = payload[p]
+            p += 1 + n
+            if n == 0:
+                return p
+
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks, skipped
+            pos = skip_subblocks(pos + 1)
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+        # image descriptor
+        _left, _top, width, height, iflags = struct.unpack_from(
+            "<HHHHB", payload, pos
+        )
+        pos += 9
+        if iflags & 0x40:
+            raise ValueError("interlaced GIF unsupported")
+        table = global_table
+        if iflags & 0x80:
+            size = 3 * (2 << (iflags & 7))
+            table = payload[pos : pos + size]
+            if len(table) != size:
+                raise ValueError("GIF local color table truncated")
+            pos += size
+        if table is None:
+            raise ValueError("GIF frame has no color table")
+        if not (0 < width and 0 < height):
+            raise ValueError(f"bad GIF geometry {width}x{height}")
+        if width * height * 3 > PNG_MAX_DECODED_BYTES:
+            raise ValueError(
+                f"GIF geometry {width}x{height} exceeds the decode cap"
+            )
+        min_code = payload[pos]
+        pos += 1
+        if not 2 <= min_code <= 11:
+            raise ValueError(f"bad LZW min code size {min_code}")
+        chunks = []
+        while True:
+            if pos >= len(payload):
+                raise ValueError("GIF image data truncated")
+            n = payload[pos]
+            pos += 1
+            if n == 0:
+                break
+            chunks.append(payload[pos : pos + n])
+            pos += n
+        indices = np.frombuffer(
+            _gif_lzw_decode(b"".join(chunks), min_code, width * height),
+            dtype=np.uint8,
+        )
+        if indices.shape[0] != width * height:
+            raise ValueError(
+                f"GIF pixel count mismatch: got {indices.shape[0]}, "
+                f"expected {width * height}"
+            )
+        pal = np.frombuffer(table, dtype=np.uint8).reshape(-1, 3)
+        if int(indices.max()) >= pal.shape[0]:
+            raise ValueError("GIF palette index out of range")
+        return width, height, np.ascontiguousarray(pal[indices]).tobytes()
+    raise ValueError("GIF contains no image frame")
+
+
+def encode_gif(width: int, height: int, rgb: bytes) -> bytes:
+    """Minimal deterministic GIF87a encoder — the test/fixture twin of
+    ``_decode_gif``. Builds a global color table from the distinct
+    colors (≤ 256 required) and emits clear-code-separated literal
+    LZW codes at constant width, a grossly inefficient but fully
+    valid stream whose bytes are pure arithmetic — stable everywhere,
+    as the pinned-literal contract requires."""
+    import struct
+
+    px = np.frombuffer(rgb, dtype=np.uint8).reshape(-1, 3)
+    if px.shape[0] != width * height:
+        raise ValueError("rgb size does not match geometry")
+    colors, indices = np.unique(px, axis=0, return_inverse=True)
+    if colors.shape[0] > 256:
+        raise ValueError("encode_gif supports at most 256 distinct colors")
+    # palette size must be a power of two >= 4 (min_code >= 2)
+    table_bits = max(2, int(colors.shape[0] - 1).bit_length())
+    table = colors.tobytes() + bytes(
+        3 * ((1 << table_bits) - colors.shape[0])
+    )
+    min_code = table_bits
+    clear = 1 << min_code
+    end = clear + 1
+    cwidth = min_code + 1
+    # bit-pack [clear, i0, clear, i1, ..., clear, end] LSB-first: the
+    # clear before every literal keeps the decoder's table at its
+    # base size, so the code width never grows
+    acc = 0
+    nacc = 0
+    stream = bytearray()
+    codes = [clear]
+    for i in indices.tolist():
+        codes.append(int(i))
+        codes.append(clear)
+    codes[-1] = end  # final clear slot becomes END
+    for code in codes:
+        acc |= code << nacc
+        nacc += cwidth
+        while nacc >= 8:
+            stream.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+    if nacc:
+        stream.append(acc & 0xFF)
+    sub = b"".join(
+        bytes([len(stream[i : i + 255])]) + bytes(stream[i : i + 255])
+        for i in range(0, len(stream), 255)
+    )
+    flags = 0x80 | (table_bits - 1)  # global table present, size bits
+    return (
+        b"GIF87a"
+        + struct.pack("<HHBBB", width, height, flags, 0, 0)
+        + table
+        + b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+        + bytes([min_code])
+        + sub
+        + b"\x00"
+        + b"\x3b"
+    )
+
+
 def decode_image(payload: bytes) -> tuple[int, int, bytes]:
     """Decode an image payload in pure Python →
     (width, height, interleaved RGB bytes, row-major top-down).
 
-    Real decoders for the three library-free formats: PPM (P6/P3),
-    24-bit uncompressed BMP, and 8-bit PNG (stdlib zlib inflate +
-    numpy unfilter). Other compressed formats (JPEG, GIF, WebP, ...)
-    need codec libraries absent from this container and raise
+    Real decoders for the four library-free formats: PPM (P6/P3),
+    24-bit uncompressed BMP, 8-bit PNG (stdlib zlib inflate + numpy
+    unfilter), and non-interlaced GIF (pure-Python LZW, r11). The
+    remaining compressed formats (JPEG, WebP, ...) need codec
+    libraries absent from this container and raise
     NotImplementedError — pass a real decoder via
     ``extract_features(feature_fn=...)`` there."""
     if payload is None or len(payload) < 2:
@@ -391,6 +603,8 @@ def decode_image(payload: bytes) -> tuple[int, int, bytes]:
         return _decode_bmp(bytes(payload))
     if magic == _PNG_SIG[:2]:
         return _decode_png(bytes(payload))
+    if magic == b"GI":
+        return _decode_gif(bytes(payload))
     raise NotImplementedError(
         f"image format with magic {magic!r} requires a codec library "
         "not present in this environment; extract_features("
@@ -398,12 +612,131 @@ def decode_image(payload: bytes) -> tuple[int, int, bytes]:
     )
 
 
-def decode_audio(payload: bytes):
-    """STUB: real audio decode requires librosa/ffmpeg (absent here)."""
+# Same bomb-guard spirit as PNG_MAX_DECODED_BYTES: a declared data
+# chunk may not allocate arbitrary executor memory. 64 MiB of PCM is
+# ~12 min of 16-bit stereo at 44.1 kHz — far past feature needs.
+WAV_MAX_DECODED_BYTES = 64 * 1024 * 1024
+
+
+def _decode_wav(payload: bytes) -> tuple[int, int, "np.ndarray"]:
+    """WAV PCM decode with stdlib struct + numpy (r11 — the audio
+    twin of the r9/r10 PNG move): RIFF/WAVE container, format tag 1
+    (integer PCM) at 8 or 16 bits. Returns (sample_rate, n_channels,
+    samples) with samples float64 in [-1, 1), shape
+    (n_frames, n_channels). Compressed codecs (mp3/flac/ogg, and
+    float/extensible WAV variants) raise ValueError so the byte-stat
+    fallback catches them — those genuinely need codec libraries this
+    container doesn't have."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("bad RIFF/WAVE signature")
+    pos = 12
+    fmt = None
+    data: bytes | None = None
+    while pos + 8 <= len(payload):
+        ctype, length = struct.unpack_from("<4sI", payload, pos)
+        pos += 8
+        chunk = payload[pos : pos + length]
+        if len(chunk) != length:
+            raise ValueError("WAV chunk truncated")
+        pos += length + (length & 1)  # chunks are word-aligned
+        if ctype == b"fmt ":
+            if length < 16:
+                raise ValueError(f"WAV fmt chunk length {length} < 16")
+            fmt = struct.unpack_from("<HHIIHH", chunk, 0)
+        elif ctype == b"data":
+            data = chunk
+            break  # fmt always precedes data in a well-formed file
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    tag, channels, rate, _byte_rate, _align, bits = fmt
+    if tag != 1 or bits not in (8, 16) or channels < 1 or rate < 1:
+        raise ValueError(
+            f"unsupported WAV variant (fmt tag {tag}, {bits}-bit, "
+            f"{channels} ch) — only 8/16-bit integer PCM"
+        )
+    if len(data) > WAV_MAX_DECODED_BYTES:
+        raise ValueError(
+            f"WAV data chunk {len(data)} bytes exceeds the "
+            f"{WAV_MAX_DECODED_BYTES}-byte decode cap"
+        )
+    width = bits // 8
+    frame_bytes = width * channels
+    n_frames = len(data) // frame_bytes
+    if n_frames < 1:
+        raise ValueError("WAV data chunk holds no complete frame")
+    data = data[: n_frames * frame_bytes]
+    if bits == 16:
+        raw = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+    else:  # 8-bit WAV is unsigned with midpoint 128
+        raw = (
+            np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0
+        ) / 128.0
+    return rate, channels, raw.reshape(n_frames, channels)
+
+
+def encode_wav(
+    sample_rate: int, channels: int, samples_i16: "np.ndarray"
+) -> bytes:
+    """Minimal deterministic 16-bit PCM WAV encoder — the test/fixture
+    twin of ``_decode_wav`` (same role encode_png plays for the PNG
+    path). ``samples_i16`` is int16, shape (n_frames, channels); the
+    byte output is pure struct packing, stable everywhere — required
+    for pinned oracle literals."""
+    import struct
+
+    pcm = np.asarray(samples_i16, dtype="<i2").reshape(-1, channels)
+    data = pcm.tobytes()
+    byte_rate = sample_rate * channels * 2
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, byte_rate, channels * 2, 16
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _audio_features(
+    sample_rate: int, channels: int, samples: "np.ndarray"
+) -> list[float]:
+    """FEATURE_DIM floats from REAL decoded PCM, all in [0, 1]: RMS,
+    mean |x|, peak, zero-crossing rate, DC offset, duration/channel/
+    rate proxies. Mirrors _pixel_features: numpy reductions over the
+    whole buffer, no per-sample Python loop, deterministic."""
+    mono = samples.mean(axis=1)
+    n = mono.shape[0]
+    rms = float(np.sqrt((mono * mono).sum() / n))
+    zc = float(np.count_nonzero(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+    return [
+        min(rms, 1.0),
+        min(float(np.abs(mono).sum() / n), 1.0),
+        min(float(np.abs(samples).max()), 1.0),
+        zc / (n - 1) if n > 1 else 0.0,
+        (float(mono.sum() / n) + 1.0) / 2.0,
+        n / (n + float(sample_rate)),  # ≈ seconds/(seconds+1)
+        (channels - 1.0) / channels,
+        sample_rate / (sample_rate + 44100.0),
+    ]
+
+
+def decode_audio(payload: bytes) -> tuple[int, int, "np.ndarray"]:
+    """Audio decode dispatcher: WAV integer PCM decodes for real (see
+    ``_decode_wav``); compressed codecs (mp3/flac/ogg/...) require
+    audio libraries absent from this container and raise
+    NotImplementedError — pass a real decoder via
+    ``extract_features(feature_fn=...)`` there."""
+    if payload is None or len(payload) < 12:
+        raise ValueError("empty audio payload")
+    if bytes(payload[:4]) == b"RIFF" and bytes(payload[8:12]) == b"WAVE":
+        return _decode_wav(bytes(payload))
     raise NotImplementedError(
-        "audio decoding requires an audio library not present in this "
-        "environment; extract_features(feature_fn=...) accepts a real "
-        "decoder"
+        "audio codec not recognized as WAV PCM; decoding it requires "
+        "an audio library not present in this environment; "
+        "extract_features(feature_fn=...) accepts a real decoder"
     )
 
 
@@ -449,17 +782,28 @@ def _pixel_features(width: int, height: int, rgb: bytes) -> list[float]:
 
 def _default_features(payload: bytes) -> list[float]:
     """Magic-sniff router: payloads that decode as real images (PPM /
-    24-bit BMP) yield pixel statistics; everything else falls back to
-    the byte-stat fake UNCHANGED (the media_feature_rollup oracle
-    replays that path bit-for-bit on text payloads, so the fallback
-    must stay stable)."""
+    24-bit BMP / PNG) yield pixel statistics, WAV PCM payloads yield
+    real audio statistics (r11); everything else falls back to the
+    byte-stat fake UNCHANGED (the media_feature_rollup oracle replays
+    that path bit-for-bit on text payloads, so the fallback must stay
+    stable)."""
     if payload is not None and bytes(payload[:2]) in (
-        b"P6", b"P3", b"BM", _PNG_SIG[:2],
+        b"P6", b"P3", b"BM", b"GI", _PNG_SIG[:2],
     ):
         try:
             return _pixel_features(*decode_image(payload))
         except (ValueError, NotImplementedError):
             pass  # looked like an image but is not one → byte stats
+    if (
+        payload is not None
+        and len(payload) >= 12
+        and bytes(payload[:4]) == b"RIFF"
+        and bytes(payload[8:12]) == b"WAVE"
+    ):
+        try:
+            return _audio_features(*_decode_wav(bytes(payload)))
+        except ValueError:
+            pass  # looked like WAV but is not decodable → byte stats
     return _fake_features(payload)
 
 

@@ -3398,6 +3398,55 @@ def _demo_png() -> tuple[bytes, int, int]:
 _DEMO_PNG_PAYLOAD, _DEMO_PNG_BYTES, _DEMO_PNG_PPM = _demo_png()
 
 
+def _demo_wav() -> tuple[bytes, int, int]:
+    """Deterministic mono 16-bit PCM WAV probe (r11 — the audio twin
+    of the PNG probe): a ±8192 square wave, so every sample is
+    exactly ±0.25 and the mono RMS (features[0] of _audio_features)
+    is EXACTLY 0.25 by construction. f0_mean_ppm is pinned from that
+    amplitude constant — never by running _decode_wav, which must
+    reproduce it through RIFF parse + PCM scale + RMS at query
+    time."""
+    import numpy as np
+
+    from .operators.multimodal import encode_wav
+
+    amp = 8192  # /32768 = 0.25, dyadic -> exact in float64
+    frames = np.empty((1000, 1), dtype=np.int16)
+    frames[0::2, 0] = amp
+    frames[1::2, 0] = -amp
+    payload = encode_wav(8000, 1, frames)
+    f0 = amp / 32768.0
+    k = int(np.floor(f0 * 997.0 + 0.5))
+    ppm = int(np.floor(k * 1000000.0 / 997.0 + 0.5))
+    return payload, len(payload), ppm
+
+
+_DEMO_WAV_PAYLOAD, _DEMO_WAV_BYTES, _DEMO_WAV_PPM = _demo_wav()
+
+
+def _demo_gif() -> tuple[bytes, int, int]:
+    """Deterministic 6x4 uniform-color GIF probe (r11): every pixel
+    is RGB(51, 102, 204), so the R-channel mean (features[0] of
+    _pixel_features) is exactly sum(51*24)/(255*24) — pinned from
+    those constants, never by running _decode_gif, which must
+    reproduce it through LZW decode + palette lookup + pixel stats
+    at query time."""
+    import numpy as np
+
+    from .operators.multimodal import encode_gif
+
+    w, h = 6, 4
+    px = np.tile(np.array([51, 102, 204], dtype=np.uint8), (w * h, 1))
+    payload = encode_gif(w, h, px.tobytes())
+    f0 = (51.0 * w * h) / (255.0 * w * h)
+    k = int(np.floor(f0 * 997.0 + 0.5))
+    ppm = int(np.floor(k * 1000000.0 / 997.0 + 0.5))
+    return payload, len(payload), ppm
+
+
+_DEMO_GIF_PAYLOAD, _DEMO_GIF_BYTES, _DEMO_GIF_PPM = _demo_gif()
+
+
 @query(
     "media_feature_rollup",
     f"""
@@ -3419,6 +3468,14 @@ _DEMO_PNG_PAYLOAD, _DEMO_PNG_BYTES, _DEMO_PNG_PPM = _demo_png()
         SELECT '_probe_png' AS modality, CAST(1 AS BIGINT) AS n_items,
                CAST({_DEMO_PNG_BYTES} AS BIGINT) AS total_bytes,
                CAST({_DEMO_PNG_PPM} AS BIGINT) AS f0_mean_ppm
+        UNION ALL
+        SELECT '_probe_wav' AS modality, CAST(1 AS BIGINT) AS n_items,
+               CAST({_DEMO_WAV_BYTES} AS BIGINT) AS total_bytes,
+               CAST({_DEMO_WAV_PPM} AS BIGINT) AS f0_mean_ppm
+        UNION ALL
+        SELECT '_probe_gif' AS modality, CAST(1 AS BIGINT) AS n_items,
+               CAST({_DEMO_GIF_BYTES} AS BIGINT) AS total_bytes,
+               CAST({_DEMO_GIF_PPM} AS BIGINT) AS f0_mean_ppm
     ) ORDER BY modality
     """,
 )
@@ -3435,8 +3492,15 @@ def media_feature_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("source").alias("modality"),
         F.encode("text", "utf-8").alias("payload"),
     ).unionByName(
+        # one literal DataFrame for ALL probe rows — a single tiny
+        # scan+union stage regardless of probe count (the r10->r11
+        # probe cost lesson: each separate union added ~1 s)
         spark.createDataFrame(
-            [(-1, "_probe_png", bytearray(_DEMO_PNG_PAYLOAD))],
+            [
+                (-1, "_probe_png", bytearray(_DEMO_PNG_PAYLOAD)),
+                (-2, "_probe_wav", bytearray(_DEMO_WAV_PAYLOAD)),
+                (-3, "_probe_gif", bytearray(_DEMO_GIF_PAYLOAD)),
+            ],
             "media_id long, modality string, payload binary",
         )
     )
