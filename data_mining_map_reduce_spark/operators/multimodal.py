@@ -18,9 +18,12 @@ decodes the four library-free formats — PPM (P6 binary / P3 ASCII),
 palette (color type 3) images (stdlib zlib inflate + numpy
 per-scanline unfilter; ``encode_png`` is its deterministic test
 twin; inflate is CAPPED at the declared geometry so untrusted
-payloads can't balloon executor memory), and non-interlaced GIF
+payloads can't balloon executor memory), non-interlaced GIF
 (r11: pure-Python LZW with the same decode cap; ``encode_gif``
-deterministic twin) — in pure Python, and ``extract_features``'s default
+deterministic twin), and baseline-sequential JPEG (r11:
+operators/jpeg.py — marker parse, Huffman entropy decode, dequant,
+IDCT, chroma upsample, YCbCr→RGB; ``encode_jpeg`` deterministic
+twin) — in pure Python, and ``extract_features``'s default
 feature path magic-sniffs the payload: decodable images yield real
 pixel statistics, everything else falls back to the deterministic
 byte-stat fake (bit-identical to the pre-r8 behavior, which the
@@ -28,10 +31,11 @@ media_feature_rollup oracle replays). ``decode_audio`` REALLY
 decodes WAV integer PCM (r11: stdlib struct + numpy, ``encode_wav``
 deterministic twin) into real audio statistics. Remaining stubs are
 the formats whose codecs genuinely aren't in this container:
-JPEG/WebP for images, mp3/flac/ogg for audio — those raise
-NotImplementedError; swap ``feature_fn`` for a real decoder
-(PIL/librosa/ffmpeg) in a production image — signature and batch
-shape are already what that code needs.
+WebP/AVIF/progressive-JPEG for images, mp3/flac/ogg for audio —
+those raise NotImplementedError (unrecognized magic) or ValueError
+(recognized container, unsupported variant); swap ``feature_fn``
+for a real decoder (PIL/librosa/ffmpeg) in a production image —
+signature and batch shape are already what that code needs.
 """
 
 from __future__ import annotations
@@ -587,13 +591,14 @@ def decode_image(payload: bytes) -> tuple[int, int, bytes]:
     """Decode an image payload in pure Python →
     (width, height, interleaved RGB bytes, row-major top-down).
 
-    Real decoders for the four library-free formats: PPM (P6/P3),
+    Real decoders for the five library-free formats: PPM (P6/P3),
     24-bit uncompressed BMP, 8-bit PNG (stdlib zlib inflate + numpy
-    unfilter), and non-interlaced GIF (pure-Python LZW, r11). The
-    remaining compressed formats (JPEG, WebP, ...) need codec
-    libraries absent from this container and raise
-    NotImplementedError — pass a real decoder via
-    ``extract_features(feature_fn=...)`` there."""
+    unfilter), non-interlaced GIF (pure-Python LZW, r11), and
+    baseline-sequential JPEG (operators/jpeg.py: Huffman + dequant +
+    IDCT + chroma upsample, r11). The remaining formats (WebP, AVIF,
+    progressive JPEG, ...) need codec libraries absent from this
+    container and raise NotImplementedError / ValueError — pass a
+    real decoder via ``extract_features(feature_fn=...)`` there."""
     if payload is None or len(payload) < 2:
         raise ValueError("empty image payload")
     magic = bytes(payload[:2])
@@ -605,6 +610,10 @@ def decode_image(payload: bytes) -> tuple[int, int, bytes]:
         return _decode_png(bytes(payload))
     if magic == b"GI":
         return _decode_gif(bytes(payload))
+    if magic == b"\xff\xd8":
+        from .jpeg import _decode_jpeg
+
+        return _decode_jpeg(bytes(payload))
     raise NotImplementedError(
         f"image format with magic {magic!r} requires a codec library "
         "not present in this environment; extract_features("
@@ -788,7 +797,7 @@ def _default_features(payload: bytes) -> list[float]:
     that path bit-for-bit on text payloads, so the fallback must stay
     stable)."""
     if payload is not None and bytes(payload[:2]) in (
-        b"P6", b"P3", b"BM", b"GI", _PNG_SIG[:2],
+        b"P6", b"P3", b"BM", b"GI", b"\xff\xd8", _PNG_SIG[:2],
     ):
         try:
             return _pixel_features(*decode_image(payload))

@@ -3447,6 +3447,30 @@ def _demo_gif() -> tuple[bytes, int, int]:
 _DEMO_GIF_PAYLOAD, _DEMO_GIF_BYTES, _DEMO_GIF_PPM = _demo_gif()
 
 
+def _demo_jpeg() -> tuple[bytes, int, int]:
+    """Deterministic 8x8 solid-gray baseline JPEG probe (r11): gray
+    level 180 means Y=180, Cb=Cr=128 exactly, the single block is
+    flat with DC = 8*(180-128) = 416, and the flat quant step 16
+    divides it exactly — so _decode_jpeg must reproduce the constant
+    180 bit-for-bit through Huffman + dequant + IDCT + color
+    transform (encode_jpeg docstring spells the argument). f0 is
+    pinned from the gray constant, never by running the decoder."""
+    import numpy as np
+
+    from .operators.jpeg import encode_jpeg
+
+    v = 180
+    px = np.full((8, 8, 3), v, dtype=np.uint8)
+    payload = encode_jpeg(8, 8, px.tobytes())
+    f0 = v / 255.0
+    k = int(np.floor(f0 * 997.0 + 0.5))
+    ppm = int(np.floor(k * 1000000.0 / 997.0 + 0.5))
+    return payload, len(payload), ppm
+
+
+_DEMO_JPEG_PAYLOAD, _DEMO_JPEG_BYTES, _DEMO_JPEG_PPM = _demo_jpeg()
+
+
 @query(
     "media_feature_rollup",
     f"""
@@ -3476,6 +3500,10 @@ _DEMO_GIF_PAYLOAD, _DEMO_GIF_BYTES, _DEMO_GIF_PPM = _demo_gif()
         SELECT '_probe_gif' AS modality, CAST(1 AS BIGINT) AS n_items,
                CAST({_DEMO_GIF_BYTES} AS BIGINT) AS total_bytes,
                CAST({_DEMO_GIF_PPM} AS BIGINT) AS f0_mean_ppm
+        UNION ALL
+        SELECT '_probe_jpg' AS modality, CAST(1 AS BIGINT) AS n_items,
+               CAST({_DEMO_JPEG_BYTES} AS BIGINT) AS total_bytes,
+               CAST({_DEMO_JPEG_PPM} AS BIGINT) AS f0_mean_ppm
     ) ORDER BY modality
     """,
 )
@@ -3500,6 +3528,7 @@ def media_feature_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (-1, "_probe_png", bytearray(_DEMO_PNG_PAYLOAD)),
                 (-2, "_probe_wav", bytearray(_DEMO_WAV_PAYLOAD)),
                 (-3, "_probe_gif", bytearray(_DEMO_GIF_PAYLOAD)),
+                (-4, "_probe_jpg", bytearray(_DEMO_JPEG_PAYLOAD)),
             ],
             "media_id long, modality string, payload binary",
         )

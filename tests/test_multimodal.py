@@ -43,9 +43,13 @@ def test_documents_ascii_assumption_for_oracle(spark):
 
 
 def test_decode_unsupported_formats_raise(media):
-    # compressed formats still need codec libraries: NotImplementedError
+    # unrecognized compressed formats still need codec libraries
     with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8 jpeg needs a codec library")
+        decode_image(b"RIFFxxxxWEBPVP8 webp needs a codec library")
+    # JPEG decodes for real since r11 — a JPEG-magic payload that is
+    # NOT a valid JPEG raises ValueError (→ byte-stat fallback)
+    with pytest.raises(ValueError):
+        decode_image(b"\xff\xd8 jpeg garbage, not a real scan")
     with pytest.raises(NotImplementedError):
         decode_audio(b"ID3 an mp3 payload needs a codec")
     # truncated/garbage payloads are ValueError (fallback contract),
@@ -625,3 +629,122 @@ def test_extract_features_routes_wav_and_gif(spark):
     assert abs(got[2][0] - 51.0 / 255.0) < 1e-12  # R-channel mean
     assert abs(got[2][1] - 102.0 / 255.0) < 1e-12
     assert abs(got[2][2] - 204.0 / 255.0) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# r11: baseline JPEG real decode (operators/jpeg.py)
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_solid_gray_exact_roundtrip():
+    """The pinned-probe exactness argument, verified: a solid gray
+    with (v-128) divisible by q_dc/8 round-trips bit-for-bit."""
+    import numpy as np
+
+    from data_mining_map_reduce_spark.operators.jpeg import (
+        _decode_jpeg,
+        encode_jpeg,
+    )
+
+    for v in (180, 128, 50, 254):
+        rgb = np.full((8, 8, 3), v, dtype=np.uint8)
+        w, h, out = _decode_jpeg(encode_jpeg(8, 8, rgb.tobytes()))
+        assert (w, h) == (8, 8)
+        assert out == rgb.tobytes(), v
+
+
+def test_jpeg_lossy_roundtrip_bounded_error():
+    """Random and gradient images survive encode→decode with error
+    bounded by the flat quantization step (non-8-multiple geometry
+    exercises the edge-replication padding)."""
+    import numpy as np
+
+    from data_mining_map_reduce_spark.operators.jpeg import (
+        _decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.RandomState(3)
+    W, H = 23, 17
+    px = rng.randint(0, 256, size=(H, W, 3), dtype=np.uint8)
+    w, h, out = _decode_jpeg(encode_jpeg(W, H, px.tobytes()))
+    assert (w, h) == (W, H)
+    err = np.abs(
+        np.frombuffer(out, np.uint8).reshape(H, W, 3).astype(np.int64)
+        - px.astype(np.int64)
+    )
+    assert err.max() <= 48  # flat q=16 worst case across 3 channels
+
+    gx = np.linspace(0, 255, W)[None, :, None]
+    gy = np.linspace(0, 255, H)[:, None, None]
+    sm = np.clip((gx + gy) / 2, 0, 255).astype(np.uint8).repeat(3, axis=2)
+    _, _, out = _decode_jpeg(encode_jpeg(W, H, sm.tobytes()))
+    err = np.abs(
+        np.frombuffer(out, np.uint8).reshape(H, W, 3).astype(np.int64)
+        - sm.astype(np.int64)
+    )
+    assert err.max() <= 8
+
+
+def test_jpeg_restart_interval_and_grayscale():
+    import numpy as np
+
+    from data_mining_map_reduce_spark.operators.jpeg import (
+        _decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.RandomState(5)
+    W, H = 48, 16  # 6x2 MCUs
+    px = rng.randint(0, 256, size=(H, W, 3), dtype=np.uint8)
+    plain = _decode_jpeg(encode_jpeg(W, H, px.tobytes()))
+    restarted = _decode_jpeg(
+        encode_jpeg(W, H, px.tobytes(), restart_interval=2)
+    )
+    assert plain == restarted  # DRI/RSTn path is value-neutral
+
+    grey = _decode_jpeg(
+        encode_jpeg(8, 8, np.full((8, 8, 3), 180, np.uint8).tobytes(),
+                    grayscale=True)
+    )
+    assert grey == (8, 8, bytes([180] * 192))
+
+
+def test_jpeg_rejects_unsupported_variants():
+    import numpy as np
+
+    from data_mining_map_reduce_spark.operators.jpeg import (
+        _decode_jpeg,
+        encode_jpeg,
+    )
+
+    good = encode_jpeg(8, 8, np.full((8, 8, 3), 90, np.uint8).tobytes())
+    with pytest.raises(ValueError):  # truncated
+        _decode_jpeg(good[:40])
+    with pytest.raises(ValueError):  # progressive SOF2
+        _decode_jpeg(good.replace(b"\xff\xc0", b"\xff\xc2", 1))
+    with pytest.raises(ValueError):  # no SOI
+        _decode_jpeg(b"\x00" + good)
+    # the decoder is generic over DHT: corrupting the emitted huffman
+    # table lengths must be caught, not crash
+    idx = good.index(b"\xff\xc4")
+    broken = bytearray(good)
+    broken[idx + 5] = 200  # BITS[1] claims 200 codes of length 2
+    with pytest.raises(ValueError):
+        _decode_jpeg(bytes(broken))
+
+
+def test_jpeg_routes_through_feature_extraction(spark):
+    import numpy as np
+
+    from data_mining_map_reduce_spark.operators.jpeg import encode_jpeg
+
+    payload = encode_jpeg(
+        8, 8, np.full((8, 8, 3), 180, np.uint8).tobytes()
+    )
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(payload))],
+        "media_id long, modality string, payload binary",
+    )
+    feats = extract_features(media).collect()[0].features
+    assert abs(feats[0] - 180.0 / 255.0) < 1e-12
