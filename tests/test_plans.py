@@ -156,3 +156,30 @@ def test_count_min_plans_broadcast_and_partial_agg(spark, sf_dir):
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
     assert "partial_count" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_duplicate_ngram_spans_plan_stays_in_codegen(spark, sf_dir):
+    """X30's span expansion (transform + sequence + slice +
+    array_join + explode) must stay JVM-side — no Python evaluation
+    node anywhere in the hot path — and the final top-25 must be
+    TakeOrderedAndProject, not a global sort. The countDistinct must
+    partial-aggregate map-side (the distinct (gram, doc) collapse is
+    what bounds hot-span skew at scale)."""
+    from data_mining_map_reduce_spark.queries import duplicate_ngram_spans
+
+    plan = _plan(duplicate_ngram_spans(spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan
+
+
+def test_pii_scan_plan_stays_in_codegen(spark, sf_dir):
+    """X31's triple regexp_extract_all scan is a stateless projection:
+    JVM regex in codegen, one partial-aggregated groupBy, no Python
+    nodes, no join."""
+    from data_mining_map_reduce_spark.queries import pii_scan_stats
+
+    plan = _plan(pii_scan_stats(spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert "partial_" in plan
