@@ -602,18 +602,28 @@ def decode_image(payload: bytes) -> tuple[int, int, bytes]:
     if payload is None or len(payload) < 2:
         raise ValueError("empty image payload")
     magic = bytes(payload[:2])
-    if magic in (b"P6", b"P3"):
-        return _decode_ppm(bytes(payload))
-    if magic == b"BM":
-        return _decode_bmp(bytes(payload))
-    if magic == _PNG_SIG[:2]:
-        return _decode_png(bytes(payload))
-    if magic == b"GI":
-        return _decode_gif(bytes(payload))
-    if magic == b"\xff\xd8":
-        from .jpeg import _decode_jpeg
+    # Corrupt payloads must surface as ValueError so the feature
+    # router's fallback contract holds (the r10-advice bug class:
+    # struct.error/IndexError from a truncated container escaping the
+    # except clause and crashing the mapInPandas task). The decoders
+    # validate what they can cheaply; this normalizes the remainder.
+    import struct as _struct
 
-        return _decode_jpeg(bytes(payload))
+    try:
+        if magic in (b"P6", b"P3"):
+            return _decode_ppm(bytes(payload))
+        if magic == b"BM":
+            return _decode_bmp(bytes(payload))
+        if magic == _PNG_SIG[:2]:
+            return _decode_png(bytes(payload))
+        if magic == b"GI":
+            return _decode_gif(bytes(payload))
+        if magic == b"\xff\xd8":
+            from .jpeg import _decode_jpeg
+
+            return _decode_jpeg(bytes(payload))
+    except (_struct.error, IndexError, OverflowError) as exc:
+        raise ValueError(f"corrupt {magic!r} image payload: {exc}") from exc
     raise NotImplementedError(
         f"image format with magic {magic!r} requires a codec library "
         "not present in this environment; extract_features("
@@ -741,7 +751,12 @@ def decode_audio(payload: bytes) -> tuple[int, int, "np.ndarray"]:
     if payload is None or len(payload) < 12:
         raise ValueError("empty audio payload")
     if bytes(payload[:4]) == b"RIFF" and bytes(payload[8:12]) == b"WAVE":
-        return _decode_wav(bytes(payload))
+        import struct as _struct
+
+        try:
+            return _decode_wav(bytes(payload))
+        except (_struct.error, IndexError, OverflowError) as exc:
+            raise ValueError(f"corrupt WAV payload: {exc}") from exc
     raise NotImplementedError(
         "audio codec not recognized as WAV PCM; decoding it requires "
         "an audio library not present in this environment; "
@@ -810,7 +825,9 @@ def _default_features(payload: bytes) -> list[float]:
         and bytes(payload[8:12]) == b"WAVE"
     ):
         try:
-            return _audio_features(*_decode_wav(bytes(payload)))
+            # via decode_audio, which normalizes struct/index errors
+            # from corrupt containers into the ValueError contract
+            return _audio_features(*decode_audio(payload))
         except ValueError:
             pass  # looked like WAV but is not decodable → byte stats
     return _fake_features(payload)

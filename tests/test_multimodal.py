@@ -748,3 +748,44 @@ def test_jpeg_routes_through_feature_extraction(spark):
     )
     feats = extract_features(media).collect()[0].features
     assert abs(feats[0] - 180.0 / 255.0) < 1e-12
+
+
+def test_default_features_never_crashes_on_corrupt_media():
+    """The fallback contract, fuzzed: EVERY truncation and a byte-
+    flipped variant of every valid payload must flow through
+    _default_features without an exception escaping (the r10-advice
+    bug class: struct.error/IndexError from a corrupt container
+    crashing the mapInPandas task instead of falling back to byte
+    stats)."""
+    import numpy as np
+
+    from data_mining_map_reduce_spark.operators.jpeg import encode_jpeg
+    from data_mining_map_reduce_spark.operators.multimodal import (
+        _default_features,
+        encode_gif,
+        encode_png,
+        encode_wav,
+    )
+
+    px = np.arange(48, dtype=np.uint8)
+    gif_px = np.tile(np.array([51, 102, 204], dtype=np.uint8), (12, 1))
+    wav_frames = np.full((64, 1), 1000, dtype=np.int16)
+    payloads = [
+        encode_png(4, 4, px.tobytes()),
+        encode_gif(4, 3, gif_px.tobytes()),
+        encode_jpeg(8, 8, np.full((8, 8, 3), 77, np.uint8).tobytes()),
+        encode_wav(8000, 1, wav_frames),
+        b"P6\n2 2\n255\n" + bytes(12),
+        _bmp_24(),
+    ]
+    rng = np.random.RandomState(2)
+    for payload in payloads:
+        for cut in range(len(payload)):
+            feats = _default_features(payload[:cut])
+            assert len(feats) == FEATURE_DIM
+        for _ in range(50):
+            broken = bytearray(payload)
+            i = int(rng.randint(len(broken)))
+            broken[i] ^= int(rng.randint(1, 256))
+            feats = _default_features(bytes(broken))
+            assert len(feats) == FEATURE_DIM
