@@ -479,8 +479,7 @@ def _decode_gif(payload: bytes) -> tuple[int, int, bytes]:
             "<HHHHB", payload, pos
         )
         pos += 9
-        if iflags & 0x40:
-            raise ValueError("interlaced GIF unsupported")
+        interlaced = bool(iflags & 0x40)
         table = global_table
         if iflags & 0x80:
             size = 3 * (2 << (iflags & 7))
@@ -522,23 +521,44 @@ def _decode_gif(payload: bytes) -> tuple[int, int, bytes]:
         pal = np.frombuffer(table, dtype=np.uint8).reshape(-1, 3)
         if int(indices.max()) >= pal.shape[0]:
             raise ValueError("GIF palette index out of range")
-        return width, height, np.ascontiguousarray(pal[indices]).tobytes()
+        rows = indices.reshape(height, width)
+        if interlaced:
+            # GIF interlace stores rows in four passes (start 0/4/2/1,
+            # step 8/8/4/2); map them back to their display positions
+            order = np.concatenate(
+                [np.arange(s, height, t) for s, t in
+                 ((0, 8), (4, 8), (2, 4), (1, 2))]
+            )
+            deinterlaced = np.empty_like(rows)
+            deinterlaced[order] = rows
+            rows = deinterlaced
+        return width, height, np.ascontiguousarray(pal[rows]).tobytes()
     raise ValueError("GIF contains no image frame")
 
 
-def encode_gif(width: int, height: int, rgb: bytes) -> bytes:
+def encode_gif(
+    width: int, height: int, rgb: bytes, interlace: bool = False
+) -> bytes:
     """Minimal deterministic GIF87a encoder — the test/fixture twin of
     ``_decode_gif``. Builds a global color table from the distinct
     colors (≤ 256 required) and emits clear-code-separated literal
     LZW codes at constant width, a grossly inefficient but fully
     valid stream whose bytes are pure arithmetic — stable everywhere,
-    as the pinned-literal contract requires."""
+    as the pinned-literal contract requires. ``interlace`` stores the
+    rows in GIF's four-pass order (and sets the flag) to drive the
+    decoder's de-interlace path."""
     import struct
 
     px = np.frombuffer(rgb, dtype=np.uint8).reshape(-1, 3)
     if px.shape[0] != width * height:
         raise ValueError("rgb size does not match geometry")
     colors, indices = np.unique(px, axis=0, return_inverse=True)
+    if interlace:
+        order = np.concatenate(
+            [np.arange(s, height, t) for s, t in
+             ((0, 8), (4, 8), (2, 4), (1, 2))]
+        )
+        indices = indices.reshape(height, width)[order].reshape(-1)
     if colors.shape[0] > 256:
         raise ValueError("encode_gif supports at most 256 distinct colors")
     # palette size must be a power of two >= 4 (min_code >= 2)
@@ -579,7 +599,8 @@ def encode_gif(width: int, height: int, rgb: bytes) -> bytes:
         b"GIF87a"
         + struct.pack("<HHBBB", width, height, flags, 0, 0)
         + table
-        + b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+        + b"\x2c"
+        + struct.pack("<HHHHB", 0, 0, width, height, 0x40 if interlace else 0)
         + bytes([min_code])
         + sub
         + b"\x00"

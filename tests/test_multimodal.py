@@ -531,14 +531,15 @@ def test_decode_gif_roundtrip_and_rejects():
         _decode_gif(b"GIF89a")  # truncated screen descriptor
     with pytest.raises(ValueError):
         _decode_gif(b"GIFXXa" + bytes(20))  # bad signature
-    # interlace flag set -> unsupported variant
-    broken = bytearray(payload)
-    # image descriptor starts right after 6 (header) + 7 (screen
-    # descriptor) + global table; find the 0x2C introducer
-    idx = bytes(broken).index(b"\x2c")
-    broken[idx + 9] |= 0x40
-    with pytest.raises(ValueError):
-        _decode_gif(bytes(broken))
+    # interlaced storage round-trips to the same display-order pixels
+    # (r11: four-pass de-interlace), across heights that hit 1, 2, 3,
+    # and all 4 interlace passes
+    for hh in (1, 2, 5, 13):
+        sub = (rng.randint(0, 6, size=(17 * hh, 3)) * 40).astype(np.uint8)
+        inter = encode_gif(17, hh, sub.tobytes(), interlace=True)
+        assert _decode_gif(inter) == (17, hh, sub.tobytes()), hh
+        if hh > 4:  # rows really moved on disk
+            assert inter != encode_gif(17, hh, sub.tobytes())
 
 
 def test_gif_lzw_full_dictionary_growth():
