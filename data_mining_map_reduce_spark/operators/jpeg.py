@@ -182,6 +182,13 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker desync")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad before
+        # a marker — skip to the marker byte itself so padded streams
+        # decode instead of desyncing into the length-skip path
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 4 > len(payload):
+            break
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI before SOS

@@ -18,9 +18,11 @@ decodes the four library-free formats — PPM (P6 binary / P3 ASCII),
 palette (color type 3) images (stdlib zlib inflate + numpy
 per-scanline unfilter; ``encode_png`` is its deterministic test
 twin; inflate is CAPPED at the declared geometry so untrusted
-payloads can't balloon executor memory), non-interlaced GIF
-(r11: pure-Python LZW with the same decode cap; ``encode_gif``
-deterministic twin), and baseline-sequential JPEG (r11:
+payloads can't balloon executor memory), GIF including
+four-pass interlaced frames (r11, de-interlaced r11-late:
+pure-Python LZW with the same decode cap; transparency indices
+render as their palette color; ``encode_gif`` deterministic
+twin), and baseline-sequential JPEG (r11:
 operators/jpeg.py — marker parse, Huffman entropy decode, dequant,
 IDCT, chroma upsample, YCbCr→RGB; ``encode_jpeg`` deterministic
 twin) — in pure Python, and ``extract_features``'s default
@@ -433,12 +435,14 @@ def _gif_lzw_decode(data: bytes, min_code: int, max_pixels: int) -> bytes:
 
 
 def _decode_gif(payload: bytes) -> tuple[int, int, bytes]:
-    """GIF decode in pure Python (r11): GIF87a/GIF89a, non-interlaced,
-    first image frame, global or local color table, full LZW
-    dictionary decode. Returns the frame's own geometry (animation
-    compositing is out of scope: the FIRST frame is the thumbnail
-    contract). Interlaced frames and transparency compositing raise
-    ValueError → byte-stat fallback."""
+    """GIF decode in pure Python (r11): GIF87a/GIF89a, first image
+    frame, global or local color table, full LZW dictionary decode;
+    interlaced frames are de-interlaced (the four-pass row
+    permutation) and a transparency index renders as its palette
+    color (single-frame thumbnail contract — there is no prior frame
+    to composite against). Returns the frame's own geometry
+    (animation compositing is out of scope: the FIRST frame is the
+    thumbnail contract)."""
     import struct
 
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
@@ -614,8 +618,8 @@ def decode_image(payload: bytes) -> tuple[int, int, bytes]:
 
     Real decoders for the five library-free formats: PPM (P6/P3),
     24-bit uncompressed BMP, 8-bit PNG (stdlib zlib inflate + numpy
-    unfilter), non-interlaced GIF (pure-Python LZW, r11), and
-    baseline-sequential JPEG (operators/jpeg.py: Huffman + dequant +
+    unfilter), GIF incl. four-pass interlace (pure-Python LZW, r11),
+    and baseline-sequential JPEG (operators/jpeg.py: Huffman + dequant +
     IDCT + chroma upsample, r11). The remaining formats (WebP, AVIF,
     progressive JPEG, ...) need codec libraries absent from this
     container and raise NotImplementedError / ValueError — pass a
@@ -827,7 +831,8 @@ def _pixel_features(width: int, height: int, rgb: bytes) -> list[float]:
 
 def _default_features(payload: bytes) -> list[float]:
     """Magic-sniff router: payloads that decode as real images (PPM /
-    24-bit BMP / PNG) yield pixel statistics, WAV PCM payloads yield
+    24-bit BMP / PNG / GIF / baseline JPEG) yield pixel statistics,
+    WAV PCM payloads yield
     real audio statistics (r11); everything else falls back to the
     byte-stat fake UNCHANGED (the media_feature_rollup oracle replays
     that path bit-for-bit on text payloads, so the fallback must stay

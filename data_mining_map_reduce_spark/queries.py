@@ -20,7 +20,7 @@ import os
 from collections.abc import Callable
 from typing import TypeVar
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .functions.text import STOPWORDS, normalize, tokenize
@@ -4506,11 +4506,17 @@ _DUP_SPAN_N = 8
     """,
 )
 def duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    n = _DUP_SPAN_N
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.split("text", " ").alias("w")
-    )
-    grams = docs.where(F.size("w") >= n).select(
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return _rank_dup_spans(_dup_span_grams(docs))
+
+
+def _dup_span_grams(docs: DataFrame, n: int = _DUP_SPAN_N) -> DataFrame:
+    """X30 core: explode ``(doc_id, text)`` into one row per sliding
+    word ``n``-gram span — transform(sequence) + slice, all codegen,
+    no Python in the hot path. Shared by the uncut X30 query and the
+    winnowing-restricted twin below (and their pytests)."""
+    words = docs.select("doc_id", F.split("text", " ").alias("w"))
+    return words.where(F.size("w") >= n).select(
         "doc_id",
         F.explode(
             F.transform(
@@ -4519,6 +4525,13 @@ def duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("gram"),
     )
+
+
+def _rank_dup_spans(grams: DataFrame, limit: int = 25) -> DataFrame:
+    """X30 ranking: spans reaching >= 2 distinct docs, by document
+    reach then occurrence count; (n_docs, n_occ, gram) is a total
+    order (gram is the grouping key), so the top-``limit`` cut is
+    deterministic across engines."""
     return (
         grams.groupBy("gram")
         .agg(
@@ -4529,7 +4542,7 @@ def duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(
             F.col("n_docs").desc(), F.col("n_occ").desc(), F.col("gram").asc()
         )
-        .limit(25)
+        .limit(limit)
     )
 
 
@@ -4626,6 +4639,194 @@ def pii_scan_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# X31 redaction half: scrub the same three PII patterns through
+# regexp_replace (sequentially: email -> phone -> IPv4, so a count at
+# each stage is exactly the number of substrings that stage replaced),
+# then RE-SCAN the redacted corpus and prove zero residual matches.
+# Counts parity with pii_scan_stats is pytest-asserted (the synthetic
+# corpus + probes contain no overlapping matches, so stage-wise counts
+# equal the detection query's whole-text counts). Replacement tokens
+# ('<EMAIL>' etc.) contain no digits/@/dots so they can never create a
+# new match. DuckDB needs the explicit 'g' flag (its regexp_replace is
+# first-match by default; Spark's is global). Scale: one stateless
+# scan, regexp in codegen, no shuffle past the per-source partial agg
+# — same shape as the detection query.
+# ---------------------------------------------------------------------------
+@query(
+    "pii_redact_stats",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id, text, source FROM documents
+      UNION ALL {_PII_PROBES_SQL}
+    ),
+    s1 AS (
+      SELECT source,
+             len(regexp_extract_all(text, '{_PII_EMAIL}')) AS n_emails,
+             regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g') AS t1
+      FROM corpus
+    ),
+    s2 AS (
+      SELECT source, n_emails,
+             len(regexp_extract_all(t1, '{_PII_PHONE}')) AS n_phones,
+             regexp_replace(t1, '{_PII_PHONE}', '<PHONE>', 'g') AS t2
+      FROM s1
+    ),
+    s3 AS (
+      SELECT source, n_emails, n_phones,
+             len(regexp_extract_all(t2, '{_PII_IPV4}')) AS n_ips,
+             regexp_replace(t2, '{_PII_IPV4}', '<IP>', 'g') AS redacted
+      FROM s2
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_emails) AS BIGINT) AS emails_redacted,
+           CAST(SUM(n_phones) AS BIGINT) AS phones_redacted,
+           CAST(SUM(n_ips) AS BIGINT) AS ips_redacted,
+           CAST(SUM(len(regexp_extract_all(redacted, '{_PII_EMAIL}'))
+                  + len(regexp_extract_all(redacted, '{_PII_PHONE}'))
+                  + len(regexp_extract_all(redacted, '{_PII_IPV4}'))) AS BIGINT)
+             AS residual_matches
+    FROM s3
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def pii_redact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    corpus = docs.unionByName(
+        spark.createDataFrame(
+            [(doc_id, text, "_probe_pii") for doc_id, text in _PII_PROBES],
+            "doc_id long, text string, source string",
+        )
+    )
+    redacted = redact_pii(corpus)
+    return (
+        redacted.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_emails").alias("emails_redacted"),
+            F.sum("n_phones").alias("phones_redacted"),
+            F.sum("n_ips").alias("ips_redacted"),
+            F.sum("n_residual").alias("residual_matches"),
+        )
+        .orderBy("source")
+    )
+
+
+def redact_pii(corpus: DataFrame, text_col: str = "text") -> DataFrame:
+    """Sequential PII scrub (email -> phone -> IPv4) with per-stage
+    replaced counts and a post-scrub residual re-scan. Adds columns
+    ``n_emails n_phones n_ips redacted n_residual`` (counts are the
+    number of substrings each stage's regexp_replace rewrote —
+    counted on that stage's INPUT text, so they are exact even if an
+    earlier stage's replacement changed the surrounding text). The
+    whole thing is a single codegen projection; no shuffle."""
+
+    def _n(col: str, pat: str) -> Column:
+        return F.size(F.regexp_extract_all(col, F.lit(pat), 0))
+
+    return (
+        corpus.withColumn("n_emails", _n(text_col, _PII_EMAIL))
+        .withColumn("_t1", F.regexp_replace(text_col, _PII_EMAIL, "<EMAIL>"))
+        .withColumn("n_phones", _n("_t1", _PII_PHONE))
+        .withColumn("_t2", F.regexp_replace("_t1", _PII_PHONE, "<PHONE>"))
+        .withColumn("n_ips", _n("_t2", _PII_IPV4))
+        .withColumn("redacted", F.regexp_replace("_t2", _PII_IPV4, "<IP>"))
+        .withColumn(
+            "n_residual",
+            _n("redacted", _PII_EMAIL)
+            + _n("redacted", _PII_PHONE)
+            + _n("redacted", _PII_IPV4),
+        )
+        .drop("_t1", "_t2")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X30 x X4 composition: exact-substring dup-span discovery restricted
+# to docs that share a winnowing fingerprint overlap — the documented
+# 100 TB shape (SCALE.md: "pair it with X4"). The uncut X30 explodes
+# EVERY doc into its ~|tokens| spans; here the fingerprint stage
+# (X4's overlap pairs: winnow -> df-capped fp self-join -> >= 10
+# shared fps) first cuts the corpus to candidate near-dup docs, and
+# only those docs pay the span explode + shuffle. On the sf0.001
+# corpus the cut keeps 366/500 docs (synthetic near-dup density is
+# high by design); on a real crawl the candidate set is the near-dup
+# fraction — orders of magnitude smaller than the corpus. Recall
+# contract: a span survives iff its docs ALSO share >= 10 winnowing
+# fingerprints (near-dup docs, not incidental 8-gram echoes) — the
+# pytest pins both the containment direction and the planted-dup
+# recall. The candidate join is AQE-sized (the distinct candidate
+# list is small by construction; AQE converts to broadcast at
+# runtime — no manual hint that would pin a 100 TB-unsafe strategy).
+# ---------------------------------------------------------------------------
+@query(
+    "duplicate_ngram_spans_winnowed",
+    _WINNOW_FP_SQL
+    + f"""
+    , kept AS (
+      SELECT fp FROM fp GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND 100
+    ),
+    sh AS (SELECT doc_id, fp.fp FROM fp JOIN kept USING (fp)),
+    cpair AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN sh b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY doc_a, doc_b
+      HAVING COUNT(*) >= 10
+    ),
+    cand AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT doc_a AS doc_id FROM cpair
+        UNION ALL SELECT doc_b AS doc_id FROM cpair
+      )
+    ),
+    words AS (
+      SELECT d.doc_id, string_split(d.text, ' ') AS w
+      FROM documents d JOIN cand USING (doc_id)
+    ),
+    grams AS (
+      SELECT doc_id,
+             array_to_string(list_slice(w, g, g + {_DUP_SPAN_N - 1}), ' ')
+               AS gram
+      FROM words, UNNEST(generate_series(1, len(w) - {_DUP_SPAN_N - 1}))
+           AS t(g)
+      WHERE len(w) >= {_DUP_SPAN_N}
+    )
+    SELECT gram, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occ
+    FROM grams
+    GROUP BY gram
+    HAVING COUNT(DISTINCT doc_id) >= 2
+    ORDER BY n_docs DESC, n_occ DESC, gram ASC
+    LIMIT 25
+    """,
+)
+def duplicate_ngram_spans_winnowed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return _rank_dup_spans(_dup_span_grams(winnow_candidate_docs(docs)))
+
+
+def winnow_candidate_docs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The X4 candidate cut for X30: keep only docs that appear in at
+    least one winnowing fingerprint-overlap pair (X4 defaults:
+    char-8-grams, window 4, >= 10 shared fps, df cap 100)."""
+    from .operators.dedup import fingerprint_overlap_pairs
+
+    pairs = fingerprint_overlap_pairs(docs, id_col=id_col, text_col=text_col)
+    cand = (
+        pairs.select(F.col("doc_a").alias(id_col))
+        .unionByName(pairs.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    return docs.join(cand, id_col)
+
+
 # The driver's CORRECTNESS artifact records at most the FIRST 50
 # registered queries, so ordering is part of the contract surface.
 # Rotation policy (documented per the r5 advisor's request):
@@ -4641,142 +4842,144 @@ def pii_scan_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRIVER_ORDER = [
     # -- flagship first (also the entry() smoke query) --
     "flagship_category_avg",
-    # -- new queries this round (r11): never had a driver row --
-    "solo_flagship_parity",       # r11 NEW: S10 no-Spark twin vs the flagship oracle
-    "duplicate_ngram_spans",      # r11 NEW: X30 exact-substring (8-gram) dup discovery
-    "pii_scan_stats",             # r11 NEW: X31 PII detection w/ planted probe docs
-    # -- code/oracle/output changed this round (r11): need fresh rows --
-    "cf_item_similarities",       # r11: suffstat Pearson rewrite (r10's flaky-red row — must re-green on the new deterministic formulation)
-    "cf_predictions",             # r11: suffstat Pearson + exact-integer weighted average
-    "cf_user_predictions_lsh",    # r11: same rewrite through the LSH pre-filter path
-    "dedup_canonical_docs_lsh",   # r11: oracle CC rewritten to bounded pointer jumping (now sf0.1/sf1-capable)
-    "media_feature_rollup",       # r11: probe row modality renamed to '_probe_png' (collision advice) — output changed
-    # -- rotated back in: the whole r10 exclusion manifest (last green
-    #    r9 — due this round so no row goes > 2 rounds stale; includes
-    #    cf_user_predictions + corr_qty_price_by_flag, which also
-    #    changed code this round via the shared Pearson rewrite, and
-    #    son_itemsets' standing-heavy slot) --
-    "son_itemsets",
-    "betweenness_mass_check",
-    "sketch_error_check",
-    "kmeans_wcss_check",
-    "ann_recall_check",
-    "partition_layout_stats",
-    "window_distinct_users_approx",
-    "embedding_pair_distances",
-    "session_windows_per_user",
-    "window_tumbling_hourly",
-    "window_sliding_hourly",
-    "window_distinct_users_exact",
-    "asof_last_purchase",
-    "event_rollup_multigrain",
-    "revenue_cube",
-    "fm_distinct_users",
-    "kmv_distinct_users",
-    "source_mix_stats",
-    "tfidf_top_terms",
-    "cooccurrence_pairs",
-    "cf_user_predictions",
-    "content_based_scores",
-    "top_users_by_orders",
-    "avg_price_by_priority",
-    "word_count_top20",
-    "join_filter_brand_counts",
-    "customers_in_both_statuses",
-    "corr_qty_price_by_flag",
-    "customers_never_final",
-    "rollup_revenue",
-    "pivot_status_by_priority",
-    "order_item_lists",
-    "graph_degree_distribution",
-    "graph_triangle_count",
-    "frequent_items",
-    "frequent_pairs",
-    "suffstats_by_label",
-    "bloom_probe_custkeys",
-    "reservoir_sample_events",
-    "weighted_doc_sample",
-    "doc_repetition_scores",
+    # -- new queries this round (r12): never had a driver row --
+    "pii_redact_stats",              # r12 NEW: X31 redaction half (regexp_replace scrub + zero-residual re-scan)
+    "duplicate_ngram_spans_winnowed",  # r12 NEW: X30 x X4 composition (spans over winnowing-candidate docs)
+    # -- code changed this round (r12): needs a fresh row --
+    "duplicate_ngram_spans",         # r12: body refactored onto the shared _dup_span_grams/_rank_dup_spans helpers (same plan; the twin shares them)
+    # -- r9-green rows at the staleness invariant's 2-round limit:
+    #    MUST lead this window (queries.py r11 manifest note) --
+    "count_global",
+    "count_by_year",
+    "distinct_users",
+    # -- rotated back in: the r11 exclusion manifest (last green r10 —
+    #    due this round so no row goes > 2 rounds stale), minus
+    #    girvan_newman_communities (deferred ONE round to make room —
+    #    see _EXCLUDED_R12 note) --
+    "corpus_curation_funnel_lsh",
+    "minhash_lsh_pairs",
+    "gn_quality_check",
+    "media_frame_sample",
+    "simhash_doc_pairs",
+    "fpgrowth_itemsets",
+    "dedup_canonical_docs",
+    "graph_components",
+    "ann_topk_ivfpq",
+    "doc_length_percentiles_approx",
+    "dict_encode_brands",
+    "dict_encode_partkeys_big",
+    "contamination_ngram_overlap",
+    "cm_heavy_hitter_partkeys",
+    "window_heavy_hitter_users",
+    "kmeans_cluster_sizes",
+    "bfr_round_stats",
+    "ann_topk_exact",
+    "ann_topk_lsh",
+    "ann_topk_ivf",
+    "jaccard_pairs_exact",
+    "near_dup_docs_exact",
+    "near_dup_docs_lsh",
+    "corpus_curation_funnel",
+    "graph_betweenness_top",
+    "graph_betweenness_sampled",
+    "graph_lpa_community_sizes",
+    "doc_quality_stats",
+    "token_counts_docs",
+    "language_id_docs",
+    "largest_baskets",
+    "priority_token_counts",
+    "event_props_extract",
+    "union_filtered_event_counts",
+    "event_value_tier_counts",
+    "doc_length_percentiles",
+    "top_customers_per_segment",
+    "approx_distinct_users",
+    "doc_fingerprint_stats",
+    "fingerprint_overlap_pairs",
+    "exact_dup_doc_groups",
+    "train_test_split_counts",
+    "baskets_by_customer",
     # ---- driver cap (50) falls here ----
 ]
 
-# Queries excluded from the r11 driver window: every row below was
-# green in CORRECTNESS_r10, and each rotates back in r12 (the audit
-# invariant "every registered query keeps a driver row <= 2 rounds
-# old" holds — these are all 1 round old at r11 close). Five of them
-# DID change this round; each carries the specific reason its change
-# is covered without an in-window slot (the window is hard-capped at
-# 50 and the 44-row r10 manifest + the 5 result-changed queries above
-# fill it):
-#   - graph_components / dedup_canonical_docs: oracle switched to the
-#     shared _cc_pointer_jump_ctes generator — the SAME generator is
-#     exercised in-window via dedup_canonical_docs_lsh; both verified
-#     hash-green by driver_sim this session (sf0.01; graph_components
-#     also sf0.1), Spark plans untouched (dedup_canonical_docs also
-#     gained the no-op-below-threshold scale guard, pytest-gated).
-#   - jaccard_pairs_exact / near_dup_docs_exact /
-#     corpus_curation_funnel: only change is the
-#     SPARK_GRAFT_EXACT_PAIRS_MAX guard, a no-op below the threshold
-#     (pytest asserts both sides); all three driver_sim hash-green at
-#     sf0.01 this session.
-_EXCLUDED_R11 = [
+# Queries excluded from the r12 driver window: every row below except
+# girvan_newman_communities was green in CORRECTNESS_r11 (1 round old
+# at r12 close — inside the "every registered query keeps a driver
+# row <= 2 rounds old" invariant), and each rotates back in r13.
+# Notes on rows whose SOURCE changed this round without an in-window
+# slot:
+#   - reservoir_sample_events / weighted_doc_sample: r12 adds a
+#     defensive row cap to ReservoirSampler.foreach_batch
+#     (streaming/reservoir.py) — NEITHER query touches that code path
+#     (both are built on uniform_sample/weighted_sample, unchanged);
+#     the cap is pytest-gated on both sides (tests/test_streaming.py).
+#   - pii_scan_stats: untouched; the new pii_redact_stats shares its
+#     pattern constants + probe rows but adds only new code. The
+#     parity pytest (tests/test_pii.py) pins detection == redaction
+#     counts, so the in-window redaction row transitively re-checks
+#     the detection arithmetic.
+_EXCLUDED_R12 = [
     # name                      last green driver row
-    # -- deferred ONE extra round to make window room for the three
-    #    r11 NEW queries (the rotation policy gives never-rowed
-    #    queries priority). All three are one-expression aggregates
-    #    whose code is untouched since r1, r9-green, re-verified by
-    #    driver_sim this session; a r9 row is exactly 2 rounds old at
-    #    r11 close, the invariant's limit, so these three lead the
-    #    r12 window. --
-    ("count_global", "r9 (2 rounds old at r11 close — MUST rotate in r12)"),
-    ("count_by_year", "r9 (2 rounds old at r11 close — MUST rotate in r12)"),
-    ("distinct_users", "r9 (2 rounds old at r11 close — MUST rotate in r12)"),
-    ("corpus_curation_funnel_lsh", "r10 (new row, hash-green)"),
-    ("minhash_lsh_pairs", "r10 (capped variant, hash-green)"),
-    ("gn_quality_check", "r10 (pinned Q, hash-green)"),
-    ("media_frame_sample", "r10"),
-    ("simhash_doc_pairs", "r10"),
-    ("fpgrowth_itemsets", "r10"),
-    ("dedup_canonical_docs", "r10; r11 oracle change covered — see note above"),
-    ("graph_components", "r10; r11 oracle change covered — see note above"),
-    ("girvan_newman_communities", "r10 rows-only (no oracle by design)"),
-    ("ann_topk_ivfpq", "r10 rows-only + recall pytests"),
-    ("doc_length_percentiles_approx", "r10 rows-only + rank-error pin"),
-    ("dict_encode_brands", "r10"),
-    ("dict_encode_partkeys_big", "r10"),
-    ("contamination_ngram_overlap", "r10"),
-    ("cm_heavy_hitter_partkeys", "r10"),
-    ("window_heavy_hitter_users", "r10"),
-    ("kmeans_cluster_sizes", "r10 rows-only + pytest goldens"),
-    ("bfr_round_stats", "r10 rows-only + pinned counts"),
-    ("ann_topk_exact", "r10"),
-    ("ann_topk_lsh", "r10"),
-    ("ann_topk_ivf", "r10 rows-only + ann_recall_check r9"),
-    ("jaccard_pairs_exact", "r10; r11 guard is a no-op below threshold — see note above"),
-    ("near_dup_docs_exact", "r10; r11 guard no-op — see note above"),
-    ("near_dup_docs_lsh", "r10"),
-    ("corpus_curation_funnel", "r10; r11 guard no-op — see note above"),
-    ("graph_betweenness_top", "r10 rows-only + betweenness_mass_check r9"),
-    ("graph_betweenness_sampled", "r10 rows-only"),
-    ("graph_lpa_community_sizes", "r10"),
-    ("doc_quality_stats", "r10"),
-    ("token_counts_docs", "r10"),
-    ("language_id_docs", "r10"),
-    ("largest_baskets", "r10"),
-    ("priority_token_counts", "r10"),
-    ("event_props_extract", "r10"),
-    ("union_filtered_event_counts", "r10"),
-    ("event_value_tier_counts", "r10"),
-    ("doc_length_percentiles", "r10"),
-    ("top_customers_per_segment", "r10"),
-    ("approx_distinct_users", "r10 rows-only + sketch_error_check r9"),
-    ("doc_fingerprint_stats", "r10"),
-    ("fingerprint_overlap_pairs", "r10"),
-    ("exact_dup_doc_groups", "r10"),
-    ("train_test_split_counts", "r10"),
-    ("baskets_by_customer", "r10"),
+    # -- deferred ONE extra round (the only r10-green row without an
+    #    r12 slot; the window is hard-capped at 50 and the 44-row r11
+    #    manifest minus this one + the 3 r9 must-rotate rows + the 2
+    #    new queries + the refactored X30 fill it). Rows-only by
+    #    design (community assignments have no SQL oracle), golden
+    #    pytest-pinned, and its FULL-oracle quality twin
+    #    gn_quality_check IS in-window this round on the same
+    #    operator. 2 rounds old at r12 close = the invariant's limit:
+    #    MUST rotate in r13. --
+    ("girvan_newman_communities", "r10 rows-only (MUST rotate in r13)"),
+    ("solo_flagship_parity", "r11 (new row, hash-green)"),
+    ("pii_scan_stats", "r11 (new row, hash-green; see note above)"),
+    ("cf_item_similarities", "r11 (re-greened on the suffstat Pearson)"),
+    ("cf_predictions", "r11"),
+    ("cf_user_predictions_lsh", "r11"),
+    ("dedup_canonical_docs_lsh", "r11"),
+    ("media_feature_rollup", "r11"),
+    ("son_itemsets", "r11"),
+    ("betweenness_mass_check", "r11"),
+    ("sketch_error_check", "r11"),
+    ("kmeans_wcss_check", "r11"),
+    ("ann_recall_check", "r11"),
+    ("partition_layout_stats", "r11 rows-only (no oracle by design)"),
+    ("window_distinct_users_approx", "r11"),
+    ("embedding_pair_distances", "r11"),
+    ("session_windows_per_user", "r11"),
+    ("window_tumbling_hourly", "r11"),
+    ("window_sliding_hourly", "r11"),
+    ("window_distinct_users_exact", "r11"),
+    ("asof_last_purchase", "r11"),
+    ("event_rollup_multigrain", "r11"),
+    ("revenue_cube", "r11"),
+    ("fm_distinct_users", "r11"),
+    ("kmv_distinct_users", "r11"),
+    ("source_mix_stats", "r11"),
+    ("tfidf_top_terms", "r11"),
+    ("cooccurrence_pairs", "r11"),
+    ("cf_user_predictions", "r11"),
+    ("content_based_scores", "r11"),
+    ("top_users_by_orders", "r11"),
+    ("avg_price_by_priority", "r11"),
+    ("word_count_top20", "r11"),
+    ("join_filter_brand_counts", "r11"),
+    ("customers_in_both_statuses", "r11"),
+    ("corr_qty_price_by_flag", "r11"),
+    ("customers_never_final", "r11"),
+    ("rollup_revenue", "r11"),
+    ("pivot_status_by_priority", "r11"),
+    ("order_item_lists", "r11"),
+    ("graph_degree_distribution", "r11"),
+    ("graph_triangle_count", "r11"),
+    ("frequent_items", "r11"),
+    ("frequent_pairs", "r11"),
+    ("suffstats_by_label", "r11"),
+    ("bloom_probe_custkeys", "r11"),
+    ("reservoir_sample_events", "r11; r12 cap change covered — see note above"),
+    ("weighted_doc_sample", "r11; r12 cap change covered — see note above"),
+    ("doc_repetition_scores", "r11"),
 ]
-_DRIVER_ORDER += [name for name, _ in _EXCLUDED_R11]
+_DRIVER_ORDER += [name for name, _ in _EXCLUDED_R12]
 
 
 _V = TypeVar("_V")

@@ -13,7 +13,8 @@ Two interchangeable engines, parity-pinned against each other and
 against the Spark flagship by pytest:
 
 - ``engine="loop"`` — the reference branch's shape: stdlib dicts, one
-  pass over the fact rows. Readable ground truth.
+  pass over the fact rows. Readable ground truth (r12: accumulates
+  exact int cents, the same exactness model as the vector engine).
 - ``engine="vector"`` (default) — the same aggregation vectorized
   with numpy: prices are money with exactly 2 decimals (asserted), so
   they group-sum as int64 cents via bincount over factorized part
@@ -40,7 +41,6 @@ module says so instead of pretending otherwise. Use
 from __future__ import annotations
 
 from decimal import ROUND_HALF_UP, Decimal
-from math import fsum
 from typing import NamedTuple
 
 
@@ -64,18 +64,29 @@ def _solo_loop(tokens_by_key, part_keys, li_keys, li_prices):
     """Reference-shaped dict loop (reference Assignment1/task2.py:
     85-118). Differences are deliberate fixes, not semantic drift:
     sums accumulate per category key directly (the reference's
-    vocab.index() linear scan is O(vocab) per update) and floats sum
-    through math.fsum, which is exactly rounded, so the result cannot
-    depend on accumulation order the way a naive running sum can."""
-    prices: dict[str, list[float]] = {}
+    vocab.index() linear scan is O(vocab) per update) and prices
+    accumulate as exact int cents — the SAME exactness model as the
+    vector engine (r12, advisor ask), so the two solo engines are
+    bit-identical by construction and the only remaining float story
+    is the final cents/100 ÷ n, shared by both. (Previously this used
+    math.fsum over the stored doubles, which differs from the cents
+    sum by ~1 ulp pre-round — enough to flip a 4-dp half-boundary
+    average between engines in principle.)"""
+    cents_by_tok: dict[str, list[int]] = {}
     for key, price in zip(li_keys, li_prices):
         toks = tokens_by_key.get(key)
         if toks is None:
             continue  # inner-join semantics
+        scaled = price * 100.0
+        c = round(scaled)
+        if abs(scaled - c) >= 1e-6:
+            raise ValueError("l_extendedprice is not 2-decimal money")
         for tok in toks:
-            prices.setdefault(tok, []).append(price)
+            acc = cents_by_tok.setdefault(tok, [0, 0])
+            acc[0] += c
+            acc[1] += 1
     return {
-        tok: (fsum(vals), len(vals)) for tok, vals in prices.items()
+        tok: (cents / 100.0, n) for tok, (cents, n) in cents_by_tok.items()
     }
 
 

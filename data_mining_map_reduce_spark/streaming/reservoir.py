@@ -45,14 +45,38 @@ class ReservoirSampler:
             elif self._rng.random() < self.capacity / self.count:
                 self.items[self._rng.randrange(self.capacity)] = item
 
-    def foreach_batch(self, order_col: str):
+    def foreach_batch(self, order_col: str, batch_cap: int = 1_000_000):
         """ST6: foreachBatch callback feeding rows in a deterministic
         per-batch order (micro-batch content is deterministic under
         availableNow file replay; ordering within the batch must be
-        pinned for reproducibility)."""
+        pinned for reproducibility).
+
+        ``batch_cap`` bounds the per-batch ``collect()`` — this
+        sampler IS driver-side sequential state by its documented
+        semantics (reference Assignment6/task3.py's global reservoir),
+        but an unbounded collect of a runaway micro-batch would OOM
+        the driver before the operator's semantics ever mattered, so
+        oversized batches fail fast with the scale prescription
+        (graph.py ``local_cap`` precedent: convert 'documented
+        driver-side' into 'refuses to be misused'). Set
+        ``batch_cap=0`` to disable. The executor-side keyed reservoir
+        (streaming/stateful.py ``keyed_reservoir``) is the unbounded-
+        scale path."""
 
         def _fn(batch_df: DataFrame, batch_id: int) -> None:
-            rows = batch_df.orderBy(order_col).collect()
+            if batch_cap > 0:
+                rows = batch_df.orderBy(order_col).limit(batch_cap + 1).collect()
+                if len(rows) > batch_cap:
+                    raise RuntimeError(
+                        f"ReservoirSampler.foreach_batch: micro-batch "
+                        f"{batch_id} exceeds batch_cap={batch_cap} rows; "
+                        "shrink the trigger interval / maxFilesPerTrigger, "
+                        "raise batch_cap explicitly, or use the "
+                        "executor-side keyed_reservoir "
+                        "(streaming/stateful.py) — the unbounded-scale path."
+                    )
+            else:
+                rows = batch_df.orderBy(order_col).collect()
             self.feed(rows)
 
         return _fn

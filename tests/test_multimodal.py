@@ -687,6 +687,26 @@ def test_jpeg_lossy_roundtrip_bounded_error():
     assert err.max() <= 8
 
 
+def test_jpeg_fill_bytes_before_markers_tolerated():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may pad before a
+    marker. A padded stream must decode to the same pixels as the
+    unpadded one (r12 fix — previously the fill byte desynced the
+    marker loop into the ValueError fallback)."""
+    import numpy as np
+
+    from data_mining_map_reduce_spark.operators.jpeg import (
+        _decode_jpeg,
+        encode_jpeg,
+    )
+
+    rgb = np.full((8, 8, 3), 180, dtype=np.uint8)
+    clean = encode_jpeg(8, 8, rgb.tobytes())
+    # pad the first DQT marker (FF DB -> FF FF FF DB): legal fill
+    i = clean.index(b"\xff\xdb")
+    padded = clean[:i] + b"\xff\xff" + clean[i:]
+    assert _decode_jpeg(padded) == _decode_jpeg(clean)
+
+
 def test_jpeg_restart_interval_and_grayscale():
     import numpy as np
 

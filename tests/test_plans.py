@@ -183,3 +183,34 @@ def test_pii_scan_plan_stays_in_codegen(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
     assert "partial_" in plan
+
+
+def test_pii_redact_plan_stays_in_codegen(spark, sf_dir):
+    """The redaction half is the same stateless scan shape as the
+    detection half — the regexp_replace chain and all six re-scan
+    counts are one codegen projection, one partial-aggregated
+    groupBy, no Python nodes, no join."""
+    from data_mining_map_reduce_spark.queries import pii_redact_stats
+
+    plan = _plan(pii_redact_stats(spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert "partial_" in plan
+
+
+def test_winnowed_spans_plan_shape(spark, sf_dir):
+    """X30 x X4: no Python nodes anywhere (winnowing is window
+    functions over a posexplode, the span expansion is the same
+    codegen tree as the uncut X30), no cartesian product, and the
+    final top-25 is TakeOrderedAndProject. The candidate join is left
+    to AQE on purpose (the candidate list's size is data-dependent) —
+    this test pins only the 100TB-unsafe shapes out."""
+    from data_mining_map_reduce_spark.queries import (
+        duplicate_ngram_spans_winnowed,
+    )
+
+    plan = _plan(duplicate_ngram_spans_winnowed(spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan

@@ -79,6 +79,83 @@ def test_duplicate_ngram_spans_semantics(spark, tmp_path):
     ]
 
 
+_PASSAGE = (
+    "the quick brown fox jumps over seventeen green wizards who "
+    "compile elaborate spark plans nightly before dawn breaks"
+)
+
+
+def _winnowed_fixture(tmp_path):
+    """docs 1+2 share an 18-word passage (long enough that winnowing
+    guarantees >= 10 shared fingerprints -> they become candidates);
+    docs 3+4 share exactly one 8-gram of single-letter words (8
+    normalized chars — below the k+window-1 = 11-char winnowing
+    guarantee and far below the 10-shared-fps pair threshold -> NOT
+    candidates); doc 5 is unrelated."""
+    return _write_documents(
+        tmp_path,
+        [
+            (1, "alpha beta " + _PASSAGE + " gamma"),
+            (2, "delta epsilon " + _PASSAGE + " zeta"),
+            (3, "a b c d e f g h i nine ten eleven twelve"),
+            (4, "zz yy xx a b c d e f g h qq rr ss tt"),
+            (5, "completely unrelated filler content goes here okay then"),
+        ],
+    )
+
+
+def test_winnowed_spans_cut_non_candidate_docs(spark, tmp_path):
+    sf = _winnowed_fixture(tmp_path)
+    uncut = {
+        (r.gram, r.n_docs, r.n_occ)
+        for r in SPARK_QUERIES["duplicate_ngram_spans"](spark, sf).collect()
+    }
+    winnowed = {
+        (r.gram, r.n_docs, r.n_occ)
+        for r in SPARK_QUERIES["duplicate_ngram_spans_winnowed"](
+            spark, sf
+        ).collect()
+    }
+    # the planted near-dup passage: all 11 of its word-8-grams
+    # survive the winnowing cut with full counts (recall on true
+    # near-dups)
+    words = _PASSAGE.split()
+    passage_spans = {
+        (" ".join(words[i : i + 8]), 2, 2) for i in range(len(words) - 7)
+    }
+    assert len(passage_spans) == 11
+    assert passage_spans <= winnowed
+    assert passage_spans <= uncut
+    # the incidental single-8-gram echo is in the uncut result but
+    # cut by the candidate stage (its docs share < 10 fingerprints)
+    assert ("a b c d e f g h", 2, 2) in uncut
+    assert ("a b c d e f g h", 2, 2) not in winnowed
+    # containment: on this fixture every winnowed span's occurrences
+    # are confined to candidate docs, so its counts match the uncut
+    # query's exactly
+    assert winnowed <= uncut
+
+
+def test_winnowed_spans_equal_spans_over_candidates(spark, tmp_path):
+    """The composition is exactly 'X30 restricted to X4's candidate
+    docs': recomputing span ranking over winnow_candidate_docs by hand
+    must reproduce the registered query bit-for-bit."""
+    from data_mining_map_reduce_spark.queries import (
+        _dup_span_grams,
+        _rank_dup_spans,
+        winnow_candidate_docs,
+    )
+    from data_mining_map_reduce_spark.sources.catalog import load_table
+
+    sf = _winnowed_fixture(tmp_path)
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    manual = _rank_dup_spans(_dup_span_grams(winnow_candidate_docs(docs)))
+    registered = SPARK_QUERIES["duplicate_ngram_spans_winnowed"](spark, sf)
+    assert [tuple(r) for r in manual.collect()] == [
+        tuple(r) for r in registered.collect()
+    ]
+
+
 def test_pii_probe_row_pinned(spark):
     """The planted '_probe_pii' docs carry known PII: 2 emails, 2
     phone numbers, 5 IPv4s across 3 documents (root@10.1.1.5 is an

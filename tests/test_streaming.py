@@ -128,6 +128,34 @@ def test_reservoir_stream_deterministic_and_bounded(spark, sf_dir, tmp_path):
     assert [r.event_id for r in a.items] == [r.event_id for r in b.items]
 
 
+def test_reservoir_batch_cap_both_sides(spark, sf_dir, tmp_path):
+    """The defensive per-batch collect cap (r12): a batch within the
+    cap feeds normally and preserves the exact sampler semantics; a
+    batch over the cap fails fast with the scale prescription instead
+    of collecting unbounded rows to the driver."""
+    import pytest
+
+    events = load_table(spark, sf_dir, "events").select("event_id").limit(500)
+
+    # under the cap: identical result to the uncapped path
+    capped, uncapped = (
+        ReservoirSampler(capacity=100, seed=7),
+        ReservoirSampler(capacity=100, seed=7),
+    )
+    capped.foreach_batch("event_id", batch_cap=500)(events, 0)
+    uncapped.foreach_batch("event_id", batch_cap=0)(events, 0)
+    assert capped.count == uncapped.count == 500
+    assert [r.event_id for r in capped.items] == [
+        r.event_id for r in uncapped.items
+    ]
+
+    # over the cap: refuses, names the keyed executor-side path
+    sampler = ReservoirSampler(capacity=100, seed=7)
+    with pytest.raises(RuntimeError, match="keyed_reservoir"):
+        sampler.foreach_batch("event_id", batch_cap=499)(events, 1)
+    assert sampler.count == 0  # nothing partially fed
+
+
 def test_reservoir_uniformity_smoke(spark, sf_dir, tmp_path):
     """Sampled ids should span the id range, not cluster at the
     start (the keep-first-100 failure mode)."""
