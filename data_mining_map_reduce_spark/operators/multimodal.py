@@ -31,9 +31,11 @@ pixel statistics, everything else falls back to the deterministic
 byte-stat fake (bit-identical to the pre-r8 behavior, which the
 media_feature_rollup oracle replays). ``decode_audio`` REALLY
 decodes WAV integer PCM (r11: stdlib struct + numpy, ``encode_wav``
-deterministic twin) into real audio statistics. Remaining stubs are
-the formats whose codecs genuinely aren't in this container:
-WebP/AVIF/progressive-JPEG for images, mp3/flac/ogg for audio —
+deterministic twin) and FLAC (r12: pure-integer Rice/LPC decode,
+operators/flac.py, ``encode_flac`` deterministic twin) into real
+audio statistics. Remaining stubs are the formats whose codecs
+genuinely aren't in this container:
+WebP/AVIF/progressive-JPEG for images, mp3/ogg for audio —
 those raise NotImplementedError (unrecognized magic) or ValueError
 (recognized container, unsupported variant); swap ``feature_fn``
 for a real decoder (PIL/librosa/ffmpeg) in a production image —
@@ -667,7 +669,7 @@ def _decode_wav(payload: bytes) -> tuple[int, int, "np.ndarray"]:
     twin of the r9/r10 PNG move): RIFF/WAVE container, format tag 1
     (integer PCM) at 8 or 16 bits. Returns (sample_rate, n_channels,
     samples) with samples float64 in [-1, 1), shape
-    (n_frames, n_channels). Compressed codecs (mp3/flac/ogg, and
+    (n_frames, n_channels). Lossy codecs (mp3/ogg, and
     float/extensible WAV variants) raise ValueError so the byte-stat
     fallback catches them — those genuinely need codec libraries this
     container doesn't have."""
@@ -768,11 +770,11 @@ def _audio_features(
 
 
 def decode_audio(payload: bytes) -> tuple[int, int, "np.ndarray"]:
-    """Audio decode dispatcher: WAV integer PCM decodes for real (see
-    ``_decode_wav``); compressed codecs (mp3/flac/ogg/...) require
-    audio libraries absent from this container and raise
-    NotImplementedError — pass a real decoder via
-    ``extract_features(feature_fn=...)`` there."""
+    """Audio decode dispatcher: WAV integer PCM (``_decode_wav``) and
+    FLAC (operators/flac.py — pure-integer, r12) decode for real;
+    lossy codecs (mp3/ogg/...) require audio libraries absent from
+    this container and raise NotImplementedError — pass a real
+    decoder via ``extract_features(feature_fn=...)`` there."""
     if payload is None or len(payload) < 12:
         raise ValueError("empty audio payload")
     if bytes(payload[:4]) == b"RIFF" and bytes(payload[8:12]) == b"WAVE":
@@ -782,9 +784,19 @@ def decode_audio(payload: bytes) -> tuple[int, int, "np.ndarray"]:
             return _decode_wav(bytes(payload))
         except (_struct.error, IndexError, OverflowError) as exc:
             raise ValueError(f"corrupt WAV payload: {exc}") from exc
+    if bytes(payload[:4]) == b"fLaC":
+        from .flac import _decode_flac
+
+        try:
+            return _decode_flac(bytes(payload))
+        except (IndexError, OverflowError) as exc:
+            # flac.py raises ValueError by contract (bounds-checked
+            # bit reader); this normalizes any stragglers the same
+            # way the WAV branch does
+            raise ValueError(f"corrupt FLAC payload: {exc}") from exc
     raise NotImplementedError(
-        "audio codec not recognized as WAV PCM; decoding it requires "
-        "an audio library not present in this environment; "
+        "audio codec not recognized as WAV PCM or FLAC; decoding it "
+        "requires an audio library not present in this environment; "
         "extract_features(feature_fn=...) accepts a real decoder"
     )
 
@@ -847,15 +859,17 @@ def _default_features(payload: bytes) -> list[float]:
     if (
         payload is not None
         and len(payload) >= 12
-        and bytes(payload[:4]) == b"RIFF"
-        and bytes(payload[8:12]) == b"WAVE"
+        and (
+            (bytes(payload[:4]) == b"RIFF" and bytes(payload[8:12]) == b"WAVE")
+            or bytes(payload[:4]) == b"fLaC"
+        )
     ):
         try:
             # via decode_audio, which normalizes struct/index errors
             # from corrupt containers into the ValueError contract
             return _audio_features(*decode_audio(payload))
         except ValueError:
-            pass  # looked like WAV but is not decodable → byte stats
+            pass  # looked like WAV/FLAC but not decodable → byte stats
     return _fake_features(payload)
 
 

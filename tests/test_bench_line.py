@@ -1,0 +1,72 @@
+"""bench.py line rendering (r12): the official JSON line must carry
+[min, max] spread for the heaviest multi-sampled queries, stay inside
+the driver's stdout capture budget, and degrade by folding the
+smallest timings first — never by silently dropping heavy rows."""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+from pathlib import Path
+
+_spec = importlib.util.spec_from_file_location(
+    "bench", Path(__file__).resolve().parent.parent / "bench.py"
+)
+bench = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(bench)
+
+
+def _fleet(n_small: int):
+    timings = {f"q{i:03d}": 0.3 for i in range(n_small)}
+    timings.update({"heavy_a": 12.3456, "heavy_b": 8.1, "heavy_c": 5.0})
+    samples = {
+        "heavy_a": [14.0, 12.3456, 11.9],
+        "heavy_b": [8.1, 8.4, 7.9],
+        "heavy_c": [5.0],  # single sample -> no spread entry
+    }
+    return timings, samples
+
+
+def test_spread_and_total_in_line():
+    timings, samples = _fleet(10)
+    line = bench.render_line(timings, {}, 0.1, samples, spread_top=8)
+    d = json.loads(line)
+    assert d["spread"] == {"heavy_a": [11.9, 14.0], "heavy_b": [7.9, 8.4]}
+    assert d["queries"]["heavy_a"] == 12.3
+    assert d["value"] == round(sum(timings.values()), 2)
+    assert "errors" not in d
+
+
+def test_over_budget_folds_small_rows_keeps_spread():
+    timings, samples = _fleet(200)
+    line = bench.render_line(timings, {}, 0.1, samples, spread_top=8)
+    assert len(line) <= 1900
+    d = json.loads(line)
+    # spread survives the fold; heavy rows stay visible; the fold
+    # bucket accounts for the folded mass so the total still checks
+    assert d["spread"]["heavy_a"] == [11.9, 14.0]
+    assert "heavy_a" in d["queries"] and "heavy_b" in d["queries"]
+    assert d["queries"]["other"] > 0
+    assert abs(sum(d["queries"].values()) - d["value"]) < 0.1 * len(timings)
+
+
+def test_tiny_budget_sheds_spread_last_cheapest_first():
+    timings, samples = _fleet(200)
+    # 160 bytes: folding alone can't fit -> the CHEAPER spread entry
+    # (heavy_b) sheds, the heaviest survives
+    line = bench.render_line(timings, {}, 0.1, samples, spread_top=8, budget=160)
+    assert len(line) <= 160
+    d = json.loads(line)
+    assert d["spread"] == {"heavy_a": [11.9, 14.0]}
+    assert "heavy_a" in d["queries"]
+    # 140 bytes: all spread shed, heavy rows still visible
+    d = json.loads(
+        bench.render_line(timings, {}, 0.1, samples, spread_top=8, budget=140)
+    )
+    assert "spread" not in d
+    assert "heavy_a" in d["queries"]
+
+
+def test_no_samples_no_spread_key():
+    line = bench.render_line({"q": 1.0}, {}, 0.01, None)
+    assert "spread" not in json.loads(line)
