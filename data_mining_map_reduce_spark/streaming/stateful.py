@@ -45,6 +45,33 @@ def _u01(*parts: Any) -> float:
     return (int.from_bytes(h, "big") & _MASK) / float(_MASK + 1)
 
 
+def _fold_batch(
+    k: Any,
+    n: int,
+    items: list[int],
+    pdf: pd.DataFrame,
+    item_col: str,
+    order_col: str,
+    capacity: int,
+    seed: int,
+) -> int:
+    """The per-key update rule, shared verbatim by BOTH stateful
+    APIs below (so their outputs are bit-identical by construction):
+    first ``capacity`` items fill the reservoir; the n-th item is
+    kept with probability capacity/n, evicting a uniform slot
+    (Assignment6/task3.py:52-60); randomness hash-derived, rows
+    folded in (order_col, item_col) order."""
+    pdf = pdf.sort_values([order_col, item_col])
+    for item in pdf[item_col]:
+        item = int(item)
+        n += 1
+        if len(items) < capacity:
+            items.append(item)
+        elif _u01(k, n, seed, "keep") < capacity / n:
+            items[int(_u01(k, n, seed, "slot") * capacity)] = item
+    return n
+
+
 def keyed_reservoir(
     stream: DataFrame,
     key_col: str = "user_id",
@@ -58,10 +85,7 @@ def keyed_reservoir(
     the reservoir AFTER folding that batch in; the last row per key
     after a bounded replay is the full-stream sample.
 
-    Update rule per item (the reference's, per key): first
-    ``capacity`` items fill the reservoir; the n-th item is kept with
-    probability capacity/n, evicting a uniform slot
-    (Assignment6/task3.py:52-60).
+    Update rule per item: see ``_fold_batch``.
     """
 
     def update(
@@ -74,14 +98,9 @@ def keyed_reservoir(
         else:
             n, items = 0, []
         for pdf in pdfs:
-            pdf = pdf.sort_values([order_col, item_col])
-            for item in pdf[item_col]:
-                item = int(item)
-                n += 1
-                if len(items) < capacity:
-                    items.append(item)
-                elif _u01(k, n, seed, "keep") < capacity / n:
-                    items[int(_u01(k, n, seed, "slot") * capacity)] = item
+            n = _fold_batch(
+                k, n, items, pdf, item_col, order_col, capacity, seed
+            )
         state.update((n, items))
         yield pd.DataFrame(
             {key_col: [k], "n_seen": [n], "sample": [list(items)]}
@@ -98,5 +117,77 @@ def keyed_reservoir(
             stateStructType="n bigint, items array<bigint>",
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def keyed_reservoir_tws(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    item_col: str = "event_id",
+    order_col: str = "ts",
+    capacity: int = 32,
+    seed: int = 7,
+) -> DataFrame:
+    """ST8 on Spark 4's ``transformWithStateInPandas`` (r12) — the
+    successor API to applyInPandasWithState: named state variables on
+    the RocksDB state store (requires
+    ``spark.sql.streaming.stateStore.providerClass =
+    ...state.RocksDBStateStoreProvider``), timers, and multiple state
+    types per processor. This operator needs only one ValueState, and
+    it folds items through the SAME ``_fold_batch`` rule with the
+    same hash-derived randomness as ``keyed_reservoir`` — so the two
+    APIs' outputs are bit-identical, pytest-pinned
+    (tests/test_streaming.py::test_keyed_reservoir_tws_parity).
+
+    Environment note: the transformWithState Python state server
+    speaks protobuf (``google.protobuf``), which this container does
+    not ship — there the parity pytest SKIPS with the dependency
+    named and ``keyed_reservoir`` (applyInPandasWithState, no such
+    dependency) remains the exercised ST8 path. The plan still
+    builds without protobuf (import needed only at query start), so
+    the operator is fully validated wherever protobuf exists."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _Reservoir(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "reservoir", "n bigint, items array<bigint>"
+            )
+
+        def handleInputRows(
+            self, key: tuple, rows: Iterator[pd.DataFrame], timerValues: Any
+        ) -> Iterator[pd.DataFrame]:
+            (k,) = key
+            if self._state.exists():
+                n, items = self._state.get()
+                items = list(items)
+            else:
+                n, items = 0, []
+            for pdf in rows:
+                n = _fold_batch(
+                    k, n, items, pdf, item_col, order_col, capacity, seed
+                )
+            self._state.update((n, items))
+            yield pd.DataFrame(
+                {key_col: [k], "n_seen": [n], "sample": [list(items)]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        stream.select(key_col, item_col, order_col)
+        .groupBy(key_col)
+        .transformWithStateInPandas(
+            statefulProcessor=_Reservoir(),
+            outputStructType=(
+                f"{key_col} bigint, n_seen bigint, sample array<bigint>"
+            ),
+            outputMode="update",
+            timeMode="none",
         )
     )

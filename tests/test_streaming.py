@@ -434,6 +434,72 @@ def test_keyed_reservoir_bounded_and_deterministic(spark, sf_dir, tmp_path):
     assert run("reservoir_small_b") == got1
 
 
+def test_keyed_reservoir_tws_parity(spark, sf_dir, tmp_path):
+    """ST8 successor API (r12): transformWithStateInPandas must
+    reproduce applyInPandasWithState bit-for-bit — both fold through
+    the shared _fold_batch rule with hash-derived randomness. Skips
+    (dependency named) where google.protobuf is absent: the TWS
+    Python state server requires it and this container doesn't ship
+    it; the plan itself still builds, which this test exercises
+    before deciding to skip."""
+    import pytest
+
+    from data_mining_map_reduce_spark.streaming.stateful import (
+        keyed_reservoir,
+        keyed_reservoir_tws,
+    )
+
+    path = _events_dir(spark, sf_dir, tmp_path)
+
+    def finals(rows):
+        out = {}
+        for r in rows:
+            if r.user_id not in out or r.n_seen > out[r.user_id][0]:
+                out[r.user_id] = (r.n_seen, tuple(sorted(r.sample)))
+        return out
+
+    # the TWS plan must BUILD regardless of protobuf availability
+    tws_df = keyed_reservoir_tws(
+        file_stream(spark, path, TABLES["events"]), capacity=8
+    )
+    assert [f.name for f in tws_df.schema.fields] == [
+        "user_id",
+        "n_seen",
+        "sample",
+    ]
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        pytest.skip(
+            "google.protobuf absent: transformWithStateInPandas' "
+            "Python state server cannot start in this container; "
+            "keyed_reservoir (applyInPandasWithState) is the "
+            "exercised ST8 path here"
+        )
+
+    apws = finals(
+        run_stream_to_memory(
+            keyed_reservoir(
+                file_stream(spark, path, TABLES["events"]), capacity=8
+            ),
+            "tws_parity_apws",
+            output_mode="update",
+        )
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        tws = finals(
+            run_stream_to_memory(tws_df, "tws_parity_tws", output_mode="update")
+        )
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    assert tws == apws
+
+
 def test_session_window_stream_batch_parity(spark, sf_dir, tmp_path):
     """ST2 session windows: the stream's emitted sessions must be
     EXACTLY the batch session_window aggregation restricted to
