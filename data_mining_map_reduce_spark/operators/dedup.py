@@ -257,7 +257,17 @@ def fingerprint_overlap_pairs(
 
     Returns (doc_a, doc_b, n_shared).
     """
-    fps = winnow_fingerprints(docs, id_col, text_col, k, window)
+    # localCheckpoint (the simhash idiom below): the fingerprint
+    # relation — whose lineage is the per-CHARACTER posexplode plus
+    # two window passes, the most expensive scan in this operator —
+    # feeds the df-cap aggregate AND both sides of the self-join;
+    # without materializing it Catalyst executes the whole winnowing
+    # pipeline three times (plan-audited r12; at 100 TB that is 3x
+    # the dominant stage). The relation is a handful of longs per doc
+    # — trivially materializable at any SF.
+    fps = winnow_fingerprints(docs, id_col, text_col, k, window).localCheckpoint(
+        eager=True
+    )
     kept = (
         fps.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("_df"))
