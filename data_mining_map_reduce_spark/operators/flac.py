@@ -390,8 +390,9 @@ def _decode_frame(
 
 # ---------------------------------------------------------------------------
 # Deterministic encoder twin (fixtures/tests only — not a production
-# compressor): minimal legal streams exercising the decoder's
-# CONSTANT / VERBATIM / FIXED+Rice / left-side paths.
+# compressor): minimal legal streams exercising EVERY decoder path —
+# CONSTANT / VERBATIM / FIXED+Rice / FIXED+escaped-raw residual /
+# LPC / wasted bits, and all three stereo decorrelations.
 # ---------------------------------------------------------------------------
 
 
@@ -442,7 +443,7 @@ def _encode_subframe(
         w.write(0, 1)
         w.write(samples[0], bps)
         return
-    if strategy == "fixed2" and len(samples) > 2:
+    if strategy in ("fixed2", "fixed2_escape") and len(samples) > 2:
         w.write(0, 1)
         w.write(10, 6)  # FIXED order 2
         w.write(0, 1)
@@ -452,13 +453,59 @@ def _encode_subframe(
             samples[i] - 2 * samples[i - 1] + samples[i - 2]
             for i in range(2, len(samples))
         ]
-        # one Rice partition, param sized to the residual magnitude
-        mean = sum(abs(r) for r in resid) // max(len(resid), 1) + 1
-        param = min(max(mean.bit_length(), 1), 14)
         w.write(0, 2)  # method 0 (4-bit Rice)
         w.write(0, 4)  # partition order 0
+        if strategy == "fixed2_escape":
+            # the escaped raw-bits partition form: param 0b1111, then
+            # 5-bit width, then fixed-width signed residuals
+            width = max((max(abs(r) for r in resid).bit_length() + 1), 1)
+            w.write(15, 4)
+            w.write(width, 5)
+            for r in resid:
+                w.write(r, width)
+        else:
+            # one Rice partition, param sized to the residual magnitude
+            mean = sum(abs(r) for r in resid) // max(len(resid), 1) + 1
+            param = min(max(mean.bit_length(), 1), 14)
+            w.write(param, 4)
+            _write_rice(w, resid, param)
+        return
+    if strategy == "lpc1" and len(samples) > 1:
+        # LPC order 1, precision 5, shift 2, coefficient 4: predictor
+        # is (4 * s[i-1]) >> 2 == s[i-1] exactly — a legal LPC stream
+        # whose reconstruction is integer-exact for any input
+        w.write(0, 1)
+        w.write(32, 6)  # LPC, order = 32 - 31 = 1
+        w.write(0, 1)
+        w.write(samples[0], bps)  # warmup
+        w.write(5 - 1, 4)  # precision code
+        w.write(2, 5)  # shift
+        w.write(4, 5)  # the single coefficient, 5-bit signed
+        resid = [samples[i] - samples[i - 1] for i in range(1, len(samples))]
+        mean = sum(abs(r) for r in resid) // max(len(resid), 1) + 1
+        param = min(max(mean.bit_length(), 1), 14)
+        w.write(0, 2)
+        w.write(0, 4)
         w.write(param, 4)
         _write_rice(w, resid, param)
+        return
+    if strategy == "verbatim_wasted":
+        # shift every sample's shared power-of-two factor into the
+        # wasted-bits field (spec 9.2.2): k encoded as unary k-1
+        # zeros + 1 after the flag bit
+        wasted = 0
+        while all(s % 2 == 0 for s in samples) and any(samples) and wasted < 4:
+            samples = [s >> 1 for s in samples]
+            wasted += 1
+        w.write(0, 1)
+        w.write(1, 6)
+        if wasted:
+            w.write(1, 1)  # wasted-bits flag
+            w.write(1, wasted)  # unary: (wasted-1) zeros then a 1
+        else:
+            w.write(0, 1)
+        for s in samples:
+            w.write(s, bps - wasted)
         return
     # verbatim (the default fallback)
     w.write(0, 1)
@@ -477,15 +524,22 @@ def encode_flac(
     stereo: str = "independent",
 ) -> bytes:
     """Deterministic 16-bit FLAC encoder twin. ``strategy`` picks the
-    subframe coding ('verbatim' | 'constant' | 'fixed2'); ``stereo``
-    picks 'independent' or 'left_side' (2-channel input only). Pure
-    struct/bit packing — stable everywhere, as fixture twins must be."""
+    subframe coding ('verbatim' | 'constant' | 'fixed2' |
+    'fixed2_escape' | 'lpc1' | 'verbatim_wasted'); ``stereo`` picks
+    'independent' | 'left_side' | 'right_side' | 'mid_side'
+    (decorrelations need exactly 2 channels). Pure struct/bit packing
+    — stable everywhere, as fixture twins must be."""
     pcm = np.asarray(samples_i16, dtype=np.int64).reshape(-1, channels)
     n_total = pcm.shape[0]
     if n_total < 1:
         raise ValueError("encode_flac needs at least one frame")
-    if stereo == "left_side" and channels != 2:
-        raise ValueError("left_side stereo needs exactly 2 channels")
+    _STEREO_CODES = {"left_side": 8, "right_side": 9, "mid_side": 10}
+    if stereo != "independent" and (
+        stereo not in _STEREO_CODES or channels != 2
+    ):
+        raise ValueError(
+            f"stereo mode {stereo!r} needs exactly 2 channels"
+        )
 
     streaminfo = bytearray(34)
     bsz = min(block_size, max(n_total, 16))
@@ -514,7 +568,7 @@ def encode_flac(
         w.write(0, 1)  # fixed blocksize strategy -> frame number coding
         w.write(7, 4)  # blocksize: explicit 16-bit at header end
         w.write(0, 4)  # sample rate: from STREAMINFO
-        ch_code = 8 if stereo == "left_side" else channels - 1
+        ch_code = _STEREO_CODES.get(stereo, channels - 1)
         w.write(ch_code, 4)
         w.write(4, 3)  # sample size: 16-bit
         w.write(0, 1)
@@ -529,9 +583,17 @@ def encode_flac(
             w2.write(b, 8)
         w2.write(_crc8(header), 8)
         if stereo == "left_side":
-            left = block[:, 0].tolist()
             side = (block[:, 0] - block[:, 1]).tolist()
-            _encode_subframe(w2, left, 16, strategy)
+            _encode_subframe(w2, block[:, 0].tolist(), 16, strategy)
+            _encode_subframe(w2, side, 17, strategy)
+        elif stereo == "right_side":
+            side = (block[:, 0] - block[:, 1]).tolist()
+            _encode_subframe(w2, side, 17, strategy)
+            _encode_subframe(w2, block[:, 1].tolist(), 16, strategy)
+        elif stereo == "mid_side":
+            mid = ((block[:, 0] + block[:, 1]) >> 1).tolist()
+            side = (block[:, 0] - block[:, 1]).tolist()
+            _encode_subframe(w2, mid, 16, strategy)
             _encode_subframe(w2, side, 17, strategy)
         else:
             for c in range(channels):

@@ -67,6 +67,63 @@ def test_left_side_stereo_decorrelation_roundtrip():
     )
 
 
+def test_right_side_and_mid_side_roundtrip():
+    """The two remaining stereo decorrelations (right/side stores the
+    side channel FIRST; mid/side reconstructs via the dropped-LSB
+    trick m = (m << 1) | (s & 1))."""
+    rng = np.random.RandomState(5)
+    pcm = rng.randint(-20000, 20000, size=(700, 2), dtype=np.int64)
+    t = np.arange(2000)
+    smooth = np.stack(
+        [
+            (2000 * np.sin(t / 40.0)).astype(np.int64),
+            (1900 * np.sin(t / 40.0 + 0.2)).astype(np.int64),
+        ],
+        axis=1,
+    )
+    for stereo in ("right_side", "mid_side"):
+        _roundtrip(pcm, stereo=stereo)
+        _roundtrip(smooth, strategy="fixed2", stereo=stereo)
+
+
+def test_lpc_subframe_roundtrip():
+    """LPC path: order-1, precision 5, shift 2, coefficient 4 — the
+    predictor (4*s[i-1])>>2 is integer-exact, so reconstruction must
+    be bit-perfect on smooth AND random input."""
+    t = np.arange(2000)
+    _roundtrip(
+        (3000 * np.sin(t / 50.0)).astype(np.int64).reshape(-1, 1),
+        strategy="lpc1",
+    )
+    rng = np.random.RandomState(9)
+    _roundtrip(
+        rng.randint(-30000, 30000, size=(900, 1), dtype=np.int64),
+        strategy="lpc1",
+    )
+
+
+def test_escaped_raw_residual_roundtrip():
+    t = np.arange(2000)
+    _roundtrip(
+        (3000 * np.sin(t / 50.0)).astype(np.int64).reshape(-1, 1),
+        strategy="fixed2_escape",
+    )
+
+
+def test_wasted_bits_roundtrip():
+    rng = np.random.RandomState(13)
+    even = rng.randint(-4000, 4000, size=(600, 1), dtype=np.int64) * 4
+    payload = _roundtrip(even, strategy="verbatim_wasted")
+    # the wasted-bits stream must actually be smaller than plain
+    # verbatim (two bits per sample shifted out)
+    assert len(payload) < len(encode_flac(8000, 1, even))
+    # and a stream with no shared factor degrades to 0 wasted bits
+    _roundtrip(
+        rng.randint(-30000, 30000, size=(600, 1), dtype=np.int64) | 1,
+        strategy="verbatim_wasted",
+    )
+
+
 def test_multiblock_roundtrip():
     rng = np.random.RandomState(11)
     _roundtrip(
