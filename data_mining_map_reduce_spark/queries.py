@@ -4752,10 +4752,13 @@ def redact_pii(corpus: DataFrame, text_col: str = "text") -> DataFrame:
 # EVERY doc into its ~|tokens| spans; here the fingerprint stage
 # (X4's overlap pairs: winnow -> df-capped fp self-join -> >= 10
 # shared fps) first cuts the corpus to candidate near-dup docs, and
-# only those docs pay the span explode + shuffle. On the sf0.001
-# corpus the cut keeps 366/500 docs (synthetic near-dup density is
-# high by design); on a real crawl the candidate set is the near-dup
-# fraction — orders of magnitude smaller than the corpus. Recall
+# only those docs pay the span explode + shuffle. Measured candidate
+# fractions on the synthetic corpora: 73 % at 500 docs (sf0.01),
+# 9.2 % at 5 k (sf0.1), 0.9 % at 50 k (sf1), 0.008 % at 500 k (sf10)
+# — the planted near-dup mass is ~constant while the corpus grows,
+# so at scale the candidate set is orders of magnitude smaller than
+# the corpus, exactly a real crawl's shape (receipts in SCALE.md:
+# the uncut/winnowed walls cross over at sf10). Recall
 # contract: a span survives iff its docs ALSO share >= 10 winnowing
 # fingerprints (near-dup docs, not incidental 8-gram echoes) — the
 # pytest pins both the containment direction and the planted-dup
