@@ -214,3 +214,8 @@ def test_winnowed_spans_plan_shape(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
     assert "partial_count" in plan
+    # the winnowing pipeline (per-char posexplode + double window)
+    # must NOT appear in the consuming plan: the r12 localCheckpoint
+    # materializes the fp relation once, where the un-checkpointed
+    # plan executed the whole pipeline three times (plan-audited)
+    assert "posexplode" not in plan
