@@ -151,3 +151,66 @@ def test_md5_hash60_matches_duckdb(spark):
             "SELECT CAST(('0x' || substr(md5(?), 1, 15)) AS BIGINT)", [s]
         ).fetchone()[0]
         assert got[s] == want, s
+
+
+# ---------------------------------------------------------------------------
+# X31 redaction (r12): randomized planted-PII corpora. The oracle row
+# checks one fixed corpus; this checks the scrub CONTRACT on random
+# documents — exact replaced counts per stage, zero residual, and
+# non-PII text untouched — including adversarial shapes like PII at
+# document start/end and adjacent plants.
+# ---------------------------------------------------------------------------
+
+_word = st.text(alphabet="abcdefghijklmnopqrstuvwxyz", min_size=1, max_size=8)
+_email = st.builds(
+    lambda a, b: f"{a}@{b}.com",
+    st.text(alphabet="abcdefghijklmnopqrstuvwxyz0123456789", min_size=1, max_size=8),
+    st.text(alphabet="abcdefghijklmnopqrstuvwxyz", min_size=1, max_size=8),
+)
+_phone = st.builds(
+    lambda a, b, c: f"{a:03d}-{b:03d}-{c:04d}",
+    st.integers(0, 999), st.integers(0, 999), st.integers(0, 9999),
+)
+_ip = st.builds(
+    lambda a, b, c, d: f"{a}.{b}.{c}.{d}",
+    *([st.integers(0, 255)] * 4),
+)
+_tokens = st.lists(
+    st.one_of(
+        st.tuples(st.just("w"), _word),
+        st.tuples(st.just("e"), _email),
+        st.tuples(st.just("p"), _phone),
+        st.tuples(st.just("i"), _ip),
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+
+@settings(**_SETTINGS)
+@given(docs=st.lists(_tokens, min_size=1, max_size=4))
+def test_redact_pii_matches_planted_counts(spark, docs):
+    from data_mining_map_reduce_spark.queries import redact_pii
+
+    rows = [
+        (i, " ".join(tok for _, tok in doc), "s")
+        for i, doc in enumerate(docs)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r.doc_id: r for r in redact_pii(df).collect()}
+    for i, doc in enumerate(docs):
+        kinds = [k for k, _ in doc]
+        r = got[i]
+        assert (r.n_emails, r.n_phones, r.n_ips) == (
+            kinds.count("e"),
+            kinds.count("p"),
+            kinds.count("i"),
+        ), (doc, r)
+        assert r.n_residual == 0, (doc, r.redacted)
+        want = " ".join(
+            {"w": tok, "e": "<EMAIL>", "p": "<PHONE>", "i": "<IP>"}[k]
+            if k != "w"
+            else tok
+            for k, tok in doc
+        )
+        assert r.redacted == want, (doc, r.redacted)
