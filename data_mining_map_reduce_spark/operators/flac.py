@@ -515,6 +515,9 @@ def _encode_subframe(
         w.write(s, bps)
 
 
+_SAMPLE_SIZE_TO_CODE = {8: 1, 12: 2, 16: 4, 20: 5, 24: 6}
+
+
 def encode_flac(
     sample_rate: int,
     channels: int,
@@ -522,17 +525,25 @@ def encode_flac(
     block_size: int = 4096,
     strategy: str = "verbatim",
     stereo: str = "independent",
+    bits: int = 16,
 ) -> bytes:
-    """Deterministic 16-bit FLAC encoder twin. ``strategy`` picks the
+    """Deterministic FLAC encoder twin. ``strategy`` picks the
     subframe coding ('verbatim' | 'constant' | 'fixed2' |
     'fixed2_escape' | 'lpc1' | 'verbatim_wasted'); ``stereo`` picks
     'independent' | 'left_side' | 'right_side' | 'mid_side'
-    (decorrelations need exactly 2 channels). Pure struct/bit packing
-    — stable everywhere, as fixture twins must be."""
+    (decorrelations need exactly 2 channels); ``bits`` is the sample
+    depth (8/12/16/20/24 — every depth the decoder supports; samples
+    must already fit the depth). Pure struct/bit packing — stable
+    everywhere, as fixture twins must be."""
     pcm = np.asarray(samples_i16, dtype=np.int64).reshape(-1, channels)
     n_total = pcm.shape[0]
     if n_total < 1:
         raise ValueError("encode_flac needs at least one frame")
+    if bits not in _SAMPLE_SIZE_TO_CODE:
+        raise ValueError(f"unsupported encoder bit depth {bits}")
+    lo, hi = -(1 << (bits - 1)), (1 << (bits - 1)) - 1
+    if pcm.min() < lo or pcm.max() > hi:
+        raise ValueError(f"samples exceed {bits}-bit range")
     _STEREO_CODES = {"left_side": 8, "right_side": 9, "mid_side": 10}
     if stereo != "independent" and (
         stereo not in _STEREO_CODES or channels != 2
@@ -548,9 +559,9 @@ def encode_flac(
     streaminfo[10] = (sample_rate >> 12) & 0xFF
     streaminfo[11] = (sample_rate >> 4) & 0xFF
     streaminfo[12] = (
-        ((sample_rate & 0xF) << 4) | ((channels - 1) << 1) | ((16 - 1) >> 4)
+        ((sample_rate & 0xF) << 4) | ((channels - 1) << 1) | ((bits - 1) >> 4)
     )
-    streaminfo[13] = (((16 - 1) & 0xF) << 4) | ((n_total >> 32) & 0xF)
+    streaminfo[13] = (((bits - 1) & 0xF) << 4) | ((n_total >> 32) & 0xF)
     struct.pack_into(">I", streaminfo, 14, n_total & 0xFFFFFFFF)
     # MD5 left zeroed (unset, legal)
     out = bytearray(b"fLaC")
@@ -570,7 +581,7 @@ def encode_flac(
         w.write(0, 4)  # sample rate: from STREAMINFO
         ch_code = _STEREO_CODES.get(stereo, channels - 1)
         w.write(ch_code, 4)
-        w.write(4, 3)  # sample size: 16-bit
+        w.write(_SAMPLE_SIZE_TO_CODE[bits], 3)  # sample size code
         w.write(0, 1)
         if frame_no > 0x7F:
             raise ValueError("encoder twin caps at 128 frames")
@@ -584,20 +595,20 @@ def encode_flac(
         w2.write(_crc8(header), 8)
         if stereo == "left_side":
             side = (block[:, 0] - block[:, 1]).tolist()
-            _encode_subframe(w2, block[:, 0].tolist(), 16, strategy)
-            _encode_subframe(w2, side, 17, strategy)
+            _encode_subframe(w2, block[:, 0].tolist(), bits, strategy)
+            _encode_subframe(w2, side, bits + 1, strategy)
         elif stereo == "right_side":
             side = (block[:, 0] - block[:, 1]).tolist()
-            _encode_subframe(w2, side, 17, strategy)
-            _encode_subframe(w2, block[:, 1].tolist(), 16, strategy)
+            _encode_subframe(w2, side, bits + 1, strategy)
+            _encode_subframe(w2, block[:, 1].tolist(), bits, strategy)
         elif stereo == "mid_side":
             mid = ((block[:, 0] + block[:, 1]) >> 1).tolist()
             side = (block[:, 0] - block[:, 1]).tolist()
-            _encode_subframe(w2, mid, 16, strategy)
-            _encode_subframe(w2, side, 17, strategy)
+            _encode_subframe(w2, mid, bits, strategy)
+            _encode_subframe(w2, side, bits + 1, strategy)
         else:
             for c in range(channels):
-                _encode_subframe(w2, block[:, c].tolist(), 16, strategy)
+                _encode_subframe(w2, block[:, c].tolist(), bits, strategy)
         w2.align()
         frame = w2.bytes()
         w3 = _BitWriter()

@@ -124,6 +124,35 @@ def test_wasted_bits_roundtrip():
     )
 
 
+def test_all_bit_depths_roundtrip():
+    """Every depth the decoder supports (8/12/20/24 besides the
+    default 16) round-trips bit-perfectly, through independent
+    verbatim AND a mid/side fixed2 stream; out-of-range samples are
+    rejected at encode time."""
+    rng = np.random.RandomState(7)
+    t = np.arange(800)
+    for bits in (8, 12, 20, 24):
+        scale = 1 << (bits - 1)
+        pcm = rng.randint(-scale, scale, size=(800, 2), dtype=np.int64)
+        _, _, out = _decode_flac(encode_flac(8000, 2, pcm, bits=bits))
+        assert np.array_equal(np.rint(out * scale).astype(np.int64), pcm)
+        sm = np.stack(
+            [
+                (scale // 8 * np.sin(t / 40.0)).astype(np.int64),
+                (scale // 9 * np.sin(t / 40.0 + 0.1)).astype(np.int64),
+            ],
+            axis=1,
+        )
+        _, _, out2 = _decode_flac(
+            encode_flac(
+                8000, 2, sm, bits=bits, strategy="fixed2", stereo="mid_side"
+            )
+        )
+        assert np.array_equal(np.rint(out2 * scale).astype(np.int64), sm)
+    with pytest.raises(ValueError, match="8-bit range"):
+        encode_flac(8000, 1, np.array([[300]]), bits=8)
+
+
 def test_multiblock_roundtrip():
     rng = np.random.RandomState(11)
     _roundtrip(
