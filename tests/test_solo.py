@@ -136,6 +136,23 @@ def test_winnowed_spans_cut_non_candidate_docs(spark, tmp_path):
     assert winnowed <= uncut
 
 
+def test_winnowed_spans_empty_when_no_candidates(spark, tmp_path):
+    """A corpus with no fingerprint-overlap pairs (all docs distinct)
+    must yield an EMPTY winnowed result without error — the shape a
+    deduplicated crawl slice actually has."""
+    sf = _write_documents(
+        tmp_path,
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota"),
+            (2, "one two three four five six seven eight nine ten"),
+            (3, "red orange yellow green blue indigo violet maroon pink"),
+        ],
+    )
+    assert (
+        SPARK_QUERIES["duplicate_ngram_spans_winnowed"](spark, sf).count() == 0
+    )
+
+
 def test_winnowed_spans_equal_spans_over_candidates(spark, tmp_path):
     """The composition is exactly 'X30 restricted to X4's candidate
     docs': recomputing span ranking over winnow_candidate_docs by hand
