@@ -26,9 +26,11 @@ contract every other decoder in the seam follows.
 
 ``encode_flac`` is the deterministic test/fixture twin (the role
 encode_png / encode_wav / encode_jpeg play): minimal but fully legal
-streams with a choice of subframe strategy, so the decoder's
-CONSTANT / VERBATIM / FIXED+Rice / stereo-decorrelation paths are all
-exercised by round-trips against known PCM.
+streams with a choice of subframe strategy (constant / verbatim /
+fixed2+Rice / fixed2 with the escaped raw-residual form / lpc1 /
+verbatim with wasted bits), stereo mode (independent / left_side /
+right_side / mid_side), and bit depth (8/12/16/20/24) — every decoder
+branch is exercised by bit-perfect round-trips against known PCM.
 """
 
 from __future__ import annotations
