@@ -348,6 +348,7 @@ def edge_betweenness(
     num_batches: int | None = None,
     adjacency: DataFrame | None = None,
     local_cap: int = 500,
+    n_roots: int | None = None,
 ) -> DataFrame:
     """G3: edge betweenness (undirected, unweighted) — exact by
     default, sampled-roots approximate above course scale.
@@ -362,12 +363,17 @@ def edge_betweenness(
     assembles each task's adjacency dict locally and runs one Brandes
     credit pass per root in its batch. The working-set bound
     (adjacency O(V+E) fits one task) is inherent to per-root BFS;
-    beyond it, ``sample_fraction`` runs BFS from a seeded vertex
-    sample and rescales credits by V/|sample| (Brandes-style
-    approximation) — same code path, O(sample·E) instead of O(V·E)
-    work and a sample-proportional replication cost. Credits sum
-    distributed and halve (each shortest path is seen from both
-    endpoint roots).
+    beyond it, ``n_roots`` runs BFS from a FIXED-SIZE seeded vertex
+    sample and rescales credits by V/k (Brandes-style approximation)
+    — same code path, O(k·E) total work, so cost grows with the EDGE
+    count only, not quadratic-family (the r12 sf10 receipt measured
+    the fractional knob at 9.2x/decade because |roots| grew with V;
+    a fixed k makes the sampled tier genuinely sublinear in V).
+    ``sample_fraction`` (the legacy knob) keeps fraction semantics:
+    |roots| = f.V, O(f.V.E) work — still quadratic-family, retained
+    for parity tests and callers that want proportional accuracy.
+    Credits sum distributed and halve (each shortest path is seen
+    from both endpoint roots).
 
     ``adjacency``: a prebuilt ``grouped_adjacency``-shaped DataFrame
     (id, nbrs) — callers that repeatedly score near-identical graphs
@@ -400,7 +406,19 @@ def edge_betweenness(
     # key, so its id set IS the vertex set — no second edge scan.
     roots = adj_df.select("id")
     scale = 1.0
-    if sample_fraction is not None and sample_fraction < 1.0:
+    if n_roots is not None:
+        # Fixed-size seeded sample: order by a salted hash and take k.
+        # TakeOrderedAndProject keeps only k rows per partition then k
+        # on the driver — no full sort, deterministic across partition
+        # counts, and |roots| stays k no matter how large V grows.
+        n_total = roots.count()
+        if n_total > n_roots:
+            roots = roots.orderBy(
+                F.xxhash64(F.col("id").cast("string"), F.lit(seed)),
+                F.col("id"),
+            ).limit(n_roots)
+            scale = n_total / n_roots
+    elif sample_fraction is not None and sample_fraction < 1.0:
         n_total = roots.count()
         roots = roots.sample(fraction=sample_fraction, seed=seed)
         n_sampled = roots.count()

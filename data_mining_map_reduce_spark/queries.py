@@ -1587,9 +1587,15 @@ def graph_betweenness_top(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tolerance vs the exact path asserted in
 # tests/test_graph.py::test_betweenness_sampled_roots_approximates).
 # At 100x the vertex count the exact O(V·E) Brandes sweep is the
-# bottleneck; BFS from a seeded root sample rescaled by V/|sample|
+# bottleneck; BFS from a FIXED count of seeded roots rescaled by V/k
 # is the documented scale path — this query keeps it exercised at
 # bench scale rather than only on the planted-graph pytest.
+# r13: sample_fraction=0.25 → n_roots=192. The fractional knob kept
+# |roots| proportional to V, so the sweep stayed quadratic-family
+# (9.2x/decade measured at sf10, SCALE.md r12); a fixed k makes the
+# sampled tier O(k·E) — per-decade growth tracks the EDGE count only.
+# Graphs with V <= 192 (the sf0.1 tau=5 graph: 37 vertices) run
+# exact; sf0.01 (1118 vertices) and every scale tier sample for real.
 # ---------------------------------------------------------------------------
 @query("graph_betweenness_sampled")
 def graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1597,7 +1603,7 @@ def graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     edges = _cooccurrence_edges(spark, sf_dir, tau=5)
     return (
-        edge_betweenness(edges, sample_fraction=0.25, seed=7)
+        edge_betweenness(edges, n_roots=192, seed=7)
         .select("src", "dst", F.round("betweenness", 4).alias("betweenness"))
         .orderBy(F.col("betweenness").desc(), "src", "dst")
         .limit(20)
@@ -1610,21 +1616,23 @@ def graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
 # genuinely recomputed by the DuckDB oracle (every graph edge earns
 # exact Brandes credit from its endpoint root, so exact-betweenness
 # row count == edge count), and mass_ok pins the invariant that makes
-# root-sampling-with-V/|sample|-rescale an unbiased estimator: total
+# root-sampling-with-V/k-rescale an unbiased estimator: total
 # sampled credit mass / total exact mass must sit in [0.7, 1.4].
-# Measured with the shipped knobs (f=0.25): 1.005-1.010 at sf0.01,
-# 0.88-1.17 at sf0.1 across seeds {7,13,42}. Per-edge max_rel_err is
-# NOT the pinned metric on purpose — the bench tau=5 graph at sf0.1
-# has only 19 edges, where per-edge max error is 1.4-3.6x pure
+# r13 (fixed-root knob, k=192 matching graph_betweenness_sampled):
+# measured 0.983-0.994 at sf0.01 (V=1118, genuinely sampled at
+# 192/1118) across seeds {7,13,42}; sf0.1 (V=37 <= k) runs exact,
+# ratio exactly 1.0 on every seed. Per-edge
+# max_rel_err is NOT the pinned metric on purpose — the bench tau=5
+# graph at sf0.1 has only 19 edges, where per-edge max error is pure
 # sampling noise, while the mass ratio stays tight; dropping the
-# rescale (ratio→0.25) or double-counting roots (→2.0) still goes
+# rescale (ratio→k/V) or double-counting roots (→2.0) still goes
 # red on VALUES.
 # ---------------------------------------------------------------------------
 @query(
     "betweenness_mass_check",
     f"""
     WITH edges AS ({_EDGES_SQL.format(tau=5)})
-    SELECT 'sampled_f25' AS method,
+    SELECT 'sampled_k192' AS method,
            (SELECT COUNT(*) FROM edges) AS n_edges,
            TRUE AS mass_ok
     """,
@@ -1639,10 +1647,10 @@ def betweenness_mass_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         "betweenness", "b_exact"
     )
     sampled = edge_betweenness(
-        edges, sample_fraction=0.25, seed=7, adjacency=adj
+        edges, n_roots=192, seed=7, adjacency=adj
     ).withColumnRenamed("betweenness", "b_sampled")
     return exact.join(sampled, ["src", "dst"], "left").agg(
-        F.lit("sampled_f25").alias("method"),
+        F.lit("sampled_k192").alias("method"),
         F.count(F.lit(1)).cast("long").alias("n_edges"),
         (
             F.sum(F.coalesce("b_sampled", F.lit(0.0))) / F.sum("b_exact")

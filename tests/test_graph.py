@@ -244,6 +244,51 @@ def test_betweenness_sampled_roots_approximates(spark, planted_edges):
     assert 8.0 <= top.betweenness <= 32.0
 
 
+def test_betweenness_fixed_roots_approximates(spark, planted_edges):
+    """The r13 scale knob: a FIXED root count (k=4 of 8 vertices,
+    V/k rescale) must keep the bridge dominant and near the exact
+    16.0, on both the local and the batched executor path."""
+    for cap in (500, 0):
+        bt = G.edge_betweenness(
+            planted_edges, n_roots=4, seed=3, local_cap=cap
+        ).collect()
+        top = max(bt, key=lambda r: r.betweenness)
+        assert (top.src, top.dst) == (4, 5), cap
+        assert 8.0 <= top.betweenness <= 32.0, cap
+
+
+def test_betweenness_fixed_roots_ge_v_is_exact(spark, planted_edges):
+    """k >= V must degrade to the exact sweep bit-for-bit (scale 1.0,
+    all roots) — the contract the sf0.1 bench graph (37 vertices,
+    k=192) relies on."""
+    exact = {
+        (r.src, r.dst): r.betweenness
+        for r in G.edge_betweenness(planted_edges).collect()
+    }
+    capped = {
+        (r.src, r.dst): r.betweenness
+        for r in G.edge_betweenness(planted_edges, n_roots=100).collect()
+    }
+    assert exact == capped
+
+
+def test_betweenness_fixed_roots_local_matches_batched(spark, planted_edges):
+    """Same seeded fixed-size root set on either execution path."""
+    loc = {
+        (r.src, r.dst): r.betweenness
+        for r in G.edge_betweenness(planted_edges, n_roots=4, seed=3).collect()
+    }
+    dist = {
+        (r.src, r.dst): r.betweenness
+        for r in G.edge_betweenness(
+            planted_edges, n_roots=4, seed=3, local_cap=0
+        ).collect()
+    }
+    assert set(loc) == set(dist)
+    for k in loc:
+        assert loc[k] == pytest.approx(dist[k], rel=1e-9), k
+
+
 def test_local_fast_paths_handle_empty_graphs(spark):
     """Every bounded local path must return an empty (id, ...) frame
     — not raise — when the edge list is empty."""
