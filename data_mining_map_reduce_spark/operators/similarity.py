@@ -274,6 +274,7 @@ def minhash_lsh_pairs(
     sim_alias: str = "jaccard",
     max_bucket: int | None = 5000,
     verify: bool = True,
+    materialize: bool = True,
 ) -> DataFrame:
     """MinHash+LSH candidate generation + exact-Jaccard verification.
 
@@ -316,6 +317,25 @@ def minhash_lsh_pairs(
     oracle-replayable family is the default because checkability is
     worth more than a cheap projection, and the fold cost is a small
     slice of the pipeline (the shuffles dominate).
+
+    ``materialize`` (r13, the slim-relation fix for the r12 finding
+    that the basket/signature subtree re-executed ~6×): pin the
+    multi-consumer relations with lazy ``localCheckpoint`` — the
+    per-item ``(key, h60, fold)`` rows (three longs; feeds both the
+    signature and the verify-set aggregates), the signature relation
+    (key + num_hashes longs; read by BOTH sides of the bucket
+    self-join plus the hot-bucket count), and the verify sets (read
+    by both sides of the verify join, which need every column, so no
+    pruning is lost). All three are SLIM by the r12 slim-vs-fat rule
+    (SCALE.md): an RDD checkpoint scan cannot column-prune, which is
+    why the r12 attempt to checkpoint the COMBINED fat
+    signature+verify-set aggregate regressed sf1 2× and was reverted
+    — splitting the aggregate is the fix that rule prescribes.
+    ``eager=False`` keeps plan-only callers (explain, plan tests)
+    job-free; the blocks materialize on the first action and every
+    consumer subtree reads them instead of re-running the upstream
+    basket join. Set ``materialize=False`` to keep the pure-lineage
+    plan (plan tests assert the aggregate shape through this knob).
     """
     from ..functions.hashing import md5_hash60
 
@@ -329,6 +349,11 @@ def minhash_lsh_pairs(
         .select("_k", md5_hash60("_it").alias("_h60"))
         .select("_k", "_h60", F.pmod("_h60", F.lit(FOLD_PRIME)).alias("_f"))
     )
+    if verify and materialize:
+        # two aggregates (signature + verify sets) consume this
+        # subtree; without the pin the upstream basket join runs once
+        # per aggregate
+        exploded = exploded.localCheckpoint(eager=False)
     min_aggs = []
     for i in range(num_hashes):
         a, b = hash_params(i, FOLD_PRIME)
@@ -337,9 +362,11 @@ def minhash_lsh_pairs(
                 F.pmod(F.lit(a) * F.col("_f") + F.lit(b), F.lit(FOLD_PRIME))
             ).alias(f"_h{i}")
         )
-    if verify:
-        min_aggs.append(F.collect_set("_h60").alias("_items"))
     sig = exploded.groupBy("_k").agg(*min_aggs)
+    if materialize:
+        # slim (key + num_hashes longs); read by the bucket
+        # self-join's two sides plus the hot-bucket count
+        sig = sig.localCheckpoint(eager=False)
 
     # One bucket key per band: the (band index, r signature slots)
     # struct itself. Struct equality is exact band-slice equality —
@@ -385,8 +412,13 @@ def minhash_lsh_pairs(
     if not verify:
         return candidates
 
-    sets_a = sig.select(F.col("_k").alias(key_a), F.col("_items").alias("_ia"))
-    sets_b = sig.select(F.col("_k").alias(key_b), F.col("_items").alias("_ib"))
+    items_sets = exploded.groupBy("_k").agg(F.collect_set("_h60").alias("_items"))
+    if materialize:
+        # fat rows, but BOTH consumers (the verify join's two sides)
+        # read every column — no pruning lost, one aggregation saved
+        items_sets = items_sets.localCheckpoint(eager=False)
+    sets_a = items_sets.select(F.col("_k").alias(key_a), F.col("_items").alias("_ia"))
+    sets_b = items_sets.select(F.col("_k").alias(key_b), F.col("_items").alias("_ib"))
     # Same two-step projection as exact_jaccard_pairs: intersect once,
     # filter on the aliased result.
     inter = F.size(F.array_intersect("_ia", "_ib"))

@@ -137,10 +137,25 @@ def test_minhash_signature_partial_aggregates(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(
         doc_shingles(docs), "doc_id", "shingles",
-        threshold=0.5, num_hashes=32, bands=16,
+        threshold=0.5, num_hashes=32, bands=16, materialize=False,
     )
     plan = _plan(pairs)
     assert "partial_min" in plan  # map-side combine of the signature mins
+
+    # The default (materialize=True) pins the signature aggregate
+    # behind a lazy localCheckpoint: the consuming plan must read RDD
+    # blocks, with NO signature aggregate and NO parquet re-scan in
+    # sight — the r13 fix for the ~6x basket-subtree re-execution
+    # (the aggregate shape itself is pinned above via the knob).
+    pinned = _plan(
+        minhash_lsh_pairs(
+            doc_shingles(docs), "doc_id", "shingles",
+            threshold=0.5, num_hashes=32, bands=16,
+        )
+    )
+    assert "ExistingRDD" in pinned
+    assert "partial_min" not in pinned
+    assert "Scan parquet" not in pinned
 
 
 def test_count_min_plans_broadcast_and_partial_agg(spark, sf_dir):
