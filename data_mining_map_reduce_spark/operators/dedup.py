@@ -264,9 +264,16 @@ def fingerprint_overlap_pairs(
     # without materializing it Catalyst executes the whole winnowing
     # pipeline three times (plan-audited r12; at 100 TB that is 3x
     # the dominant stage). The relation is a handful of longs per doc
-    # — trivially materializable at any SF.
+    # — trivially materializable at any SF. eager=False (r13, advisor
+    # ask): plan-only callers (explain, plan tests, query builders)
+    # stay job-free; the blocks materialize on the first action and
+    # are shared by all three consumers either way. Caveat either
+    # way: localCheckpoint blocks are unreplicated with truncated
+    # lineage, so on a real cluster an executor loss fails the query
+    # instead of recomputing — acceptable for a batch dedup pass
+    # whose retry is the query itself.
     fps = winnow_fingerprints(docs, id_col, text_col, k, window).localCheckpoint(
-        eager=True
+        eager=False
     )
     kept = (
         fps.groupBy("fp")

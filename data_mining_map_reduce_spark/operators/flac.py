@@ -348,6 +348,12 @@ def _decode_frame(
         fbps = _SAMPLE_SIZE_CODES[ss_code]
     else:
         raise ValueError(f"FLAC reserved sample size code {ss_code}")
+    if fbps != bps:
+        # mirror the channel-count check: _decode_flac normalizes by
+        # the STREAMINFO scale (1 << (bps-1)), so a frame coded at a
+        # different depth would decode to wrongly-scaled floats —
+        # fail into the documented ValueError fallback instead
+        raise ValueError("FLAC frame sample size != STREAMINFO bit depth")
     header_bytes = payload[frame_start : bits.byte_pos()]
     if _crc8(header_bytes) != bits.read(8):
         raise ValueError("FLAC frame header CRC-8 mismatch")

@@ -169,6 +169,19 @@ def test_crc_tamper_detected():
         _decode_flac(bytes(payload))
 
 
+def test_bit_depth_mismatch_rejected():
+    """A frame sample-size code that differs from the STREAMINFO bit
+    depth must fail into the ValueError fallback (r13 advisor ask) —
+    otherwise the decoder would normalize the samples by the WRONG
+    scale and return silently mis-scaled floats."""
+    pcm = np.full((256, 1), 5, dtype=np.int64)
+    payload = bytearray(encode_flac(8000, 1, pcm, strategy="constant"))
+    # re-declare STREAMINFO as 8-bit; the frame header stays coded 16
+    payload[8 + 13] = (payload[8 + 13] & 0x0F) | (7 << 4)
+    with pytest.raises(ValueError, match="sample size"):
+        _decode_flac(bytes(payload))
+
+
 def test_decode_cap_refuses_bomb():
     pcm = np.zeros((16, 1), dtype=np.int64)
     payload = bytearray(encode_flac(8000, 1, pcm))
