@@ -4840,157 +4840,145 @@ def winnow_candidate_docs(
 
 # The driver's CORRECTNESS artifact records at most the FIRST 50
 # registered queries, so ordering is part of the contract surface.
-# Rotation policy (documented per the r5 advisor's request):
+# Rotation policy (documented per the r5 advisor's request, MECHANIZED
+# r13 per the r12 verdict):
 #   in-window  = (a) queries that have never had a driver row,
-#                (b) queries whose code changed since the last round,
-#                (c) standing heavies worth a fresh row each round.
-#   excluded   = queries whose r5 (or earlier) driver row is green AND
-#                whose code is unchanged this round; each is listed in
-#                the EXCLUDED manifest below with the round of its last
-#                green row so the judge can audit what the cap hides.
+#                (b) queries whose newest driver row would exceed the
+#                    2-round staleness limit at this round's close,
+#                (c) queries whose code changed since the last round.
+#   excluded   = everything else; each is listed in the EXCLUDED
+#                manifest below with the round of its last green row
+#                so the judge can audit what the cap hides.
+# The invariant (every registered query's newest driver row is <= 2
+# rounds old) is ENFORCED by tests/test_registry.py::
+# test_driver_window_staleness_invariant, which parses every
+# CORRECTNESS_r*.json and fails if this list would let any query go
+# stale at the upcoming close; scripts/make_driver_order.py computes
+# the must-rotate set mechanically at round open.
 # Names absent from this list sort AFTER every listed name (past the
 # cap) — a new query must be added here explicitly to get a driver row.
 _DRIVER_ORDER = [
-    # -- flagship first (also the entry() smoke query) --
-    "flagship_category_avg",
-    # -- new queries this round (r12): never had a driver row --
-    "pii_redact_stats",              # r12 NEW: X31 redaction half (regexp_replace scrub + zero-residual re-scan)
-    "duplicate_ngram_spans_winnowed",  # r12 NEW: X30 x X4 composition (spans over winnowing-candidate docs)
-    # -- code changed this round (r12): needs a fresh row --
-    "duplicate_ngram_spans",         # r12: body refactored onto the shared _dup_span_grams/_rank_dup_spans helpers (same plan; the twin shares them)
-    # -- r9-green rows at the staleness invariant's 2-round limit:
-    #    MUST lead this window (queries.py r11 manifest note) --
-    "count_global",
-    "count_by_year",
-    "distinct_users",
-    # -- rotated back in: the r11 exclusion manifest (last green r10 —
-    #    due this round so no row goes > 2 rounds stale), minus
-    #    girvan_newman_communities (deferred ONE round to make room —
-    #    see _EXCLUDED_R12 note) --
-    "corpus_curation_funnel_lsh",
+    # -- r10 rows-only, 3 rounds old at r13 close if skipped: the one
+    #    hard MUST of this window (deferred once in r12) --
+    "girvan_newman_communities",
+    # -- code changed this round (r13): slim (doc,band,sig)
+    #    localCheckpoint materialization (the r12 verdict's task 4);
+    #    FULL md5-replay oracle re-grades the whole pipeline --
     "minhash_lsh_pairs",
-    "gn_quality_check",
-    "media_frame_sample",
-    "simhash_doc_pairs",
-    "fpgrowth_itemsets",
-    "dedup_canonical_docs",
-    "graph_components",
-    "ann_topk_ivfpq",
-    "doc_length_percentiles_approx",
-    "dict_encode_brands",
-    "dict_encode_partkeys_big",
-    "contamination_ngram_overlap",
-    "cm_heavy_hitter_partkeys",
-    "window_heavy_hitter_users",
-    "kmeans_cluster_sizes",
-    "bfr_round_stats",
-    "ann_topk_exact",
-    "ann_topk_lsh",
-    "ann_topk_ivf",
-    "jaccard_pairs_exact",
-    "near_dup_docs_exact",
-    "near_dup_docs_lsh",
-    "corpus_curation_funnel",
-    "graph_betweenness_top",
-    "graph_betweenness_sampled",
-    "graph_lpa_community_sizes",
-    "doc_quality_stats",
-    "token_counts_docs",
-    "language_id_docs",
-    "largest_baskets",
-    "priority_token_counts",
-    "event_props_extract",
-    "union_filtered_event_counts",
-    "event_value_tier_counts",
-    "doc_length_percentiles",
-    "top_customers_per_segment",
-    "approx_distinct_users",
-    "doc_fingerprint_stats",
-    "fingerprint_overlap_pairs",
-    "exact_dup_doc_groups",
-    "train_test_split_counts",
-    "baskets_by_customer",
+    # -- the entire r12 exclusion manifest: every row below was green
+    #    in CORRECTNESS_r11 and hits the 2-round staleness limit at
+    #    r13 close — all 48 rotate back in (r12 verdict task 1) --
+    "solo_flagship_parity",
+    "pii_scan_stats",
+    "cf_item_similarities",
+    "cf_predictions",
+    "cf_user_predictions_lsh",
+    "dedup_canonical_docs_lsh",
+    "media_feature_rollup",
+    "son_itemsets",
+    "betweenness_mass_check",
+    "sketch_error_check",
+    "kmeans_wcss_check",
+    "ann_recall_check",
+    "partition_layout_stats",
+    "window_distinct_users_approx",
+    "embedding_pair_distances",
+    "session_windows_per_user",
+    "window_tumbling_hourly",
+    "window_sliding_hourly",
+    "window_distinct_users_exact",
+    "asof_last_purchase",
+    "event_rollup_multigrain",
+    "revenue_cube",
+    "fm_distinct_users",
+    "kmv_distinct_users",
+    "source_mix_stats",
+    "tfidf_top_terms",
+    "cooccurrence_pairs",
+    "cf_user_predictions",
+    "content_based_scores",
+    "top_users_by_orders",
+    "avg_price_by_priority",
+    "word_count_top20",
+    "join_filter_brand_counts",
+    "customers_in_both_statuses",
+    "corr_qty_price_by_flag",
+    "customers_never_final",
+    "rollup_revenue",
+    "pivot_status_by_priority",
+    "order_item_lists",
+    "graph_degree_distribution",
+    "graph_triangle_count",
+    "frequent_items",
+    "frequent_pairs",
+    "suffstats_by_label",
+    "bloom_probe_custkeys",
+    "reservoir_sample_events",
+    "weighted_doc_sample",
+    "doc_repetition_scores",
     # ---- driver cap (50) falls here ----
 ]
 
-# Queries excluded from the r12 driver window: every row below except
-# girvan_newman_communities was green in CORRECTNESS_r11 (1 round old
-# at r12 close — inside the "every registered query keeps a driver
-# row <= 2 rounds old" invariant), and each rotates back in r13.
-# Notes on rows whose SOURCE changed this round without an in-window
-# slot:
-#   - reservoir_sample_events / weighted_doc_sample: r12 adds a
-#     defensive row cap to ReservoirSampler.foreach_batch
-#     (streaming/reservoir.py) — NEITHER query touches that code path
-#     (both are built on uniform_sample/weighted_sample, unchanged);
-#     the cap is pytest-gated on both sides (tests/test_streaming.py).
-#   - pii_scan_stats: untouched; the new pii_redact_stats shares its
-#     pattern constants + probe rows but adds only new code. The
-#     parity pytest (tests/test_pii.py) pins detection == redaction
-#     counts, so the in-window redaction row transitively re-checks
-#     the detection arithmetic.
-_EXCLUDED_R12 = [
+# Queries excluded from the r13 driver window: every row below was
+# green in CORRECTNESS_r12 (1 round old at r13 close — inside the
+# "newest driver row <= 2 rounds old" invariant) and rotates back in
+# r14. Rows whose SOURCE changed this round without an in-window slot
+# carry a per-row note naming the in-window query + pytest that
+# grades the changed code path (the window is hard-capped at 50 and
+# 49 slots were consumed by the staleness debt above).
+_EXCLUDED_R13 = [
     # name                      last green driver row
-    # -- deferred ONE extra round (the only r10-green row without an
-    #    r12 slot; the window is hard-capped at 50 and the 44-row r11
-    #    manifest minus this one + the 3 r9 must-rotate rows + the 2
-    #    new queries + the refactored X30 fill it). Rows-only by
-    #    design (community assignments have no SQL oracle), golden
-    #    pytest-pinned, and its FULL-oracle quality twin
-    #    gn_quality_check IS in-window this round on the same
-    #    operator. 2 rounds old at r12 close = the invariant's limit:
-    #    MUST rotate in r13. --
-    ("girvan_newman_communities", "r10 rows-only (MUST rotate in r13)"),
-    ("solo_flagship_parity", "r11 (new row, hash-green)"),
-    ("pii_scan_stats", "r11 (new row, hash-green; see note above)"),
-    ("cf_item_similarities", "r11 (re-greened on the suffstat Pearson)"),
-    ("cf_predictions", "r11"),
-    ("cf_user_predictions_lsh", "r11"),
-    ("dedup_canonical_docs_lsh", "r11"),
-    ("media_feature_rollup", "r11"),
-    ("son_itemsets", "r11"),
-    ("betweenness_mass_check", "r11"),
-    ("sketch_error_check", "r11"),
-    ("kmeans_wcss_check", "r11"),
-    ("ann_recall_check", "r11"),
-    ("partition_layout_stats", "r11 rows-only (no oracle by design)"),
-    ("window_distinct_users_approx", "r11"),
-    ("embedding_pair_distances", "r11"),
-    ("session_windows_per_user", "r11"),
-    ("window_tumbling_hourly", "r11"),
-    ("window_sliding_hourly", "r11"),
-    ("window_distinct_users_exact", "r11"),
-    ("asof_last_purchase", "r11"),
-    ("event_rollup_multigrain", "r11"),
-    ("revenue_cube", "r11"),
-    ("fm_distinct_users", "r11"),
-    ("kmv_distinct_users", "r11"),
-    ("source_mix_stats", "r11"),
-    ("tfidf_top_terms", "r11"),
-    ("cooccurrence_pairs", "r11"),
-    ("cf_user_predictions", "r11"),
-    ("content_based_scores", "r11"),
-    ("top_users_by_orders", "r11"),
-    ("avg_price_by_priority", "r11"),
-    ("word_count_top20", "r11"),
-    ("join_filter_brand_counts", "r11"),
-    ("customers_in_both_statuses", "r11"),
-    ("corr_qty_price_by_flag", "r11"),
-    ("customers_never_final", "r11"),
-    ("rollup_revenue", "r11"),
-    ("pivot_status_by_priority", "r11"),
-    ("order_item_lists", "r11"),
-    ("graph_degree_distribution", "r11"),
-    ("graph_triangle_count", "r11"),
-    ("frequent_items", "r11"),
-    ("frequent_pairs", "r11"),
-    ("suffstats_by_label", "r11"),
-    ("bloom_probe_custkeys", "r11"),
-    ("reservoir_sample_events", "r11; r12 cap change covered — see note above"),
-    ("weighted_doc_sample", "r11; r12 cap change covered — see note above"),
-    ("doc_repetition_scores", "r11"),
+    ("flagship_category_avg", "r12"),
+    ("pii_redact_stats", "r12"),
+    ("duplicate_ngram_spans_winnowed", "r12; consumes fingerprint_overlap_pairs — same eager=False note; re-verified green vs oracle at sf0.01 this round"),
+    ("duplicate_ngram_spans", "r12"),
+    ("count_global", "r12"),
+    ("count_by_year", "r12"),
+    ("distinct_users", "r12"),
+    ("corpus_curation_funnel_lsh", "r12; same minhash materialization note as near_dup_docs_lsh"),
+    ("gn_quality_check", "r12"),
+    ("media_frame_sample", "r12"),
+    ("simhash_doc_pairs", "r12"),
+    ("fpgrowth_itemsets", "r12"),
+    ("dedup_canonical_docs", "r12"),
+    ("graph_components", "r12"),
+    ("ann_topk_ivfpq", "r12"),
+    ("doc_length_percentiles_approx", "r12"),
+    ("dict_encode_brands", "r12"),
+    ("dict_encode_partkeys_big", "r12"),
+    ("contamination_ngram_overlap", "r12"),
+    ("cm_heavy_hitter_partkeys", "r12"),
+    ("window_heavy_hitter_users", "r12"),
+    ("kmeans_cluster_sizes", "r12"),
+    ("bfr_round_stats", "r12"),
+    ("ann_topk_exact", "r12"),
+    ("ann_topk_lsh", "r12"),
+    ("ann_topk_ivf", "r12"),
+    ("jaccard_pairs_exact", "r12"),
+    ("near_dup_docs_exact", "r12"),
+    ("near_dup_docs_lsh", "r12; r13 operator change (minhash slim materialization, value-identical by construction) graded in-window by minhash_lsh_pairs on the same path; re-verified green vs oracle at sf0.01 this round"),
+    ("corpus_curation_funnel", "r12"),
+    ("graph_betweenness_top", "r12"),
+    ("graph_betweenness_sampled", "r12 rows-only; r13 code change (fixed n_roots=192 replaces sample_fraction=0.25) graded in-window by betweenness_mass_check (FULL oracle, same estimator+seed) + 4 pytests"),
+    ("graph_lpa_community_sizes", "r12"),
+    ("doc_quality_stats", "r12"),
+    ("token_counts_docs", "r12"),
+    ("language_id_docs", "r12"),
+    ("largest_baskets", "r12"),
+    ("priority_token_counts", "r12"),
+    ("event_props_extract", "r12"),
+    ("union_filtered_event_counts", "r12"),
+    ("event_value_tier_counts", "r12"),
+    ("doc_length_percentiles", "r12"),
+    ("top_customers_per_segment", "r12"),
+    ("approx_distinct_users", "r12"),
+    ("doc_fingerprint_stats", "r12"),
+    ("fingerprint_overlap_pairs", "r12; r13 checkpoint eager=False (value-identical, materialization timing only); re-verified green vs oracle at sf0.01 this round; plan pinned by test_winnowed_spans_plan_shape"),
+    ("exact_dup_doc_groups", "r12"),
+    ("train_test_split_counts", "r12"),
+    ("baskets_by_customer", "r12"),
 ]
-_DRIVER_ORDER += [name for name, _ in _EXCLUDED_R12]
+_DRIVER_ORDER += [name for name, _ in _EXCLUDED_R13]
 
 
 _V = TypeVar("_V")

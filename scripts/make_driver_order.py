@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Compute the driver-window rotation mechanically (r12 verdict task
+2: "the rotation needs to be computed, not hand-curated").
+
+Reads every CORRECTNESS_r*.json, derives each registered query's
+newest driver-row round, and prints:
+  1. the MUST-ROTATE set for the upcoming round (rows that would
+     exceed the 2-round staleness limit at its close, plus queries
+     that have never had a row), and
+  2. a suggested 50-name window: must-rotate first (oldest rows
+     lead), then the freshest-last rows to fill remaining slots —
+     leaving the maximum slack for new/changed queries, which the
+     operator adds by hand (code-change detection is judgment).
+
+The shipped `_DRIVER_ORDER` in queries.py stays an explicit list (the
+driver contract needs a deterministic committed ordering); this
+script feeds the round-open edit, and tests/test_registry.py::
+test_driver_window_staleness_invariant fails the suite if the edited
+list would let any query go stale.
+
+Run at ROUND OPEN, together with the ENGINE_STATUS regen (which
+scripts/driver_sim.py now performs automatically on every verify):
+
+    python scripts/make_driver_order.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from data_mining_map_reduce_spark.queries import (  # noqa: E402
+    _DRIVER_ORDER,
+    SPARK_QUERIES,
+)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WINDOW_CAP = 50
+
+
+def main() -> int:
+    newest: dict[str, int] = {}
+    max_round = 0
+    for name in os.listdir(REPO):
+        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", name)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        max_round = max(max_round, rnd)
+        with open(os.path.join(REPO, name)) as fh:
+            for q in json.load(fh):
+                newest[q] = max(newest.get(q, 0), rnd)
+    upcoming = max_round + 1
+    print(f"newest artifact: r{max_round}; computing window for r{upcoming}")
+
+    must = sorted(
+        (q for q in SPARK_QUERIES if upcoming - newest.get(q, 0) > 2),
+        key=lambda q: (newest.get(q, 0), q),
+    )
+    never = [q for q in SPARK_QUERIES if q not in newest]
+    print(f"\nMUST-ROTATE ({len(must)} rows, oldest first):")
+    for q in must:
+        print(f"  {q}  (newest r{newest.get(q, 0) or '—'})")
+    if never:
+        print(f"\nNEVER ROWED ({len(never)}): {never}")
+
+    slack = WINDOW_CAP - len(must)
+    if slack < 0:
+        print(
+            f"\nERROR: {len(must)} obligations exceed the {WINDOW_CAP}-row "
+            f"cap — the invariant is unsatisfiable; something skipped a round"
+        )
+        return 1
+    fillers = sorted(
+        (q for q in SPARK_QUERIES if q not in must),
+        key=lambda q: (newest.get(q, 0), q),
+    )[:slack]
+    print(
+        f"\nSUGGESTED WINDOW ({WINDOW_CAP} = {len(must)} obligated + "
+        f"{slack} slack, oldest-first fill; swap slack slots for this "
+        f"round's new/changed queries):"
+    )
+    for q in must + fillers:
+        print(f"  {q}")
+
+    current = set(_DRIVER_ORDER[:WINDOW_CAP])
+    missing = [q for q in must if q not in current]
+    if missing:
+        print(f"\nCURRENT _DRIVER_ORDER IS STALE — missing obligations: {missing}")
+        return 1
+    print("\ncurrent _DRIVER_ORDER satisfies the invariant")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
