@@ -227,6 +227,7 @@ def render_line(
     samples: dict[str, list[float]] | None = None,
     spread_top: int | None = None,
     budget: int | None = None,
+    spread_min_sec: float | None = None,
 ) -> str:
     """Render the single driver-facing JSON line.
 
@@ -235,24 +236,32 @@ def render_line(
     is compacted to ``budget`` bytes: 1-decimal timings, no spaces;
     over budget, the smallest timings fold into an "other" bucket
     first (sub-second rows are noise-dominated — their point estimate
-    is worth less than a heavy row's spread), and spread entries shed
-    last (the sidecar keeps every sample regardless).
+    is worth less than a heavy row's spread), then spread entries
+    shed cheapest-first, and finally (r13, advisor ask: the budget is
+    a HARD guarantee) the formerly spread-exempt rows fold too — the
+    sidecar keeps every sample regardless.
 
-    "spread" carries [min, max] for the ``spread_top`` heaviest
-    multi-sampled queries — min/max only because the median IS the
-    "queries" value; repeating it would spend line budget on
-    redundancy."""
+    "spread" carries [min, max] for every multi-sampled query whose
+    median is at least ``spread_min_sec`` (r12 covered only the 8
+    heaviest; the r12 verdict's drift adjudication needed prose for
+    the mid-weight rows), up to ``spread_top`` entries — min/max only
+    because the median IS the "queries" value; repeating it would
+    spend line budget on redundancy."""
     if spread_top is None:
-        spread_top = int(os.environ.get("SPARK_GRAFT_BENCH_SPREAD_TOP", "8"))
+        spread_top = int(os.environ.get("SPARK_GRAFT_BENCH_SPREAD_TOP", "64"))
     if budget is None:
         budget = int(os.environ.get("SPARK_GRAFT_BENCH_LINE_BUDGET", "1900"))
+    if spread_min_sec is None:
+        spread_min_sec = float(
+            os.environ.get("SPARK_GRAFT_BENCH_SPREAD_MIN_SEC", "3.0")
+        )
     total = round(sum(timings.values()), 2)
     spread = {
         name: [round(min(ss), 1), round(max(ss), 1)]
         for name, ss in sorted(
             (samples or {}).items(), key=lambda kv: -timings[kv[0]]
         )[:spread_top]
-        if len(ss) > 1
+        if len(ss) > 1 and timings[name] >= spread_min_sec
     }
 
     def render(qdict: dict[str, float]) -> str:
@@ -271,12 +280,12 @@ def render_line(
 
     compact = {k: round(v, 1) for k, v in timings.items()}
     line = render(compact)
+    folded = 0.0
     if len(line) > budget:
         by_cost = sorted(
             (k for k in compact if k not in spread),
             key=lambda k: (compact[k], k),
         )
-        folded = 0.0
         while len(line) > budget and by_cost:
             k = by_cost.pop(0)
             folded += compact.pop(k)
@@ -286,6 +295,21 @@ def render_line(
         by_spread_cost = sorted(spread, key=lambda k: (timings[k], k))
         while len(line) > budget and by_spread_cost:
             spread.pop(by_spread_cost.pop(0))
+            line = render(compact)
+    if len(line) > budget:
+        # spread fully shed but the line still overflows: fold the
+        # formerly spread-exempt rows too (cheapest first), so the
+        # budget holds unconditionally — a too-long line loses its
+        # HEAD in the driver capture, the exact failure the budget
+        # exists to prevent
+        by_cost = sorted(
+            (k for k in compact if k != "other"),
+            key=lambda k: (compact[k], k),
+        )
+        while len(line) > budget and by_cost:
+            k = by_cost.pop(0)
+            folded += compact.pop(k)
+            compact["other"] = round(folded, 1)
             line = render(compact)
     return line
 

@@ -3479,6 +3479,35 @@ def _demo_jpeg() -> tuple[bytes, int, int]:
 _DEMO_JPEG_PAYLOAD, _DEMO_JPEG_BYTES, _DEMO_JPEG_PPM = _demo_jpeg()
 
 
+def _demo_flac() -> tuple[bytes, int, int]:
+    """Deterministic mono FLAC probe (r13 — drives the r12 pure-
+    integer FLAC decoder through an oracle-checked query, not just
+    its round-trip pytests): the same ±8192 square wave as the WAV
+    probe, Rice-coded through the order-2 fixed predictor, so the
+    decoded samples are exactly ±0.25 and the mono RMS (features[0]
+    of _audio_features) is EXACTLY 0.25 by construction. f0_mean_ppm
+    is pinned from that amplitude constant — never by running
+    _decode_flac, which must reproduce it through frame parse + Rice
+    decode + fixed-predictor reconstruction + CRC checks at query
+    time."""
+    import numpy as np
+
+    from .operators.flac import encode_flac
+
+    amp = 8192  # /32768 = 0.25, dyadic -> exact in float64
+    frames = np.empty((1000, 1), dtype=np.int64)
+    frames[0::2, 0] = amp
+    frames[1::2, 0] = -amp
+    payload = encode_flac(8000, 1, frames, strategy="fixed2")
+    f0 = amp / 32768.0
+    k = int(np.floor(f0 * 997.0 + 0.5))
+    ppm = int(np.floor(k * 1000000.0 / 997.0 + 0.5))
+    return payload, len(payload), ppm
+
+
+_DEMO_FLAC_PAYLOAD, _DEMO_FLAC_BYTES, _DEMO_FLAC_PPM = _demo_flac()
+
+
 @query(
     "media_feature_rollup",
     f"""
@@ -3512,6 +3541,10 @@ _DEMO_JPEG_PAYLOAD, _DEMO_JPEG_BYTES, _DEMO_JPEG_PPM = _demo_jpeg()
         SELECT '_probe_jpg' AS modality, CAST(1 AS BIGINT) AS n_items,
                CAST({_DEMO_JPEG_BYTES} AS BIGINT) AS total_bytes,
                CAST({_DEMO_JPEG_PPM} AS BIGINT) AS f0_mean_ppm
+        UNION ALL
+        SELECT '_probe_flac' AS modality, CAST(1 AS BIGINT) AS n_items,
+               CAST({_DEMO_FLAC_BYTES} AS BIGINT) AS total_bytes,
+               CAST({_DEMO_FLAC_PPM} AS BIGINT) AS f0_mean_ppm
     ) ORDER BY modality
     """,
 )
@@ -3537,6 +3570,7 @@ def media_feature_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (-2, "_probe_wav", bytearray(_DEMO_WAV_PAYLOAD)),
                 (-3, "_probe_gif", bytearray(_DEMO_GIF_PAYLOAD)),
                 (-4, "_probe_jpg", bytearray(_DEMO_JPEG_PAYLOAD)),
+                (-5, "_probe_flac", bytearray(_DEMO_FLAC_PAYLOAD)),
             ],
             "media_id long, modality string, payload binary",
         )

@@ -70,3 +70,29 @@ def test_tiny_budget_sheds_spread_last_cheapest_first():
 def test_no_samples_no_spread_key():
     line = bench.render_line({"q": 1.0}, {}, 0.01, None)
     assert "spread" not in json.loads(line)
+
+
+def test_spread_covers_every_multisecond_row():
+    """r12 verdict ask 6: every multi-sampled row with median >= 3 s
+    carries spread — not just the 8 heaviest — while sub-threshold
+    rows stay spread-free (their point estimate is noise-dominated)."""
+    timings = {f"h{i:02d}": 3.0 + i for i in range(12)}
+    timings["light"] = 1.5
+    samples = {k: [v - 0.2, v, v + 0.3] for k, v in timings.items()}
+    d = json.loads(bench.render_line(timings, {}, 0.1, samples))
+    assert set(d["spread"]) == {f"h{i:02d}" for i in range(12)}
+    assert "light" not in d["spread"]
+
+
+def test_budget_is_a_hard_guarantee():
+    """r13 advisor ask: when folding + spread-shedding still leaves
+    the line over budget, the formerly spread-exempt heavy rows must
+    fold too — the byte budget holds unconditionally."""
+    timings, samples = _fleet(200)
+    for budget in (120, 110, 100):
+        line = bench.render_line(
+            timings, {}, 0.1, samples, spread_top=8, budget=budget
+        )
+        assert len(line) <= budget, (budget, len(line), line)
+        d = json.loads(line)
+        assert abs(sum(d["queries"].values()) - d["value"]) < 0.1 * len(timings)

@@ -335,6 +335,35 @@ def test_extract_features_png_real_decode(spark):
     assert abs(row.features[0] - f0) < 1e-12
 
 
+def test_extract_features_flac_real_decode(spark):
+    """The planted media_feature_rollup FLAC probe (r13) flows
+    through the REAL pure-integer decoder inside mapInPandas and
+    yields the RMS the oracle pins (queries._demo_flac computes it
+    from the amplitude constant, never from the decoder)."""
+    import numpy as np
+
+    from data_mining_map_reduce_spark.operators.flac import _decode_flac
+    from data_mining_map_reduce_spark.queries import (
+        _DEMO_FLAC_PAYLOAD,
+        _DEMO_FLAC_PPM,
+    )
+
+    rate, ch, x = _decode_flac(_DEMO_FLAC_PAYLOAD)
+    assert (rate, ch) == (8000, 1)
+    # square wave of exactly +-0.25: RMS exact in float64
+    assert float(np.sqrt((x**2).mean())) == 0.25
+    k = round(0.25 * 997.0)
+    assert round(k * 1000000.0 / 997.0) == _DEMO_FLAC_PPM
+
+    media = spark.createDataFrame(
+        [(1, "flac", bytearray(_DEMO_FLAC_PAYLOAD))],
+        "media_id long, modality string, payload binary",
+    )
+    row = extract_features(media).collect()[0]
+    assert row.n_bytes == len(_DEMO_FLAC_PAYLOAD)
+    assert row.features[0] == 0.25
+
+
 def test_extract_features_routes_real_decode(spark):
     """End-to-end through the Spark plumbing: image payloads flow
     through the REAL decoder (channel means of known pixels), while
