@@ -256,8 +256,15 @@ def render_line(
             os.environ.get("SPARK_GRAFT_BENCH_SPREAD_MIN_SEC", "3.0")
         )
     total = round(sum(timings.values()), 2)
+
+    def _num(x: float):
+        # integral values render "7" not "7.0" — ~2 bytes per value,
+        # worth several spread entries across a ~130-number line
+        r = round(x, 1)
+        return int(r) if r == int(r) else r
+
     spread = {
-        name: [round(min(ss), 1), round(max(ss), 1)]
+        name: [_num(min(ss)), _num(max(ss))]
         for name, ss in sorted(
             (samples or {}).items(), key=lambda kv: -timings[kv[0]]
         )[:spread_top]
@@ -278,7 +285,7 @@ def render_line(
             out["errors"] = {k: v[:80] for k, v in errors.items()}
         return json.dumps(out, separators=(",", ":"))
 
-    compact = {k: round(v, 1) for k, v in timings.items()}
+    compact = {k: _num(v) for k, v in timings.items()}
     line = render(compact)
     folded = 0.0
     if len(line) > budget:
@@ -289,12 +296,19 @@ def render_line(
         while len(line) > budget and by_cost:
             k = by_cost.pop(0)
             folded += compact.pop(k)
-            compact["other"] = round(folded, 1)
+            compact["other"] = _num(folded)
             line = render(compact)
-    if len(line) > budget:  # folding exhausted: shed spread, cheapest first
-        by_spread_cost = sorted(spread, key=lambda k: (timings[k], k))
-        while len(line) > budget and by_spread_cost:
-            spread.pop(by_spread_cost.pop(0))
+    if len(line) > budget:
+        # folding exhausted: shed spread entries, NARROWEST first
+        # (r13): the field exists to adjudicate round-over-round
+        # drift, and a [5.8, 5.9] band carries no signal while a
+        # [12.8, 17.0] one is the whole story — keep the wide ones.
+        # Ties break toward shedding the cheaper row.
+        by_info = sorted(
+            spread, key=lambda k: (spread[k][1] - spread[k][0], timings[k], k)
+        )
+        while len(line) > budget and by_info:
+            spread.pop(by_info.pop(0))
             line = render(compact)
     if len(line) > budget:
         # spread fully shed but the line still overflows: fold the
@@ -309,7 +323,7 @@ def render_line(
         while len(line) > budget and by_cost:
             k = by_cost.pop(0)
             folded += compact.pop(k)
-            compact["other"] = round(folded, 1)
+            compact["other"] = _num(folded)
             line = render(compact)
     return line
 

@@ -84,6 +84,32 @@ def test_spread_covers_every_multisecond_row():
     assert "light" not in d["spread"]
 
 
+def test_spread_sheds_narrowest_first():
+    """When spread must shed, the near-zero-width bands go first —
+    the wide bands are the drift-attribution signal the field exists
+    to carry (r13)."""
+    timings = {f"q{i:03d}": 0.3 for i in range(200)}
+    timings.update({"wide": 9.0, "narrow": 11.0})
+    samples = {"wide": [7.0, 9.0, 15.0], "narrow": [10.9, 11.0, 11.1]}
+    # budget small enough that exactly one spread entry must shed:
+    # the NARROW one goes even though it's the more expensive query
+    for budget in range(150, 190):
+        d = json.loads(
+            bench.render_line(timings, {}, 0.1, samples, budget=budget)
+        )
+        if list(d.get("spread", {})) == ["wide"]:
+            assert d["spread"]["wide"] == [7, 15]
+            break
+    else:
+        raise AssertionError("no budget produced the single-shed state")
+
+
+def test_integral_timings_render_compactly():
+    line = bench.render_line({"q": 7.0, "r": 7.25}, {}, 0.01, None)
+    assert '"q":7,' in line or '"q":7}' in line
+    assert '"r":7.2' in line
+
+
 def test_budget_is_a_hard_guarantee():
     """r13 advisor ask: when folding + spread-shedding still leaves
     the line over budget, the formerly spread-exempt heavy rows must
