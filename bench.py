@@ -32,6 +32,47 @@ def _alive(spark) -> bool:
         return False
 
 
+def _tree_cpu_sec() -> float | None:
+    """CPU seconds (utime+stime) summed over this process and every
+    LIVE descendant, via /proc. In local mode the whole engine is the
+    bench's process tree — the JVM (executors are its threads) plus
+    the pyspark daemon/worker processes that run Arrow UDF stages —
+    so the per-query CPU delta is a load-insensitive second signal
+    next to wall-clock: a co-tenant burst inflates wall 2-5x while
+    CPU barely moves, a real plan regression moves both. Sidecar-only
+    (r13) — round-over-round drift adjudication kept needing matched
+    re-runs because wall was the only record. (JMX getProcessCpuTime
+    was the first cut; Java 17 module encapsulation blocks py4j's
+    reflective dispatch on the internal bean class.) Linux-only; any
+    failure degrades to None and the sidecar simply omits the row."""
+    try:
+        procs: dict[int, tuple[int, int]] = {}
+        for pid_s in os.listdir("/proc"):
+            if not pid_s.isdigit():
+                continue
+            try:
+                with open(f"/proc/{pid_s}/stat", "rb") as fh:
+                    stat = fh.read().decode("ascii", "replace")
+            except OSError:
+                continue  # raced a process exit
+            rest = stat[stat.rindex(")") + 2 :].split()
+            procs[int(pid_s)] = (int(rest[1]), int(rest[11]) + int(rest[12]))
+        kids: dict[int, list[int]] = {}
+        for pid, (ppid, _) in procs.items():
+            kids.setdefault(ppid, []).append(pid)
+        total, stack, seen = 0, [os.getpid()], set()
+        while stack:
+            pid = stack.pop()
+            if pid in seen or pid not in procs:
+                continue
+            seen.add(pid)
+            total += procs[pid][1]
+            stack.extend(kids.get(pid, ()))
+        return total / os.sysconf("SC_CLK_TCK")
+    except Exception:
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -50,6 +91,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+    cpu_samples: dict[str, list[float]] = {}  # sidecar-only, see _tree_cpu_sec
     # Recycle the session every RESTART_EVERY queries: one local JVM
     # accumulating 60+ queries' generated classes, broadcasts, and
     # shuffle state measures late queries 2-5x slower than the same
@@ -75,9 +117,13 @@ def main() -> None:
                 pass
         since_restart += 1
         t0 = time.perf_counter()
+        c0 = _tree_cpu_sec()
         try:
             fn(spark, sf_dir).collect()
             timings[name] = round(time.perf_counter() - t0, 4)
+            c1 = _tree_cpu_sec()
+            if c0 is not None and c1 is not None:
+                cpu_samples.setdefault(name, []).append(round(c1 - c0, 2))
             # Several operators legitimately cache intermediates whose
             # lifetime is the caller's collect (SON partitions, CF
             # ratings, graph edge sets). Drop them so query N's leftovers
@@ -162,9 +208,15 @@ def main() -> None:
                         pass
                 since_restart += 1
                 t0 = time.perf_counter()
+                c0 = _tree_cpu_sec()
                 try:
                     SPARK_QUERIES[name](spark, sf_dir).collect()
                     samples[name].append(round(time.perf_counter() - t0, 4))
+                    c1 = _tree_cpu_sec()
+                    if c0 is not None and c1 is not None:
+                        cpu_samples.setdefault(name, []).append(
+                            round(c1 - c0, 2)
+                        )
                     spark.catalog.clearCache()
                     gc.collect()
                 except Exception as exc:  # noqa: BLE001
@@ -207,7 +259,14 @@ def main() -> None:
         )
         with open(sidecar, "w") as fh:
             json.dump(
-                {"sf": sf, "samples": samples, "errors": errors}, fh, indent=1
+                {
+                    "sf": sf,
+                    "samples": samples,
+                    "cpu_sec": cpu_samples,
+                    "errors": errors,
+                },
+                fh,
+                indent=1,
             )
     except OSError as exc:  # read-only checkout must not kill the line
         print(f"[bench] sidecar write failed: {exc}", file=sys.stderr)
