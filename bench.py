@@ -73,6 +73,20 @@ def _tree_cpu_sec() -> float | None:
         return None
 
 
+def _cpu_delta(c0: float | None, c1: float | None) -> float | None:
+    """Paired CPU delta or None — ONE entry per wall sample, so
+    ``cpu_sec[q][i]`` always pairs with ``samples[q][i]`` (a skipped
+    append would silently shift the pairing for every later sample).
+    None marks an unusable reading: a /proc miss at either endpoint,
+    or a NEGATIVE delta — a pyspark worker that died mid-query takes
+    its accumulated utime out of the live tree, so the delta is
+    garbage, not zero."""
+    if c0 is None or c1 is None:
+        return None
+    d = round(c1 - c0, 2)
+    return d if d >= 0 else None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -121,9 +135,9 @@ def main() -> None:
         try:
             fn(spark, sf_dir).collect()
             timings[name] = round(time.perf_counter() - t0, 4)
-            c1 = _tree_cpu_sec()
-            if c0 is not None and c1 is not None:
-                cpu_samples.setdefault(name, []).append(round(c1 - c0, 2))
+            cpu_samples.setdefault(name, []).append(
+                _cpu_delta(c0, _tree_cpu_sec())
+            )
             # Several operators legitimately cache intermediates whose
             # lifetime is the caller's collect (SON partitions, CF
             # ratings, graph edge sets). Drop them so query N's leftovers
@@ -212,11 +226,9 @@ def main() -> None:
                 try:
                     SPARK_QUERIES[name](spark, sf_dir).collect()
                     samples[name].append(round(time.perf_counter() - t0, 4))
-                    c1 = _tree_cpu_sec()
-                    if c0 is not None and c1 is not None:
-                        cpu_samples.setdefault(name, []).append(
-                            round(c1 - c0, 2)
-                        )
+                    cpu_samples.setdefault(name, []).append(
+                        _cpu_delta(c0, _tree_cpu_sec())
+                    )
                     spark.catalog.clearCache()
                     gc.collect()
                 except Exception as exc:  # noqa: BLE001
@@ -254,8 +266,19 @@ def main() -> None:
     # script (the stdout line has a hard byte budget; the sidecar
     # doesn't).
     try:
-        sidecar = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "BENCH_SPREAD.json"
+        # The committed BENCH_SPREAD.json is the OFFICIAL record; a
+        # smoke/debug run must not clobber it (it did once — the r13
+        # sidecar had to be restored by hand from git). Official path
+        # only for a full run at the official SF; anything else (an
+        # SF override, or a SPARK_GRAFT_BENCH_ONLY subset if that
+        # knob ever exists) lands in BENCH_SPREAD.local.json
+        # (gitignored). SPARK_GRAFT_BENCH_SIDECAR overrides outright.
+        official = os.path.realpath(sf_dir) == os.path.realpath(
+            "/root/testdata/sf0.1"
+        )
+        sidecar = os.environ.get("SPARK_GRAFT_BENCH_SIDECAR") or os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "BENCH_SPREAD.json" if official else "BENCH_SPREAD.local.json",
         )
         with open(sidecar, "w") as fh:
             json.dump(
@@ -296,9 +319,11 @@ def render_line(
     over budget, the smallest timings fold into an "other" bucket
     first (sub-second rows are noise-dominated — their point estimate
     is worth less than a heavy row's spread), then spread entries
-    shed cheapest-first, and finally (r13, advisor ask: the budget is
-    a HARD guarantee) the formerly spread-exempt rows fold too — the
-    sidecar keeps every sample regardless.
+    shed cheapest-first, then (r13, advisor ask: the budget is a HARD
+    guarantee) the formerly spread-exempt rows fold too, and as the
+    last resort error messages shrink and drop into an
+    "errors_dropped" count — the sidecar keeps every sample and full
+    error text regardless.
 
     "spread" carries [min, max] for every multi-sampled query whose
     median is at least ``spread_min_sec`` (r12 covered only the 8
@@ -330,6 +355,9 @@ def render_line(
         if len(ss) > 1 and timings[name] >= spread_min_sec
     }
 
+    errs = {k: v[:80] for k, v in errors.items()}
+    errs_dropped = 0
+
     def render(qdict: dict[str, float]) -> str:
         out = {
             "metric": "total_query_wall",
@@ -340,8 +368,10 @@ def render_line(
         }
         if spread:
             out["spread"] = spread
-        if errors:
-            out["errors"] = {k: v[:80] for k, v in errors.items()}
+        if errs:
+            out["errors"] = errs
+        if errs_dropped:
+            out["errors_dropped"] = errs_dropped
         return json.dumps(out, separators=(",", ":"))
 
     compact = {k: _num(v) for k, v in timings.items()}
@@ -383,6 +413,23 @@ def render_line(
             k = by_cost.pop(0)
             folded += compact.pop(k)
             compact["other"] = _num(folded)
+            line = render(compact)
+    if len(line) > budget and errs:
+        # last exempt field: a many-failure run can overflow on the
+        # errors dict alone (each entry ~name + 80B message). Shed
+        # messages longest-first down to a bare name marker, then
+        # drop whole entries, keeping a count — the driver must still
+        # SEE that queries failed even when it can't see every one.
+        for k in sorted(errs, key=lambda k: -len(errs[k])):
+            if len(line) <= budget:
+                break
+            errs[k] = errs[k][:20]
+            line = render(compact)
+        for k in sorted(errs, key=lambda k: (-len(k), k)):
+            if len(line) <= budget:
+                break
+            errs.pop(k)
+            errs_dropped += 1
             line = render(compact)
     return line
 

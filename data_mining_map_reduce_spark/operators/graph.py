@@ -406,6 +406,8 @@ def edge_betweenness(
     # key, so its id set IS the vertex set — no second edge scan.
     roots = adj_df.select("id")
     scale = 1.0
+    if n_roots is not None and n_roots < 1:
+        raise ValueError(f"n_roots must be >= 1, got {n_roots}")
     if n_roots is not None:
         # Fixed-size seeded sample: order by a salted hash and take k.
         # TakeOrderedAndProject keeps only k rows per partition then k

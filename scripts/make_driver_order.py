@@ -26,41 +26,35 @@ scripts/driver_sim.py now performs automatically on every verify):
 
 from __future__ import annotations
 
-import json
 import os
-import re
 import sys
+from pathlib import Path
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from data_mining_map_reduce_spark.queries import (  # noqa: E402
     _DRIVER_ORDER,
     SPARK_QUERIES,
 )
+from registry_window import (  # noqa: E402 — shared with tests/test_registry
+    WINDOW_CAP,
+    must_rotate,
+    newest_driver_rows,
+)
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-WINDOW_CAP = 50
 
 
 def main() -> int:
-    newest: dict[str, int] = {}
-    max_round = 0
-    for name in os.listdir(REPO):
-        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", name)
-        if not m:
-            continue
-        rnd = int(m.group(1))
-        max_round = max(max_round, rnd)
-        with open(os.path.join(REPO, name)) as fh:
-            for q in json.load(fh):
-                newest[q] = max(newest.get(q, 0), rnd)
+    newest, max_round = newest_driver_rows(Path(REPO))
+    if max_round == 0:
+        print("no CORRECTNESS_r*.json artifacts found")
+        return 1
     upcoming = max_round + 1
     print(f"newest artifact: r{max_round}; computing window for r{upcoming}")
 
-    must = sorted(
-        (q for q in SPARK_QUERIES if upcoming - newest.get(q, 0) > 2),
-        key=lambda q: (newest.get(q, 0), q),
-    )
+    must = must_rotate(newest, upcoming, SPARK_QUERIES)
     never = [q for q in SPARK_QUERIES if q not in newest]
     print(f"\nMUST-ROTATE ({len(must)} rows, oldest first):")
     for q in must:

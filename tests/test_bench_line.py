@@ -122,3 +122,25 @@ def test_budget_is_a_hard_guarantee():
         assert len(line) <= budget, (budget, len(line), line)
         d = json.loads(line)
         assert abs(sum(d["queries"].values()) - d["value"]) < 0.1 * len(timings)
+
+
+def test_budget_holds_under_mass_errors():
+    """The errors dict was the last budget-exempt field: a round
+    where dozens of queries fail could overflow the line on error
+    text alone and lose the line's HEAD in the driver's tail capture.
+    Messages shed longest-first, then whole entries drop into an
+    errors_dropped count — failure visibility survives, budget
+    holds."""
+    timings, samples = _fleet(30)
+    errors = {
+        f"broken_query_{i:02d}": "AnalysisException: " + "x" * 200
+        for i in range(25)
+    }
+    for budget in (1900, 800, 300):
+        line = bench.render_line(
+            timings, errors, 0.1, samples, spread_top=8, budget=budget
+        )
+        assert len(line) <= budget, (budget, len(line), line)
+        d = json.loads(line)
+        seen = len(d.get("errors", {})) + d.get("errors_dropped", 0)
+        assert seen == 25  # every failure accounted for, shown or counted

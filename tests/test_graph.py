@@ -272,6 +272,15 @@ def test_betweenness_fixed_roots_ge_v_is_exact(spark, planted_edges):
     assert exact == capped
 
 
+def test_betweenness_rejects_degenerate_n_roots(spark, planted_edges):
+    """n_roots=0 would divide by zero in the V/k rescale and a
+    negative count would silently mis-limit — both must fail loudly
+    at the argument, like any other bad knob."""
+    for bad in (0, -5):
+        with pytest.raises(ValueError, match="n_roots"):
+            G.edge_betweenness(planted_edges, n_roots=bad)
+
+
 def test_betweenness_fixed_roots_local_matches_batched(spark, planted_edges):
     """Same seeded fixed-size root set on either execution path."""
     loc = {

@@ -8,8 +8,8 @@ silently broken the "newest driver row <= 2 rounds old" contract."""
 
 from __future__ import annotations
 
-import json
 import re
+import sys
 from pathlib import Path
 
 from data_mining_map_reduce_spark.queries import (
@@ -20,7 +20,13 @@ from data_mining_map_reduce_spark.queries import (
 
 README = Path(__file__).resolve().parent.parent / "README.md"
 REPO = Path(__file__).resolve().parent.parent
-WINDOW_CAP = 50  # the driver records at most this many rows per round
+
+sys.path.insert(0, str(REPO / "scripts"))
+from registry_window import (  # noqa: E402 — one policy definition for
+    STALENESS_LIMIT,  # the round-open tool AND this CI guard
+    WINDOW_CAP,
+    newest_driver_rows,
+)
 
 
 def test_readme_counts_match_registry():
@@ -45,18 +51,7 @@ def test_every_oracle_has_a_query():
 
 
 def _newest_driver_rows() -> tuple[dict[str, int], int]:
-    """(query -> newest round with a CORRECTNESS row, newest round on
-    disk), parsed from every committed CORRECTNESS_r*.json."""
-    newest: dict[str, int] = {}
-    max_round = 0
-    for path in REPO.glob("CORRECTNESS_r*.json"):
-        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", path.name)
-        if not m:
-            continue
-        rnd = int(m.group(1))
-        max_round = max(max_round, rnd)
-        for name in json.loads(path.read_text()):
-            newest[name] = max(newest.get(name, 0), rnd)
+    newest, max_round = newest_driver_rows(REPO)
     assert max_round > 0, "no CORRECTNESS_r*.json artifacts found"
     return newest, max_round
 
@@ -88,7 +83,7 @@ def test_driver_window_staleness_invariant():
         rowed = newest.get(name)
         if rowed is None:
             stale.append(f"{name} (never rowed — must debut in-window)")
-        elif upcoming - rowed > 2:
+        elif upcoming - rowed > STALENESS_LIMIT:
             stale.append(
                 f"{name} (newest row r{rowed}, would be "
                 f"{upcoming - rowed} rounds old at r{upcoming} close)"
@@ -102,23 +97,43 @@ def test_driver_window_staleness_invariant():
 
 def test_driver_window_next_round_has_capacity():
     """Early warning: the rows this window leaves un-rotated must fit
-    the NEXT window with room for the r12-measured churn (new +
-    code-changed queries took 2-6 slots/round historically). If the
-    obligation count alone exceeds the cap, the invariant is already
-    unsatisfiable next round — fail NOW, while this round can still
-    rotate extra rows to amortize the debt."""
+    the NEXT window. If the obligation count alone exceeds the cap,
+    the invariant is already unsatisfiable next round — fail NOW,
+    while this round can still rotate extra rows to amortize the
+    debt. (Code-changed re-rows are phase shifts — rowing a query
+    early only moves WHICH round owes it — so they don't consume
+    capacity long-term; roster GROWTH does, which the roster test
+    below bounds.)"""
     newest, max_round = _newest_driver_rows()
     upcoming = max_round + 1
     window = set(_DRIVER_ORDER[:WINDOW_CAP])
     # After the upcoming round closes: in-window rows are fresh
     # (age 0); everything else keeps `newest`. Next round must rotate
-    # any query whose row would otherwise exceed age 2 at ITS close.
+    # any query whose row would otherwise exceed the limit at ITS
+    # close.
     must_rotate_next = [
         q
         for q in SPARK_QUERIES
-        if q not in window and (upcoming + 1) - newest.get(q, 0) > 2
+        if q not in window
+        and (upcoming + 1) - newest.get(q, 0) > STALENESS_LIMIT
     ]
     assert len(must_rotate_next) <= WINDOW_CAP, (
         f"r{upcoming + 1} would owe {len(must_rotate_next)} rotations "
         f"with only {WINDOW_CAP} slots — rebalance this window"
+    )
+
+
+def test_roster_within_sustainable_capacity():
+    """The structural bound behind all the window math: every
+    registered query needs a driver row at least every STALENESS_LIMIT
+    rounds, so steady-state obligations are roster/STALENESS_LIMIT per
+    round and the roster cannot exceed WINDOW_CAP * STALENESS_LIMIT
+    (=100). At the bound, REGISTERING A NEW QUERY REQUIRES RETIRING
+    ONE — this is the test that says so before the rotation becomes
+    unsatisfiable in some later round's window arithmetic."""
+    cap = WINDOW_CAP * STALENESS_LIMIT
+    assert len(SPARK_QUERIES) <= cap, (
+        f"roster {len(SPARK_QUERIES)} exceeds the sustainable "
+        f"{cap} (= {WINDOW_CAP}-row window x {STALENESS_LIMIT}-round "
+        f"staleness limit); retire a query for every one added"
     )
