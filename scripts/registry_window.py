@@ -1,0 +1,62 @@
+"""Single source of truth for the driver-window rotation policy.
+
+Both consumers — scripts/make_driver_order.py (the round-open tool
+that computes the suggested window) and tests/test_registry.py (the
+CI guard that fails a window violating the contract) — import these
+constants and the artifact parse from here, so a future change to the
+cap or the staleness limit cannot leave the tool and the test
+enforcing different contracts (the failure mode: the tool suggests a
+window the test rejects, or the test passes a window the driver lets
+go stale).
+
+The policy itself:
+- the driver records at most WINDOW_CAP correctness rows per round,
+  taken from the head of ``_DRIVER_ORDER``;
+- every registered query's newest row must stay <= STALENESS_LIMIT
+  rounds old at each round's close (a never-rowed query must debut
+  in-window its first round);
+- consequently the sustainable roster is WINDOW_CAP * STALENESS_LIMIT
+  queries — beyond that, the obligations alone exceed the cap and the
+  invariant becomes unsatisfiable no matter how windows are chosen.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from pathlib import Path
+
+WINDOW_CAP = 50  # driver records at most this many rows per round
+STALENESS_LIMIT = 2  # newest row may be at most this many rounds old
+
+
+def newest_driver_rows(repo: Path) -> tuple[dict[str, int], int]:
+    """(query -> newest round with a CORRECTNESS row, newest round on
+    disk), parsed from every committed CORRECTNESS_r*.json."""
+    newest: dict[str, int] = {}
+    max_round = 0
+    for path in repo.glob("CORRECTNESS_r*.json"):
+        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", path.name)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        max_round = max(max_round, rnd)
+        for name in json.loads(path.read_text()):
+            newest[name] = max(newest.get(name, 0), rnd)
+    return newest, max_round
+
+
+def must_rotate(
+    newest: dict[str, int], upcoming: int, queries: set[str] | list[str]
+) -> list[str]:
+    """Queries whose newest row would exceed STALENESS_LIMIT at the
+    close of ``upcoming`` unless re-rowed — plus never-rowed debuts —
+    oldest rows first (the order they should lead the window)."""
+    return sorted(
+        (
+            q
+            for q in queries
+            if upcoming - newest.get(q, 0) > STALENESS_LIMIT
+        ),
+        key=lambda q: (newest.get(q, 0), q),
+    )
