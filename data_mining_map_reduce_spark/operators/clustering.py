@@ -55,21 +55,72 @@ def assign_clusters(
     )
 
 
-def _mean_vectors(assigned: DataFrame, vec_col: str, k: int, dim: int) -> dict[int, list[float]]:
-    # dim avg(element_at(...)) aggregates instead of a posexplode:
-    # the partial aggregation happens map-side over unexploded rows,
-    # so the shuffle carries k rows of dim columns, not n*dim rows.
-    rows = (
-        assigned.groupBy("cluster")
+def _assign_mean_pass(
+    pts: DataFrame, vec_col: str, centroids: list[list[float]], k: int, dim: int
+) -> dict[int, list[float]]:
+    """One distributed Lloyd pass — nearest-centroid assignment AND
+    per-cluster mean — as a single Arrow-vectorized scan.
+
+    Why not `assign_clusters` + a dim-wise avg aggregate (the loop's
+    shape through r13): the declarative distance is a higher-order-function
+    expression (transform → aggregate/zip_with), which Catalyst
+    evaluates INTERPRETED, outside whole-stage codegen — measured
+    9.3 s per pass over just 200 k × 64-dim vectors at sf10, and
+    Lloyd pays it up to 100×: the r13 family probe put
+    kmeans_cluster_sizes at 952.9 s / 129×-per-decade, the worst
+    curve in the repo (SCALE.md r13). Here each Arrow batch computes
+    the full argmin in numpy (~ms for the same batch the interpreted
+    expression spends seconds on) and emits k partial
+    (count, sum-vector) rows, so the shuffle carries
+    partitions × k tiny rows and the driver reduces k × dim floats —
+    same bounded-state contract as the expression pass.
+
+    Semantics match `assign_clusters` exactly: squared-L2 argmin,
+    ties → lowest index (numpy argmin first-occurrence ==
+    array_position(array_min) first match); empty clusters keep their
+    previous centroid via the caller's `.get` fallback. Only float
+    summation ORDER differs (numpy pairwise vs expression
+    sequential), the same tolerance the local-vs-distributed parity
+    test already grants (tests/test_clustering.py rtol=1e-6 / 99 %
+    assignment agreement)."""
+    import numpy as np
+
+    C = np.asarray(centroids, dtype=float)
+
+    def part(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            X = np.array(pdf[vec_col].tolist(), dtype=float)
+            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            rows = []
+            for c in range(k):
+                m = a == c
+                if m.any():
+                    rows.append(
+                        (c, int(m.sum()), X[m].sum(axis=0).tolist())
+                    )
+            yield pd.DataFrame(rows, columns=["cluster", "cnt", "sums"])
+
+    partials = pts.mapInPandas(
+        part, "cluster int, cnt long, sums array<double>"
+    )
+    agg = (
+        partials.groupBy("cluster")
         .agg(
+            F.sum("cnt").alias("_n"),
             *[
-                F.avg(F.element_at(F.col(vec_col), j + 1)).alias(f"_m{j}")
+                F.sum(F.element_at("sums", j + 1)).alias(f"_s{j}")
                 for j in range(dim)
-            ]
+            ],
         )
         .collect()
     )
-    return {r["cluster"]: [r[f"_m{j}"] for j in range(dim)] for r in rows}
+    return {
+        r["cluster"]: [r[f"_s{j}"] / r["_n"] for j in range(dim)]
+        for r in agg
+    }
 
 
 def kmeanspp_init(
@@ -232,8 +283,7 @@ def kmeans(
         iterations = 0
         for _ in range(max_iter):
             iterations += 1
-            assigned = assign_clusters(loop_pts, vec_col, centroids)
-            means = _mean_vectors(assigned, vec_col, k, dim)
+            means = _assign_mean_pass(loop_pts, vec_col, centroids, k, dim)
             new_centroids = [means.get(i, centroids[i]) for i in range(k)]
             move = max(
                 math.dist(a, b) for a, b in zip(centroids, new_centroids)
