@@ -235,6 +235,66 @@ def _lloyd_np(
     return [c.tolist() for c in cents]
 
 
+def _index_encode_pandas(
+    base: DataFrame,
+    id_col: str,
+    coarse: "list[list[float]]",
+    codebooks=None,
+) -> DataFrame:
+    """Arrow-vectorized IVF index build: the coarse-list argmin per
+    corpus vector — and, when ``codebooks`` is given, the m_sub PQ
+    subspace argmin codes — computed in numpy per Arrow batch instead
+    of interpreted higher-order expressions.
+
+    Why: the declarative argmin (transform → aggregate) evaluates
+    outside whole-stage codegen at ~50 µs/row (the same cliff fixed
+    for the Lloyd loop, SCALE.md r13); at the 100× corpus the IVF /
+    IVF-PQ index build measured 294/374 s with the encode pass
+    dominating. Semantics are unchanged: squared-L2 argmin over
+    already-normalized vectors, ties → lowest index (numpy
+    first-occurrence == array_position(array_min) first match); the
+    vectors round-trip Arrow bit-identically, so only argmin
+    tie-breaking on last-ulp distance differences could ever diverge
+    — recall bounds are pytest- and oracle-pinned either way.
+    Output: (neighbor_id, _cv, _list[, _codes])."""
+    C = np.asarray(coarse, dtype=float)
+    CB = (
+        None
+        if codebooks is None
+        else [np.asarray(cb, dtype=float) for cb in codebooks]
+    )
+    id_type = base.schema[id_col].dataType.simpleString()
+    schema = f"neighbor_id {id_type}, _cv array<double>, _list int"
+    if CB is not None:
+        schema += ", _codes array<int>"
+
+    def part(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(pdf["_nv"].tolist(), dtype=float)
+            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            out = {
+                "neighbor_id": pdf[id_col].to_numpy(),
+                "_cv": list(X.tolist()),
+                "_list": d2.argmin(axis=1).astype("int32"),
+            }
+            if CB is not None:
+                m = len(CB)
+                sd = X.shape[1] // m
+                codes = np.empty((len(X), m), dtype="int32")
+                for j, cb in enumerate(CB):
+                    Xs = X[:, j * sd : (j + 1) * sd]
+                    dj = ((Xs[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+                    codes[:, j] = dj.argmin(axis=1)
+                out["_codes"] = list(codes.tolist())
+            yield pd.DataFrame(out)
+
+    return base.mapInPandas(part, schema)
+
+
 def ivf_topk(
     emb: DataFrame,
     probes: DataFrame,
@@ -277,8 +337,6 @@ def ivf_topk(
     sizes are skew-prone (real clusters are uneven) — AQE skew-join
     handles the join; recall vs the exact path is pytest-asserted.
     """
-    from .clustering import assign_clusters
-
     def norm(col: Column) -> Column:
         n = F.sqrt(F.aggregate(col, F.lit(0.0), lambda a, x: a + x * x))
         return F.transform(col, lambda x: F.when(n > 0, x / n).otherwise(F.lit(0.0)))
@@ -297,12 +355,22 @@ def ivf_topk(
     train = np.array(sorted(r[0] for r in sample_rows))
     centroids = _lloyd_np(train, n_list, seed, kmeans_max_iter)
 
+    # Index build stays on the declarative assign_clusters: the r13
+    # vectorized-encode A/B (SCALE.md) measured plain IVF SLOWER with
+    # the Arrow pass at both sf1 (37.2→41.0 s) and sf10
+    # (294.2→353.6 s) — one coarse argmin per row is cheap enough
+    # that the Arrow round-trip + lost codegen boundary outweighs it;
+    # the search join, not the encode, owns this operator's wall.
+    # (IVF-PQ is the opposite: m_sub interpreted argmins per row →
+    # _index_encode_pandas wins 29-38 % there.)
+    from .clustering import assign_clusters
+
     cands = assign_clusters(base, "_nv", centroids, alias="_list").select(
         F.col(id_col).alias("neighbor_id"), F.col("_nv").alias("_cv"), "_list"
     )
 
     # n_probe nearest lists per probe, ranked by the SAME metric the
-    # index used (assign_clusters L2 argmin): for a unit-norm probe,
+    # index used (the encode pass's L2 argmin): for a unit-norm probe,
     # ||v-c||^2 = 1 + ||c||^2 - 2 v.c, so the sort key is
     # ||c||^2 - 2*dot — centroid norms vary, so plain dot-argmax would
     # disagree with the list assignment and cost recall. Centroids
@@ -498,8 +566,6 @@ def ivfpq_topk(
     Rows-only as a driver query: codes depend on iterative float
     training, like IVF/k-means.
     """
-    from .clustering import assign_clusters
-
     def norm(col: Column) -> Column:
         n = F.sqrt(F.aggregate(col, F.lit(0.0), lambda a, x: a + x * x))
         return F.transform(col, lambda x: F.when(n > 0, x / n).otherwise(F.lit(0.0)))
@@ -530,34 +596,11 @@ def ivfpq_topk(
         [([list(map(float, c)) for c in coarse],)], "_cents array<array<double>>"
     )
 
-    def sub_l2sq(sub: Column, code: Column) -> Column:
-        return F.aggregate(
-            F.zip_with(sub, code, lambda a, b: a - b),
-            F.lit(0.0),
-            lambda acc, x: acc + x * x,
-        )
-
-    # encode: coarse list + m_sub per-subspace argmin codes (0-based).
-    # The per-subspace lambda must be built by a factory: a default-arg
-    # lambda (lambda c, s=sub: ...) has arity 2, which pyspark's
-    # transform() reads as the (element, index) form and feeds the
-    # INDEX into s.
-    def _code_for(j: int) -> Column:
-        sub = F.slice("_nv", j * sd + 1, sd)
-        dists = F.transform(
-            F.element_at("_cb", j + 1), lambda c: sub_l2sq(sub, c)
-        )
-        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
-
-    listed = assign_clusters(base, "_nv", coarse, alias="_list")
-    enc = listed.crossJoin(F.broadcast(cb_row))
-    code_cols = [_code_for(j) for j in range(m_sub)]
-    cands = enc.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col("_nv").alias("_cv"),
-        "_list",
-        F.array(*code_cols).alias("_codes"),
-    )
+    # encode: coarse list + m_sub per-subspace argmin codes (0-based),
+    # numpy per Arrow batch (r13) — see _index_encode_pandas; one
+    # interpreted subspace-argmin expression per row per subspace was
+    # the dominant cost of the 100x index build
+    cands = _index_encode_pandas(base, id_col, coarse, codebooks)
 
     # probe routing: same ||c||^2 - 2 v.c key as ivf_topk, so the
     # probed lists agree with the index's assignment metric
