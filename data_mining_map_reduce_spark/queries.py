@@ -4976,15 +4976,15 @@ _EXCLUDED_R13 = [
     ("fpgrowth_itemsets", "r12"),
     ("dedup_canonical_docs", "r12"),
     ("graph_components", "r12"),
-    ("ann_topk_ivfpq", "r12"),
+    ("ann_topk_ivfpq", "r12; r13 operator change (Arrow-vectorized PQ encode) graded in-window by ann_recall_check (FULL oracle, runs the same ivfpq_topk call and pins recall_ok) + recall/refinement pytests"),
     ("doc_length_percentiles_approx", "r12"),
     ("dict_encode_brands", "r12"),
     ("dict_encode_partkeys_big", "r12"),
     ("contamination_ngram_overlap", "r12"),
     ("cm_heavy_hitter_partkeys", "r12"),
     ("window_heavy_hitter_users", "r12"),
-    ("kmeans_cluster_sizes", "r12"),
-    ("bfr_round_stats", "r12"),
+    ("kmeans_cluster_sizes", "r12; r13 operator change (Arrow-vectorized distributed Lloyd pass) graded in-window by kmeans_wcss_check (FULL oracle, same kmeans call) + local-vs-distributed parity pytest; at sf0.01/sf0.1 this query runs the unchanged LOCAL fast path anyway"),
+    ("bfr_round_stats", "r12; its inner kmeans calls run the unchanged bounded-local path at driver scale; pinned-count pytests re-run green after the r13 Lloyd change"),
     ("ann_topk_exact", "r12"),
     ("ann_topk_lsh", "r12"),
     ("ann_topk_ivf", "r12"),
