@@ -240,6 +240,7 @@ def _index_encode_pandas(
     id_col: str,
     coarse: "list[list[float]]",
     codebooks=None,
+    vec_col: str = "_nv",
 ) -> DataFrame:
     """Arrow-vectorized IVF index build: the coarse-list argmin per
     corpus vector — and, when ``codebooks`` is given, the m_sub PQ
@@ -268,27 +269,29 @@ def _index_encode_pandas(
     if CB is not None:
         schema += ", _codes array<int>"
 
+    dim = C.shape[1]
+    from .clustering import _argmin_sq_l2, _batch_vectors
+
     def part(batches):
         import pandas as pd
 
         for pdf in batches:
-            if not len(pdf):
+            keep, X = _batch_vectors(pdf, vec_col, dim)
+            if not len(X):
                 continue
-            X = np.array(pdf["_nv"].tolist(), dtype=float)
-            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
             out = {
-                "neighbor_id": pdf[id_col].to_numpy(),
+                "neighbor_id": pdf[id_col].to_numpy()[keep],
                 "_cv": list(X.tolist()),
-                "_list": d2.argmin(axis=1).astype("int32"),
+                "_list": _argmin_sq_l2(X, C).astype("int32"),
             }
             if CB is not None:
                 m = len(CB)
                 sd = X.shape[1] // m
                 codes = np.empty((len(X), m), dtype="int32")
                 for j, cb in enumerate(CB):
-                    Xs = X[:, j * sd : (j + 1) * sd]
-                    dj = ((Xs[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
-                    codes[:, j] = dj.argmin(axis=1)
+                    codes[:, j] = _argmin_sq_l2(
+                        X[:, j * sd : (j + 1) * sd], cb
+                    )
                 out["_codes"] = list(codes.tolist())
             yield pd.DataFrame(out)
 

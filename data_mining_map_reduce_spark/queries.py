@@ -4983,7 +4983,7 @@ _EXCLUDED_R13 = [
     ("contamination_ngram_overlap", "r12"),
     ("cm_heavy_hitter_partkeys", "r12"),
     ("window_heavy_hitter_users", "r12"),
-    ("kmeans_cluster_sizes", "r12; r13 operator change (Arrow-vectorized distributed Lloyd pass) graded in-window by kmeans_wcss_check (FULL oracle, same kmeans call) + local-vs-distributed parity pytest; at sf0.01/sf0.1 this query runs the unchanged LOCAL fast path anyway"),
+    ("kmeans_cluster_sizes", "r12; r13 operator change (Arrow-vectorized distributed Lloyd pass) — at driver/bench scales EVERY kmeans row (this one and kmeans_wcss_check) runs the unchanged LOCAL fast path, so no driver row reaches the changed code: it is graded by the local-vs-distributed parity pytest (which forces the distributed path) + the sf10 receipt in SCALE.md"),
     ("bfr_round_stats", "r12; its inner kmeans calls run the unchanged bounded-local path at driver scale; pinned-count pytests re-run green after the r13 Lloyd change"),
     ("ann_topk_exact", "r12"),
     ("ann_topk_lsh", "r12"),

@@ -15,9 +15,14 @@ The policy itself:
 - every registered query's newest row must stay <= STALENESS_LIMIT
   rounds old at each round's close (a never-rowed query must debut
   in-window its first round);
-- consequently the sustainable roster is WINDOW_CAP * STALENESS_LIMIT
-  queries — beyond that, the obligations alone exceed the cap and the
+- consequently a row needs renewal every STALENESS_LIMIT + 1 rounds
+  (rowed in r, ages 1 and 2 at r+1/r+2 close, violates at r+3 — so
+  it must re-row in the r+3 window at the latest), and the
+  sustainable roster is WINDOW_CAP * (STALENESS_LIMIT + 1) queries;
+  beyond that, steady-state obligations alone exceed the cap and the
   invariant becomes unsatisfiable no matter how windows are chosen.
+  (The practiced cadence re-rows every 2 rounds — a deliberate
+  round of slack under the 3-round ceiling.)
 """
 
 from __future__ import annotations
@@ -50,13 +55,17 @@ def must_rotate(
     newest: dict[str, int], upcoming: int, queries: set[str] | list[str]
 ) -> list[str]:
     """Queries whose newest row would exceed STALENESS_LIMIT at the
-    close of ``upcoming`` unless re-rowed — plus never-rowed debuts —
-    oldest rows first (the order they should lead the window)."""
+    close of ``upcoming`` unless re-rowed — plus never-rowed debuts,
+    which must be in-window their first round REGARDLESS of the round
+    number (newest.get(q, 0) alone would hide a debut whenever
+    upcoming <= STALENESS_LIMIT) — oldest rows first (the order they
+    should lead the window)."""
     return sorted(
         (
             q
             for q in queries
-            if upcoming - newest.get(q, 0) > STALENESS_LIMIT
+            if q not in newest
+            or upcoming - newest[q] > STALENESS_LIMIT
         ),
         key=lambda q: (newest.get(q, 0), q),
     )

@@ -124,16 +124,20 @@ def test_driver_window_next_round_has_capacity():
 
 
 def test_roster_within_sustainable_capacity():
-    """The structural bound behind all the window math: every
-    registered query needs a driver row at least every STALENESS_LIMIT
-    rounds, so steady-state obligations are roster/STALENESS_LIMIT per
-    round and the roster cannot exceed WINDOW_CAP * STALENESS_LIMIT
-    (=100). At the bound, REGISTERING A NEW QUERY REQUIRES RETIRING
+    """The structural bound behind all the window math: a row ages to
+    STALENESS_LIMIT legally and violates one round later, so every
+    query needs renewal every STALENESS_LIMIT + 1 rounds — steady-
+    state obligations are roster/(STALENESS_LIMIT + 1) per round and
+    the roster cannot exceed WINDOW_CAP * (STALENESS_LIMIT + 1)
+    (=150). At the bound, REGISTERING A NEW QUERY REQUIRES RETIRING
     ONE — this is the test that says so before the rotation becomes
-    unsatisfiable in some later round's window arithmetic."""
-    cap = WINDOW_CAP * STALENESS_LIMIT
+    unsatisfiable in some later round's window arithmetic. (The
+    practiced every-2-rounds cadence keeps a ~50-query cushion under
+    this ceiling; crossing ~100 starts consuming that slack.)"""
+    cap = WINDOW_CAP * (STALENESS_LIMIT + 1)
     assert len(SPARK_QUERIES) <= cap, (
         f"roster {len(SPARK_QUERIES)} exceeds the sustainable "
-        f"{cap} (= {WINDOW_CAP}-row window x {STALENESS_LIMIT}-round "
-        f"staleness limit); retire a query for every one added"
+        f"{cap} (= {WINDOW_CAP}-row window x (STALENESS_LIMIT+1)="
+        f"{STALENESS_LIMIT + 1}-round renewal cycle); retire a query "
+        f"for every one added"
     )
