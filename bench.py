@@ -105,7 +105,9 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    cpu_samples: dict[str, list[float]] = {}  # sidecar-only, see _tree_cpu_sec
+    # sidecar-only, see _tree_cpu_sec; entries are None (JSON null)
+    # when the paired CPU reading was unusable (_cpu_delta)
+    cpu_samples: dict[str, list[float | None]] = {}
     # Recycle the session every RESTART_EVERY queries: one local JVM
     # accumulating 60+ queries' generated classes, broadcasts, and
     # shuffle state measures late queries 2-5x slower than the same
@@ -269,12 +271,23 @@ def main() -> None:
         # The committed BENCH_SPREAD.json is the OFFICIAL record; a
         # smoke/debug run must not clobber it (it did once — the r13
         # sidecar had to be restored by hand from git). Official path
-        # only for a full run at the official SF; anything else (an
-        # SF override, or a SPARK_GRAFT_BENCH_ONLY subset if that
-        # knob ever exists) lands in BENCH_SPREAD.local.json
-        # (gitignored). SPARK_GRAFT_BENCH_SIDECAR overrides outright.
-        official = os.path.realpath(sf_dir) == os.path.realpath(
-            "/root/testdata/sf0.1"
+        # only for a full run at the official SF with NO bench-shaping
+        # env overrides (ADVICE r13: a smoke run at the default sf_dir
+        # with HEAVY_REPS=1 / RESTART / BUDGET_SEC set still produced
+        # non-official samples and overwrote the committed file);
+        # anything else lands in BENCH_SPREAD.local.json (gitignored).
+        # SPARK_GRAFT_BENCH_OFFICIAL=1 forces the official path,
+        # SPARK_GRAFT_BENCH_SIDECAR overrides the target outright.
+        shaping = [
+            v
+            for v in os.environ
+            if v.startswith("SPARK_GRAFT_BENCH_")
+            and v not in ("SPARK_GRAFT_BENCH_SIDECAR", "SPARK_GRAFT_BENCH_OFFICIAL")
+        ]
+        official = os.environ.get("SPARK_GRAFT_BENCH_OFFICIAL") == "1" or (
+            not shaping
+            and os.path.realpath(sf_dir)
+            == os.path.realpath("/root/testdata/sf0.1")
         )
         sidecar = os.environ.get("SPARK_GRAFT_BENCH_SIDECAR") or os.path.join(
             os.path.dirname(os.path.abspath(__file__)),

@@ -219,10 +219,11 @@ def _lloyd_np(
         raise ValueError(
             f"training sample ({len(points)}) smaller than k={k} for {what}"
         )
+    from .clustering import _argmin_sq_l2
+
     cents = points[rng.choice(len(points), size=k, replace=False)].copy()
     for _ in range(max_iter):
-        d2 = ((points[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-        assign = d2.argmin(axis=1)
+        assign = _argmin_sq_l2(points, cents)
         new = cents.copy()
         for j in range(k):
             members = points[assign == j]
@@ -373,7 +374,8 @@ def ivf_topk(
     )
 
     # n_probe nearest lists per probe, ranked by the SAME metric the
-    # index used (the encode pass's L2 argmin): for a unit-norm probe,
+    # index used (the same L2 argmin assign_clusters used for the
+    # index): for a unit-norm probe,
     # ||v-c||^2 = 1 + ||c||^2 - 2 v.c, so the sort key is
     # ||c||^2 - 2*dot — centroid norms vary, so plain dot-argmax would
     # disagree with the list assignment and cost recall. Centroids

@@ -163,8 +163,11 @@ def _argmin_sq_l2(X, C):
     in exactly the passes this kernel exists to make scale-safe).
     First-occurrence tie rule, identical to
     array_position(array_min): every argmin in the repo — local
-    Lloyd, the distributed Lloyd pass, the IVF-PQ encode — breaks
-    ties through this one function."""
+    Lloyd, the distributed Lloyd pass, the IVF-PQ encode, and the
+    ANN quantizer training loop (ann._lloyd_np) — breaks ties
+    through this one function (ADVICE r13: the last two previously
+    inlined their own kernels, whose subtract form could differ from
+    this expansion form in the last ulp on near-ties)."""
     import numpy as np  # noqa: F401 — executor-side import parity
 
     d = (X**2).sum(1)[:, None] + (C**2).sum(1)[None, :] - 2.0 * (X @ C.T)
@@ -209,12 +212,10 @@ def _local_lloyd(
     import numpy as np
 
     C = np.asarray(centroids, dtype=float)
-    x_sq = (X**2).sum(1)[:, None]
     iters = 0
     for _ in range(max_iter):
         iters += 1
-        d = x_sq + (C**2).sum(1)[None, :] - 2.0 * (X @ C.T)
-        a = d.argmin(1)  # ties -> lowest index, same as array_position
+        a = _argmin_sq_l2(X, C)  # ties -> lowest index, same as array_position
         newC = np.array(
             [X[a == j].mean(0) if (a == j).any() else C[j] for j in range(k)]
         )
