@@ -128,6 +128,62 @@ def co_occurrence_pairs(
     )
 
 
+def co_occurrence_pairs_lsh(
+    df: DataFrame,
+    key: str,
+    item: str,
+    min_shared: int,
+    left_alias: str = "a",
+    right_alias: str = "b",
+    count_alias: str = "n_shared",
+    num_hashes: int = 32,
+    bands: int = 32,
+    max_bucket: int | None = 5000,
+) -> DataFrame:
+    """LSH-pre-cut twin of :func:`co_occurrence_pairs` (r13 verdict
+    task 1): banded-minhash candidate generation over the (key →
+    items) baskets replaces the exact Σdᵢ² pair expansion, then the
+    shared-item count of each surviving candidate is verified EXACTLY
+    and filtered to >= min_shared.
+
+    Contract: output ⊆ the exact twin's output with identical
+    ``count_alias`` values on every emitted pair (precision 1.0 — the
+    verify is exact; refinement pytest-asserted). Recall is governed
+    by the banding vs each qualifying pair's JACCARD, not its raw
+    overlap: a pair sharing min_shared items out of huge baskets has
+    low Jaccard and may miss every band. That trade is the point —
+    the exact build's Σdᵢ² expansion through hot items is what dies
+    at 100× (502-685 s at sf10 under five graph queries, SCALE.md
+    r13), while this build shuffles one signature row per key per map
+    partition, caps pathological buckets, and pays the exact
+    intersection only on candidates. Use the exact twin when
+    completeness of low-similarity edges matters; use this one as the
+    corpus-scale edge build.
+
+    Items are cast to string (md5-folded like every minhash family
+    member) — distinctness-preserving for the numeric item ids the
+    graph queries use, so the overlap counts match the exact twin's.
+    """
+    from .similarity import minhash_lsh_pairs
+
+    pairs = df.select(
+        F.col(key).alias("_k"), F.col(item).cast("string").alias("_i")
+    )
+    return minhash_lsh_pairs(
+        baskets(pairs, "_k", "_i"),
+        "_k",
+        "items",
+        threshold=0.0,  # ignored: min_overlap mode verifies on count
+        num_hashes=num_hashes,
+        bands=bands,
+        key_a=left_alias,
+        key_b=right_alias,
+        max_bucket=max_bucket,
+        min_overlap=min_shared,
+        count_alias=count_alias,
+    )
+
+
 def top_k_per_group(
     df: DataFrame,
     group: str | Column,

@@ -275,6 +275,8 @@ def minhash_lsh_pairs(
     max_bucket: int | None = 5000,
     verify: bool = True,
     materialize: bool = True,
+    min_overlap: int | None = None,
+    count_alias: str = "n_shared",
 ) -> DataFrame:
     """MinHash+LSH candidate generation + exact-Jaccard verification.
 
@@ -291,6 +293,16 @@ def minhash_lsh_pairs(
     re-assembles co-ratings and applies min_co anyway): the verify
     join's collect-set + array_intersect shuffle is pure overhead for
     a pre-filter, and at low thresholds it prunes almost nothing.
+
+    ``min_overlap`` (r14, the graph edge-build pre-cut) switches the
+    exact verify from a Jaccard threshold to a SHARED-ITEM COUNT:
+    surviving candidates are filtered to ``|A ∩ B| >= min_overlap``
+    and emitted as (key_a, key_b, ``count_alias``) — ``threshold``
+    and ``sim_alias`` are ignored in this mode. Same candidate stage,
+    same exact verify join; only the final filter/projection differs,
+    so the output provably refines the exact overlap-count self-join
+    (relational.co_occurrence_pairs) with identical counts on every
+    emitted pair. Requires ``verify=True`` (counting IS the verify).
 
     The signature is computed as explode → one 31-bit fold per item →
     groupBy(key) with ``num_hashes`` plain ``min`` aggregates — the
@@ -341,6 +353,8 @@ def minhash_lsh_pairs(
 
     if num_hashes % bands:
         raise ValueError("num_hashes must divide evenly into bands")
+    if min_overlap is not None and not verify:
+        raise ValueError("min_overlap requires verify=True")
     rows_per_band = num_hashes // bands
 
     exploded = (
@@ -432,6 +446,10 @@ def minhash_lsh_pairs(
             (F.size("_ia") + F.size("_ib")).alias("_tot"),
         )
     )
+    if min_overlap is not None:
+        return scored.where(F.col("_inter") >= min_overlap).select(
+            key_a, key_b, F.col("_inter").cast("long").alias(count_alias)
+        )
     return (
         scored.withColumn(
             sim_alias,

@@ -70,3 +70,45 @@ def test_exact_pairs_scale_guard(spark, monkeypatch):
     # 0 disables (deliberate ground-truth runs)
     monkeypatch.setenv("SPARK_GRAFT_EXACT_PAIRS_MAX", "0")
     assert exact_jaccard_pairs(df, "k", "it", threshold=0.5).count() > 0
+
+
+def test_cooccurrence_lsh_refines_exact(spark, sf_dir):
+    """r13 verdict task 1: the LSH-pre-cut edge build must REFINE the
+    exact co-occurrence build — every emitted pair exists in the
+    exact output with an IDENTICAL n_shared (precision 1.0: the
+    verify is an exact intersection count), and recall on the smoke
+    corpus stays above the floor the banding predicts (b=32, r=1:
+    P(candidate) = 1-(1-J)^32; tau=3 pairs with low Jaccard are the
+    documented misses)."""
+    from data_mining_map_reduce_spark.operators.relational import (
+        co_occurrence_pairs,
+        co_occurrence_pairs_lsh,
+    )
+
+    pairs = _customer_part_pairs(spark, sf_dir)
+    exact = {
+        (r.a, r.b): r.n_shared
+        for r in co_occurrence_pairs(pairs, "k", "i", min_shared=3).collect()
+    }
+    lsh = {
+        (r.a, r.b): r.n_shared
+        for r in co_occurrence_pairs_lsh(pairs, "k", "i", min_shared=3).collect()
+    }
+    assert set(lsh) <= set(exact), "pre-cut emitted a pair the exact build lacks"
+    assert all(exact[p] == n for p, n in lsh.items()), "n_shared mismatch"
+    assert len(exact) > 0
+    recall = len(lsh) / len(exact)
+    assert recall >= 0.6, f"recall {recall:.3f} ({len(lsh)}/{len(exact)})"
+
+
+def test_min_overlap_requires_verify():
+    import pytest as _pytest
+
+    from data_mining_map_reduce_spark.operators.similarity import (
+        minhash_lsh_pairs,
+    )
+
+    with _pytest.raises(ValueError, match="verify"):
+        minhash_lsh_pairs(
+            None, "k", "items", 0.0, verify=False, min_overlap=3
+        )
