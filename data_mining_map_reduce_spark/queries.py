@@ -1380,6 +1380,59 @@ def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("a", "b")
 
 
+# ---------------------------------------------------------------------------
+# G1 scale twin (r13 verdict task 1): the LSH-pre-cut co-occurrence
+# edge build. Same (customer, part) relation and tau=3 as
+# cooccurrence_pairs, but candidates come from the banded-minhash
+# bucket join and ONLY those pairs pay the exact shared-item count —
+# the Σdᵢ² expansion through hot items (502-685 s at sf10 under five
+# graph queries, SCALE.md r13) never happens. FULL oracle: the same
+# md5-replay CTE chain as minhash_lsh_pairs (threshold=None = the
+# candidate contract), then an exact list_intersect count >= tau —
+# so the driver value-hashes the whole pre-cut pipeline. Output
+# provably refines cooccurrence_pairs (pytest-asserted): precision
+# 1.0 with identical n_shared; recall governed by banding vs each
+# pair's Jaccard (b=32, r=1 ≈ 1-(1-J)^32).
+# ---------------------------------------------------------------------------
+@query(
+    "cooccurrence_pairs_lsh",
+    f"""
+    WITH {_minhash_pairs_ctes(
+        '''
+        SELECT DISTINCT o.o_custkey AS k, CAST(l.l_partkey AS VARCHAR) AS i
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        ''',
+        num_hashes=32,
+        bands=32,
+        threshold=None,
+        max_bucket=5000,
+    )},
+    mh_sets AS (SELECT k, list(DISTINCT i) AS s FROM mh_items GROUP BY k)
+    SELECT c.a AS u1, c.b AS u2,
+           CAST(len(list_intersect(x.s, y.s)) AS BIGINT) AS n_shared
+    FROM mh_pairs c
+    JOIN mh_sets x ON x.k = c.a
+    JOIN mh_sets y ON y.k = c.b
+    WHERE len(list_intersect(x.s, y.s)) >= 3
+    ORDER BY u1, u2
+    """,
+)
+def cooccurrence_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        R.co_occurrence_pairs_lsh(
+            _customer_part_pairs(spark, sf_dir),
+            "k",
+            "i",
+            min_shared=3,
+            left_alias="u1",
+            right_alias="u2",
+            num_hashes=32,
+            bands=32,
+        )
+        .orderBy("u1", "u2")
+    )
+
+
 def _cc_pointer_jump_ctes(rounds: int = 20) -> str:
     """CTE chain computing connected components (component = min
     reachable vertex id) by BOUNDED POINTER JUMPING over a symmetric
@@ -1854,24 +1907,68 @@ def _order_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # which never sets it, sees byte-identical SQL).
 SON_QUERY_SUPPORT = int(os.environ.get("SPARK_GRAFT_ITEMSET_SUPPORT", "20"))
 
+# Fractional-support mode (r13 verdict task 6): "num/den" makes
+# support = ceil(n_baskets * num / den), derived FROM THE DATA by
+# both engines — integer-exact ((n*num + den - 1) // den on the
+# Spark side, DuckDB's integer `//` in the oracle subquery), so a
+# scale run needs no manually-sized absolute. "1/750" reproduces
+# support=20 at sf0.01 (14 743 baskets). NOT the default on this
+# corpus: per-item basket frequency is scale-INVARIANT here while
+# baskets grow, so a fractional threshold empties the mined set past
+# sf0.01 — the mode is for the fixed-catalog corpora where
+# "fractional support constant ⇒ output constant" actually holds,
+# and for unattended scale probes where an empty-but-clean run beats
+# a breaker trip (SCALE.md r14).
+SON_SUPPORT_FRAC = os.environ.get("SPARK_GRAFT_ITEMSET_SUPPORT_FRAC", "")
+
+
+def _son_support_sql(frac: str = SON_SUPPORT_FRAC) -> str:
+    """The HAVING threshold for the itemset oracles: a literal in
+    absolute mode (byte-identical SQL for the driver, which never
+    sets either knob), a COUNT-derived integer-ceil subquery over the
+    same ``li`` basket relation in fractional mode."""
+    if frac:
+        num, den = (int(x) for x in frac.split("/"))
+        return f"(SELECT (COUNT(DISTINCT o) * {num} + {den} - 1) // {den} FROM li)"
+    return str(SON_QUERY_SUPPORT)
+
+
+def _son_support(
+    spark: SparkSession, sf_dir: str, frac: str = SON_SUPPORT_FRAC
+) -> int:
+    """The absolute support the Spark side mines at — constant in
+    absolute mode; ceil(n_baskets * num/den) in fractional mode, via
+    the same integer arithmetic the oracle subquery runs."""
+    if frac:
+        num, den = (int(x) for x in frac.split("/"))
+        n = (
+            load_table(spark, sf_dir, "lineitem")
+            .select("l_orderkey")
+            .distinct()
+            .count()
+        )
+        return max(1, (n * num + den - 1) // den)
+    return SON_QUERY_SUPPORT
+
 
 # The registered query bounds max_size=3 so the oracle is exact: a
 # SQL oracle can only enumerate itemsets of bounded size (1/2/3-way
 # self-joins below), and by A-Priori monotonicity the two sides agree
 # exactly under the same bound. The UNBOUNDED path is pytest-verified
 # (SON == FPGrowth == brute force at sf0.001, tests/test_itemsets.py).
-_ITEMSET_ORACLE = f"""
+def _itemset_oracle(support_sql: str) -> str:
+    return f"""
     WITH li AS (
       SELECT DISTINCT l_orderkey o, CAST(l_partkey AS VARCHAR) p FROM lineitem
     ),
     s1 AS (
       SELECT p AS itemset, CAST(COUNT(*) AS BIGINT) AS support
-      FROM li GROUP BY p HAVING COUNT(*) >= {SON_QUERY_SUPPORT}
+      FROM li GROUP BY p HAVING COUNT(*) >= {support_sql}
     ),
     s2 AS (
       SELECT a.p || ',' || b.p AS itemset, CAST(COUNT(*) AS BIGINT) AS support
       FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
-      GROUP BY 1 HAVING COUNT(*) >= {SON_QUERY_SUPPORT}
+      GROUP BY 1 HAVING COUNT(*) >= {support_sql}
     ),
     s3 AS (
       SELECT a.p || ',' || b.p || ',' || c.p AS itemset,
@@ -1879,11 +1976,14 @@ _ITEMSET_ORACLE = f"""
       FROM li a
       JOIN li b ON a.o = b.o AND a.p < b.p
       JOIN li c ON b.o = c.o AND b.p < c.p
-      GROUP BY 1 HAVING COUNT(*) >= {SON_QUERY_SUPPORT}
+      GROUP BY 1 HAVING COUNT(*) >= {support_sql}
     )
     SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3
     ORDER BY itemset
 """
+
+
+_ITEMSET_ORACLE = _itemset_oracle(_son_support_sql())
 
 
 @query("son_itemsets", _ITEMSET_ORACLE)
@@ -1892,7 +1992,7 @@ def son_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     b = _order_baskets(spark, sf_dir)
     return (
-        son_frequent_itemsets(b, support=SON_QUERY_SUPPORT, max_size=3)
+        son_frequent_itemsets(b, support=_son_support(spark, sf_dir), max_size=3)
         .orderBy("itemset")
     )
 
@@ -1906,7 +2006,7 @@ def fpgrowth_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.itemsets import fpgrowth_frequent_itemsets
 
     b = _order_baskets(spark, sf_dir)
-    out = fpgrowth_frequent_itemsets(b, support=SON_QUERY_SUPPORT)
+    out = fpgrowth_frequent_itemsets(b, support=_son_support(spark, sf_dir))
     return (
         out.where(F.size(F.split("itemset", ",")) <= 3)
         .orderBy("itemset")
@@ -1970,6 +2070,34 @@ def kmeans_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
     )
     assigned, _ = kmeans(emb, "vec", k=8, seed=7)
+    return (
+        assigned.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .orderBy("cluster")
+    )
+
+
+# ---------------------------------------------------------------------------
+# M1 drift guard (r13 verdict task 3): the same k-means row with the
+# local fast path DISABLED (local_elems_cap=0), so the Arrow-
+# vectorized distributed Lloyd pass (_assign_mean_pass +
+# _argmin_sq_l2, the repo's hottest r13 code) gets a driver row every
+# round it is in-window instead of relying solely on the forced-
+# distributed parity pytest + the sf10 receipt. Rows-only by nature
+# (iterative, like every kmeans row); the local/distributed parity is
+# pytest-asserted, and at driver scale this is cheap (the sf0.01
+# corpus is tiny — the cost is per-round job latency, bounded by
+# Lloyd's converged iteration count).
+# ---------------------------------------------------------------------------
+@query("kmeans_cluster_sizes_dist")
+def kmeans_cluster_sizes_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.clustering import kmeans
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
+    )
+    assigned, _ = kmeans(emb, "vec", k=8, seed=7, local_elems_cap=0)
     return (
         assigned.groupBy("cluster")
         .agg(F.count(F.lit(1)).alias("size"))
@@ -4892,127 +5020,140 @@ def winnow_candidate_docs(
 # Names absent from this list sort AFTER every listed name (past the
 # cap) — a new query must be added here explicitly to get a driver row.
 _DRIVER_ORDER = [
-    # -- r10 rows-only, 3 rounds old at r13 close if skipped: the one
-    #    hard MUST of this window (deferred once in r12) --
-    "girvan_newman_communities",
-    # -- code changed this round (r13): slim (doc,band,sig)
-    #    localCheckpoint materialization (the r12 verdict's task 4);
-    #    FULL md5-replay oracle re-grades the whole pipeline --
-    "minhash_lsh_pairs",
-    # -- the entire r12 exclusion manifest: every row below was green
-    #    in CORRECTNESS_r11 and hits the 2-round staleness limit at
-    #    r13 close — all 48 rotate back in (r12 verdict task 1) --
-    "solo_flagship_parity",
-    "pii_scan_stats",
-    "cf_item_similarities",
-    "cf_predictions",
-    "cf_user_predictions_lsh",
-    "dedup_canonical_docs_lsh",
-    "media_feature_rollup",
-    "son_itemsets",
-    "betweenness_mass_check",
-    "sketch_error_check",
-    "kmeans_wcss_check",
+    # -- r14 debuts (a never-rowed query must be in-window its first
+    #    round): the LSH-pre-cut co-occurrence edge build (r13 verdict
+    #    task 1, FULL md5-replay oracle + refinement pytest) and the
+    #    forced-distributed k-means drift guard (task 3, rows-only by
+    #    iterative nature, grades _assign_mean_pass at driver scale) --
+    "cooccurrence_pairs_lsh",
+    "kmeans_cluster_sizes_dist",
+    # -- r13-green rows promoted back in-window because their code
+    #    changed THIS round: ann_recall_check re-pins IVF/IVF-PQ recall
+    #    after quantizer training (ann._lloyd_np) moved onto the shared
+    #    _argmin_sq_l2 kernel (ADVICE r13); son_itemsets re-grades the
+    #    fractional-support plumbing (absolute mode value-identical,
+    #    pytest-pinned) --
     "ann_recall_check",
-    "partition_layout_stats",
-    "window_distinct_users_approx",
-    "embedding_pair_distances",
-    "session_windows_per_user",
-    "window_tumbling_hourly",
-    "window_sliding_hourly",
-    "window_distinct_users_exact",
-    "asof_last_purchase",
-    "event_rollup_multigrain",
-    "revenue_cube",
-    "fm_distinct_users",
-    "kmv_distinct_users",
-    "source_mix_stats",
-    "tfidf_top_terms",
-    "cooccurrence_pairs",
-    "cf_user_predictions",
-    "content_based_scores",
-    "top_users_by_orders",
-    "avg_price_by_priority",
-    "word_count_top20",
-    "join_filter_brand_counts",
-    "customers_in_both_statuses",
-    "corr_qty_price_by_flag",
-    "customers_never_final",
-    "rollup_revenue",
-    "pivot_status_by_priority",
-    "order_item_lists",
-    "graph_degree_distribution",
-    "graph_triangle_count",
-    "frequent_items",
-    "frequent_pairs",
-    "suffstats_by_label",
-    "bloom_probe_custkeys",
-    "reservoir_sample_events",
-    "weighted_doc_sample",
-    "doc_repetition_scores",
+    "son_itemsets",
+    # -- the r13 exclusion manifest: every row below was green in
+    #    CORRECTNESS_r12 and hits the 2-round staleness limit at r14
+    #    close — all rotate back in except count_global, distinct_users
+    #    and media_frame_sample (deferred one round, see _EXCLUDED_R14).
+    #    Of these, fpgrowth_itemsets re-grades the same fractional-
+    #    support helper as son_itemsets; kmeans_cluster_sizes re-grades
+    #    the shared-argmin routing on the local path; ann_topk_ivf /
+    #    ann_topk_ivfpq re-run on the changed quantizer training --
+    "flagship_category_avg",
+    "pii_redact_stats",
+    "duplicate_ngram_spans_winnowed",
+    "duplicate_ngram_spans",
+    "count_by_year",
+    "corpus_curation_funnel_lsh",
+    "gn_quality_check",
+    "simhash_doc_pairs",
+    "fpgrowth_itemsets",
+    "dedup_canonical_docs",
+    "graph_components",
+    "ann_topk_ivfpq",
+    "doc_length_percentiles_approx",
+    "dict_encode_brands",
+    "dict_encode_partkeys_big",
+    "contamination_ngram_overlap",
+    "cm_heavy_hitter_partkeys",
+    "window_heavy_hitter_users",
+    "kmeans_cluster_sizes",
+    "bfr_round_stats",
+    "ann_topk_exact",
+    "ann_topk_lsh",
+    "ann_topk_ivf",
+    "jaccard_pairs_exact",
+    "near_dup_docs_exact",
+    "near_dup_docs_lsh",
+    "corpus_curation_funnel",
+    "graph_betweenness_top",
+    "graph_betweenness_sampled",
+    "graph_lpa_community_sizes",
+    "doc_quality_stats",
+    "token_counts_docs",
+    "language_id_docs",
+    "largest_baskets",
+    "priority_token_counts",
+    "event_props_extract",
+    "union_filtered_event_counts",
+    "event_value_tier_counts",
+    "doc_length_percentiles",
+    "top_customers_per_segment",
+    "approx_distinct_users",
+    "doc_fingerprint_stats",
+    "fingerprint_overlap_pairs",
+    "exact_dup_doc_groups",
+    "train_test_split_counts",
+    "baskets_by_customer",
     # ---- driver cap (50) falls here ----
 ]
 
-# Queries excluded from the r13 driver window: every row below was
-# green in CORRECTNESS_r12 (1 round old at r13 close — inside the
-# "newest driver row <= 2 rounds old" invariant) and rotates back in
-# r14. Rows whose SOURCE changed this round without an in-window slot
-# carry a per-row note naming the in-window query + pytest that
-# grades the changed code path (the window is hard-capped at 50 and
-# 49 slots were consumed by the staleness debt above).
-_EXCLUDED_R13 = [
+# Queries excluded from the r14 driver window: every row below was
+# green in CORRECTNESS_r13 (1 round old at r14 close) except the
+# three r12-green deferrals at the end (2 rounds old at r14 close —
+# the staleness limit, still inside the invariant; all three lead
+# the r15 window by construction). Rows whose SOURCE changed this
+# round without an in-window slot carry a per-row note naming the
+# in-window query + pytest that grades the changed code path.
+_EXCLUDED_R14 = [
     # name                      last green driver row
-    ("flagship_category_avg", "r12"),
-    ("pii_redact_stats", "r12"),
-    ("duplicate_ngram_spans_winnowed", "r12; consumes fingerprint_overlap_pairs — same eager=False note; re-verified green vs oracle at sf0.01 this round"),
-    ("duplicate_ngram_spans", "r12"),
-    ("count_global", "r12"),
-    ("count_by_year", "r12"),
-    ("distinct_users", "r12"),
-    ("corpus_curation_funnel_lsh", "r12; same minhash materialization note as near_dup_docs_lsh"),
-    ("gn_quality_check", "r12"),
-    ("media_frame_sample", "r12"),
-    ("simhash_doc_pairs", "r12"),
-    ("fpgrowth_itemsets", "r12"),
-    ("dedup_canonical_docs", "r12"),
-    ("graph_components", "r12"),
-    ("ann_topk_ivfpq", "r12; r13 operator change (Arrow-vectorized PQ encode) graded in-window by ann_recall_check (FULL oracle, runs the same ivfpq_topk call and pins recall_ok) + recall/refinement pytests"),
-    ("doc_length_percentiles_approx", "r12"),
-    ("dict_encode_brands", "r12"),
-    ("dict_encode_partkeys_big", "r12"),
-    ("contamination_ngram_overlap", "r12"),
-    ("cm_heavy_hitter_partkeys", "r12"),
-    ("window_heavy_hitter_users", "r12"),
-    ("kmeans_cluster_sizes", "r12; r13 operator change (Arrow-vectorized distributed Lloyd pass) — at driver/bench scales EVERY kmeans row (this one and kmeans_wcss_check) runs the unchanged LOCAL fast path, so no driver row reaches the changed code: it is graded by the local-vs-distributed parity pytest (which forces the distributed path) + the sf10 receipt in SCALE.md"),
-    ("bfr_round_stats", "r12; its inner kmeans calls run the unchanged bounded-local path at driver scale; pinned-count pytests re-run green after the r13 Lloyd change"),
-    ("ann_topk_exact", "r12"),
-    ("ann_topk_lsh", "r12"),
-    ("ann_topk_ivf", "r12"),
-    ("jaccard_pairs_exact", "r12"),
-    ("near_dup_docs_exact", "r12"),
-    ("near_dup_docs_lsh", "r12; r13 operator change (minhash slim materialization, value-identical by construction) graded in-window by minhash_lsh_pairs on the same path; re-verified green vs oracle at sf0.01 this round"),
-    ("corpus_curation_funnel", "r12"),
-    ("graph_betweenness_top", "r12"),
-    ("graph_betweenness_sampled", "r12 rows-only; r13 code change (fixed n_roots=192 replaces sample_fraction=0.25) graded in-window by betweenness_mass_check (FULL oracle, same estimator+seed) + 4 pytests"),
-    ("graph_lpa_community_sizes", "r12"),
-    ("doc_quality_stats", "r12"),
-    ("token_counts_docs", "r12"),
-    ("language_id_docs", "r12"),
-    ("largest_baskets", "r12"),
-    ("priority_token_counts", "r12"),
-    ("event_props_extract", "r12"),
-    ("union_filtered_event_counts", "r12"),
-    ("event_value_tier_counts", "r12"),
-    ("doc_length_percentiles", "r12"),
-    ("top_customers_per_segment", "r12"),
-    ("approx_distinct_users", "r12"),
-    ("doc_fingerprint_stats", "r12"),
-    ("fingerprint_overlap_pairs", "r12; r13 checkpoint eager=False (value-identical, materialization timing only); re-verified green vs oracle at sf0.01 this round; plan pinned by test_winnowed_spans_plan_shape"),
-    ("exact_dup_doc_groups", "r12"),
-    ("train_test_split_counts", "r12"),
-    ("baskets_by_customer", "r12"),
+    ("girvan_newman_communities", "r13"),
+    ("minhash_lsh_pairs", "r13; r14 operator change adds the min_overlap verify branch — inert for this query (the default Jaccard tail is untouched, plan unchanged); the branch itself is graded in-window by cooccurrence_pairs_lsh (FULL oracle) + the refinement pytest"),
+    ("solo_flagship_parity", "r13"),
+    ("pii_scan_stats", "r13"),
+    ("cf_item_similarities", "r13"),
+    ("cf_predictions", "r13"),
+    ("cf_user_predictions_lsh", "r13; consumes the verify=False candidate path, untouched by the r14 min_overlap branch"),
+    ("dedup_canonical_docs_lsh", "r13; consumes minhash_lsh_pairs — same inert min_overlap-branch note"),
+    ("media_feature_rollup", "r13"),
+    ("betweenness_mass_check", "r13"),
+    ("sketch_error_check", "r13"),
+    ("kmeans_wcss_check", "r13; r14 routes _local_lloyd through the shared _argmin_sq_l2 kernel (ADVICE r13; same expansion-form expression it already inlined, so value-identical) — graded in-window by kmeans_cluster_sizes (local path) AND kmeans_cluster_sizes_dist (forced-distributed debut); local/distributed parity pytest re-run green"),
+    ("partition_layout_stats", "r13"),
+    ("window_distinct_users_approx", "r13"),
+    ("embedding_pair_distances", "r13"),
+    ("session_windows_per_user", "r13"),
+    ("window_tumbling_hourly", "r13"),
+    ("window_sliding_hourly", "r13"),
+    ("window_distinct_users_exact", "r13"),
+    ("asof_last_purchase", "r13"),
+    ("event_rollup_multigrain", "r13"),
+    ("revenue_cube", "r13"),
+    ("fm_distinct_users", "r13"),
+    ("kmv_distinct_users", "r13"),
+    ("source_mix_stats", "r13"),
+    ("tfidf_top_terms", "r13"),
+    ("cooccurrence_pairs", "r13"),
+    ("cf_user_predictions", "r13"),
+    ("content_based_scores", "r13"),
+    ("top_users_by_orders", "r13"),
+    ("avg_price_by_priority", "r13"),
+    ("word_count_top20", "r13"),
+    ("join_filter_brand_counts", "r13"),
+    ("customers_in_both_statuses", "r13"),
+    ("corr_qty_price_by_flag", "r13"),
+    ("customers_never_final", "r13"),
+    ("rollup_revenue", "r13"),
+    ("pivot_status_by_priority", "r13"),
+    ("order_item_lists", "r13"),
+    ("graph_degree_distribution", "r13"),
+    ("graph_triangle_count", "r13"),
+    ("frequent_items", "r13"),
+    ("frequent_pairs", "r13"),
+    ("suffstats_by_label", "r13"),
+    ("bloom_probe_custkeys", "r13"),
+    ("reservoir_sample_events", "r13"),
+    ("weighted_doc_sample", "r13"),
+    ("doc_repetition_scores", "r13"),
+    ("count_global", "r12; deferred ONE round to make cap room for the r14 debuts and the two promoted changed-code rows — age 2 at r14 close (the staleness limit, inside the invariant), untouched code path, obligated first in the r15 window by make_driver_order"),
+    ("distinct_users", "r12; deferred ONE round to make cap room for the r14 debuts and the two promoted changed-code rows — age 2 at r14 close (the staleness limit, inside the invariant), untouched code path, obligated first in the r15 window by make_driver_order"),
+    ("media_frame_sample", "r12; deferred ONE round to make cap room for the r14 debuts and the two promoted changed-code rows — age 2 at r14 close (the staleness limit, inside the invariant), untouched code path, obligated first in the r15 window by make_driver_order"),
 ]
-_DRIVER_ORDER += [name for name, _ in _EXCLUDED_R13]
+_DRIVER_ORDER += [name for name, _ in _EXCLUDED_R14]
 
 
 _V = TypeVar("_V")
