@@ -55,3 +55,42 @@ def test_son_pairs_match_bruteforce(spark):
         pair = sorted([str(p1), str(p2)])  # string sort = engine's item order
         brute.add((",".join(pair), c))
     assert son == brute
+
+
+def test_fractional_support_mode_matches_oracle(spark):
+    """r13 verdict task 6: fractional support ("num/den") must derive
+    the SAME absolute threshold in both engines via integer-exact
+    ceil — the Spark side from a distinct-basket count, the oracle
+    from a COUNT subquery with DuckDB integer `//` — so a scale probe
+    needs no manually-sized absolute. At sf0.001 (1473 baskets),
+    1/750 -> ceil(1473/750) = 2."""
+    from data_mining_map_reduce_spark.queries import (
+        _itemset_oracle,
+        _order_baskets,
+        _son_support,
+        _son_support_sql,
+    )
+    from data_mining_map_reduce_spark.operators.itemsets import (
+        son_frequent_itemsets,
+    )
+
+    sup = _son_support(spark, SF_DIR, frac="1/750")
+    assert sup == 2
+    b = _order_baskets(spark, SF_DIR)
+    got = {
+        (r.itemset, r.support)
+        for r in son_frequent_itemsets(b, support=sup, max_size=3).collect()
+    }
+    con = duckdb.connect()
+    for t in ("lineitem",):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    want = {
+        (r[0], r[1])
+        for r in con.execute(
+            _itemset_oracle(_son_support_sql(frac="1/750"))
+        ).fetchall()
+    }
+    assert got == want and len(got) > 0
