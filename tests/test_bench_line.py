@@ -27,11 +27,22 @@ def _fleet(n_small: int):
     return timings, samples
 
 
+def _spread(d: dict) -> dict:
+    """Decode the positional spread keys (r14): each key is the index
+    of the query in the rendered "queries" key order (full name kept
+    only for rows folded out of qdict on tiny-budget paths)."""
+    names = list(d["queries"])
+    return {
+        (names[int(k)] if k.isdigit() else k): v
+        for k, v in d.get("spread", {}).items()
+    }
+
+
 def test_spread_and_total_in_line():
     timings, samples = _fleet(10)
     line = bench.render_line(timings, {}, 0.1, samples, spread_top=8)
     d = json.loads(line)
-    assert d["spread"] == {"heavy_a": [11.9, 14.0], "heavy_b": [7.9, 8.4]}
+    assert _spread(d) == {"heavy_a": [11.9, 14.0], "heavy_b": [7.9, 8.4]}
     assert d["queries"]["heavy_a"] == 12.3
     assert d["value"] == round(sum(timings.values()), 2)
     assert "errors" not in d
@@ -44,7 +55,7 @@ def test_over_budget_folds_small_rows_keeps_spread():
     d = json.loads(line)
     # spread survives the fold; heavy rows stay visible; the fold
     # bucket accounts for the folded mass so the total still checks
-    assert d["spread"]["heavy_a"] == [11.9, 14.0]
+    assert _spread(d)["heavy_a"] == [11.9, 14.0]
     assert "heavy_a" in d["queries"] and "heavy_b" in d["queries"]
     assert d["queries"]["other"] > 0
     assert abs(sum(d["queries"].values()) - d["value"]) < 0.1 * len(timings)
@@ -52,19 +63,26 @@ def test_over_budget_folds_small_rows_keeps_spread():
 
 def test_tiny_budget_sheds_spread_last_cheapest_first():
     timings, samples = _fleet(200)
-    # 160 bytes: folding alone can't fit -> the CHEAPER spread entry
-    # (heavy_b) sheds, the heaviest survives
-    line = bench.render_line(timings, {}, 0.1, samples, spread_top=8, budget=160)
-    assert len(line) <= 160
-    d = json.loads(line)
-    assert d["spread"] == {"heavy_a": [11.9, 14.0]}
-    assert "heavy_a" in d["queries"]
-    # 140 bytes: all spread shed, heavy rows still visible
-    d = json.loads(
-        bench.render_line(timings, {}, 0.1, samples, spread_top=8, budget=140)
-    )
-    assert "spread" not in d
-    assert "heavy_a" in d["queries"]
+    # scan down to the budget where folding alone can't fit -> the
+    # CHEAPER spread entry (heavy_b) sheds, the heaviest survives
+    seen_single = seen_none = False
+    for budget in range(175, 100, -1):
+        line = bench.render_line(
+            timings, {}, 0.1, samples, spread_top=8, budget=budget
+        )
+        assert len(line) <= budget
+        d = json.loads(line)
+        sp = _spread(d)
+        if set(sp) == {"heavy_a"}:
+            assert sp == {"heavy_a": [11.9, 14.0]}
+            assert "heavy_a" in d["queries"]
+            seen_single = True
+        if seen_single and "spread" not in d:
+            # smaller still: all spread shed, heavy rows visible
+            assert "heavy_a" in d["queries"]
+            seen_none = True
+            break
+    assert seen_single and seen_none
 
 
 def test_no_samples_no_spread_key():
@@ -80,8 +98,8 @@ def test_spread_covers_every_multisecond_row():
     timings["light"] = 1.5
     samples = {k: [v - 0.2, v, v + 0.3] for k, v in timings.items()}
     d = json.loads(bench.render_line(timings, {}, 0.1, samples))
-    assert set(d["spread"]) == {f"h{i:02d}" for i in range(12)}
-    assert "light" not in d["spread"]
+    assert set(_spread(d)) == {f"h{i:02d}" for i in range(12)}
+    assert "light" not in _spread(d)
 
 
 def test_spread_sheds_narrowest_first():
@@ -93,12 +111,12 @@ def test_spread_sheds_narrowest_first():
     samples = {"wide": [7.0, 9.0, 15.0], "narrow": [10.9, 11.0, 11.1]}
     # budget small enough that exactly one spread entry must shed:
     # the NARROW one goes even though it's the more expensive query
-    for budget in range(150, 190):
+    for budget in range(120, 190):
         d = json.loads(
             bench.render_line(timings, {}, 0.1, samples, budget=budget)
         )
-        if list(d.get("spread", {})) == ["wide"]:
-            assert d["spread"]["wide"] == [7, 15]
+        if list(_spread(d)) == ["wide"]:
+            assert _spread(d)["wide"] == [7, 15]
             break
     else:
         raise AssertionError("no budget produced the single-shed state")
