@@ -162,3 +162,29 @@ def test_budget_holds_under_mass_errors():
         d = json.loads(line)
         seen = len(d.get("errors", {})) + d.get("errors_dropped", 0)
         assert seen == 25  # every failure accounted for, shown or counted
+
+
+def test_bench_drift_classifier():
+    """scripts/bench_drift.py (r13 verdict task 7): wall+cpu both up
+    -> REGRESSION; wall up with flat cpu -> BOX; wall down ->
+    IMPROVED; None cpu placeholders skipped in the medians."""
+    import importlib.util as _ilu
+    from pathlib import Path as _P
+
+    spec = _ilu.spec_from_file_location(
+        "bench_drift",
+        _P(__file__).resolve().parent.parent / "scripts" / "bench_drift.py",
+    )
+    bd = _ilu.module_from_spec(spec)
+    spec.loader.exec_module(bd)
+
+    old = {
+        "samples": {"a": [10.0, 10.2], "b": [10.0], "c": [10.0], "d": [0.3]},
+        "cpu_sec": {"a": [50.0, None], "b": [50.0], "c": [50.0], "d": [0.2]},
+    }
+    new = {
+        "samples": {"a": [14.0, 14.2], "b": [14.0], "c": [6.0], "d": [0.9]},
+        "cpu_sec": {"a": [None, 75.0], "b": [52.0], "c": [30.0], "d": [0.5]},
+    }
+    rows = {r["query"]: r["verdict"] for r in bd.classify(old, new)}
+    assert rows == {"a": "REGRESSION", "b": "BOX", "c": "IMPROVED"}

@@ -571,7 +571,13 @@ def test_keyed_reservoir_tws_parity(spark, sf_dir, tmp_path):
             "google.protobuf absent: transformWithStateInPandas' "
             "Python state server cannot start in this container; "
             "keyed_reservoir (applyInPandasWithState) is the "
-            "exercised ST8 path here"
+            "exercised ST8 path here. r14 re-checked the remedies: "
+            "no protobuf wheel on disk, no network for pip, and "
+            "package installs are out of contract for this box — "
+            "the mocked-state-store parity test above covers both "
+            "transports' fold logic; the RocksDB state-server "
+            "round-trip stays environment-blocked, not untested "
+            "by choice"
         )
 
     apws = finals(
