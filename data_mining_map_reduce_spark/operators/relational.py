@@ -115,6 +115,18 @@ def co_occurrence_pairs(
     filtered to >= min_shared, emitted once with a < b. Shuffles: one
     on item for the join, one on the pair for the count — both scale
     out; hot items are handled by AQE skew-join splitting.
+
+    Scale note (r14, measured): the pair expansion is Σdᵢ² over item
+    degree. On FLAT-degree corpora that is volume-linear and this
+    exact build is the right plan — at sf10 (degree ~10, max banded
+    bucket 73) it beats the LSH pre-cut 350.6 s vs 758.7 s because
+    ~40-item baskets against 32 minhashes leave banding nothing to
+    prune (343M candidate rows vs 300M exact pair rows, SCALE.md
+    r14). Under DEGREE SKEW the d² term owns the shuffle and this
+    build dies first; there prefer :func:`co_occurrence_pairs_lsh`,
+    whose output provably refines this one (identical counts,
+    banded-recall contract) and whose buckets stay ~d/|basket| wide
+    regardless of a hot item's degree (skew receipt: SCALE.md r14).
     """
     base = df.select(F.col(key).alias("_k"), F.col(item).alias("_i")).distinct()
     left = base.select(F.col("_k").alias(left_alias), "_i")
@@ -151,14 +163,23 @@ def co_occurrence_pairs_lsh(
     verify is exact; refinement pytest-asserted). Recall is governed
     by the banding vs each qualifying pair's JACCARD, not its raw
     overlap: a pair sharing min_shared items out of huge baskets has
-    low Jaccard and may miss every band. That trade is the point —
-    the exact build's Σdᵢ² expansion through hot items is what dies
-    at 100× (502-685 s at sf10 under five graph queries, SCALE.md
-    r13), while this build shuffles one signature row per key per map
-    partition, caps pathological buckets, and pays the exact
-    intersection only on candidates. Use the exact twin when
-    completeness of low-similarity edges matters; use this one as the
-    corpus-scale edge build.
+    low Jaccard and may miss every band.
+
+    WHEN to use which twin — measured, not assumed (SCALE.md r14):
+    this build's candidate volume is what banding leaves after
+    sampling ≤ num_hashes minima per basket and capping hot buckets.
+    On the FLAT synthetic corpus (degree ~10, ~40-item baskets vs 32
+    hashes) banding prunes nothing — 343M candidate rows vs the exact
+    build's 300M at sf10 — and the signature + dedup overhead makes
+    this twin SLOWER (758.7 s vs 350.6 s). Under DEGREE SKEW the
+    roles invert: a hot item of degree d adds d²/2 rows to the exact
+    shuffle but only ~(d/|basket|)²-wide buckets here (each holder's
+    minimum is the hot item with prob ~1/|basket|), so this build's
+    wall barely moves while the exact one's explodes — the skew
+    receipt in SCALE.md r14 measures exactly that. Use exact on
+    flat/bounded-degree relations; use this one when the item-degree
+    distribution is heavy-tailed (the 100 TB default) or baskets are
+    large relative to num_hashes (documents/shingles).
 
     Items are cast to string (md5-folded like every minhash family
     member) — distinctness-preserving for the numeric item ids the

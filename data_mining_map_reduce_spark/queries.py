@@ -1385,14 +1385,18 @@ def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # edge build. Same (customer, part) relation and tau=3 as
 # cooccurrence_pairs, but candidates come from the banded-minhash
 # bucket join and ONLY those pairs pay the exact shared-item count —
-# the Σdᵢ² expansion through hot items (502-685 s at sf10 under five
-# graph queries, SCALE.md r13) never happens. FULL oracle: the same
-# md5-replay CTE chain as minhash_lsh_pairs (threshold=None = the
-# candidate contract), then an exact list_intersect count >= tau —
-# so the driver value-hashes the whole pre-cut pipeline. Output
-# provably refines cooccurrence_pairs (pytest-asserted): precision
-# 1.0 with identical n_shared; recall governed by banding vs each
-# pair's Jaccard (b=32, r=1 ≈ 1-(1-J)^32).
+# the Σdᵢ² expansion through a hot item's degree never happens (its
+# buckets stay ~degree/|basket| wide; skew receipt in SCALE.md r14).
+# On the FLAT synthetic corpus the exact build stays faster (350.6 s
+# vs 758.7 s at sf10 — banding can't prune 40-item baskets with 32
+# hashes; measured and documented rather than assumed). FULL oracle:
+# the same md5-replay CTE chain as minhash_lsh_pairs
+# (threshold=None = the candidate contract), then an exact
+# list_intersect count >= tau — so the driver value-hashes the whole
+# pre-cut pipeline. Output provably refines cooccurrence_pairs
+# (pytest-asserted): precision 1.0 with identical n_shared; recall
+# governed by banding vs each pair's Jaccard (b=32, r=1 ≈
+# 1-(1-J)^32).
 # ---------------------------------------------------------------------------
 @query(
     "cooccurrence_pairs_lsh",
