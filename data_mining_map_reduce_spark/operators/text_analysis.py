@@ -176,3 +176,49 @@ def language_id(
         pred.alias("pred_lang"),
         F.round(best_score, 6).alias("score"),
     )
+
+
+def lm_perplexity(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Unigram-LM perplexity per document — the CCNet-style corpus
+    quality filter (an LM is fit on the corpus, documents are ranked
+    by how surprising the LM finds them; here the LM is the corpus's
+    own unigram distribution, so no external model or smoothing is
+    needed: every token has support by construction).
+
+    Output: (id_col, n_tokens, ppl) for every document with >= 1
+    token, where ppl = 2^H and H = -(1/n)·Σ log2 p(tok), p from
+    corpus token frequencies over the same normalize+tokenize the
+    rest of the text family uses (functions/text.py — identical
+    DuckDB replay, so the oracle is FULL).
+
+    Plan shape for 100 TB: tokens reduce to per-doc COUNTS first
+    (one shuffle on (doc, tok) — in-doc repetition collapses before
+    anything else sees the data), the vocabulary aggregates from that
+    reduced relation (slim localCheckpoint pin: two consumers), the
+    corpus total rides a 1-row broadcast, and the Zipf-skewed
+    vocab join keys are AQE skew-split like every hot join here.
+    All expressions are codegen (log2/pow) — no UDFs.
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(tokenize(normalize(F.col(text_col)))).alias("tok")
+    )
+    dtc = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("c"))
+    # slim (id, tok, c) relation read by BOTH the vocab aggregate and
+    # the scoring join — pin it so the explode runs once
+    dtc = dtc.localCheckpoint(eager=False)
+    vocab = dtc.groupBy("tok").agg(F.sum("c").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("n"))
+    surprise = F.col("c") * -F.log2(F.col("cnt") * F.lit(1.0) / F.col("n"))
+    return (
+        dtc.join(vocab, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.round(
+                F.pow(F.lit(2.0), F.sum(surprise) / F.sum("c")), 4
+            ).alias("ppl"),
+        )
+    )

@@ -3019,6 +3019,44 @@ def token_counts_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Unigram-LM perplexity scoring (r14) — the CCNet-style quality
+# filter: fit the corpus's own unigram distribution, rank documents
+# by 2^cross-entropy. FULL oracle: same normalize+tokenize as the
+# rest of the text family, probabilities and log2 replayed exactly;
+# double-sum order differences sit ~1e-9 under the 4-dp rounding.
+# Only documents with >= 1 token appear (empty docs have no H).
+# ---------------------------------------------------------------------------
+@query(
+    "doc_lm_perplexity",
+    r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(
+                   string_split_regex(
+                       translate(lower(text), '([,.!?:;])', ''), '\s+'),
+                   x -> x <> '')) AS tok
+        FROM documents
+    ),
+    dtc AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+    vocab AS (SELECT tok, SUM(c) AS cnt FROM dtc GROUP BY 1),
+    tot AS (SELECT SUM(cnt) AS n FROM vocab)
+    SELECT d.doc_id,
+           CAST(SUM(d.c) AS BIGINT) AS n_tokens,
+           ROUND(POW(2.0, SUM(d.c * -log2(v.cnt * 1.0 / t.n)) / SUM(d.c)), 4)
+               AS ppl
+    FROM dtc d JOIN vocab v USING (tok) CROSS JOIN tot t
+    GROUP BY d.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text_analysis import lm_perplexity
+
+    docs = load_table(spark, sf_dir, "documents")
+    return lm_perplexity(docs).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
 # Language-ID heuristic. The scoring is deterministic (stopword-
 # profile coverage argmax with first-profile tie-break), so the
 # oracle replays it exactly: same tokenizer, same profile literals,
@@ -5039,10 +5077,14 @@ _DRIVER_ORDER = [
     #    pytest-pinned) --
     "ann_recall_check",
     "son_itemsets",
+    # -- r14 debut #3: unigram-LM perplexity scoring (CCNet-style
+    #    corpus quality filter), FULL oracle --
+    "doc_lm_perplexity",
     # -- the r13 exclusion manifest: every row below was green in
     #    CORRECTNESS_r12 and hits the 2-round staleness limit at r14
-    #    close — all rotate back in except count_global, distinct_users
-    #    and media_frame_sample (deferred one round, see _EXCLUDED_R14).
+    #    close — all rotate back in except count_by_year, count_global,
+    #    distinct_users and media_frame_sample (deferred one round, see
+    #    _EXCLUDED_R14).
     #    Of these, fpgrowth_itemsets re-grades the same fractional-
     #    support helper as son_itemsets; kmeans_cluster_sizes re-grades
     #    the shared-argmin routing on the local path; ann_topk_ivf /
@@ -5051,7 +5093,6 @@ _DRIVER_ORDER = [
     "pii_redact_stats",
     "duplicate_ngram_spans_winnowed",
     "duplicate_ngram_spans",
-    "count_by_year",
     "corpus_curation_funnel_lsh",
     "gn_quality_check",
     "simhash_doc_pairs",
@@ -5098,8 +5139,8 @@ _DRIVER_ORDER = [
 
 # Queries excluded from the r14 driver window: every row below was
 # green in CORRECTNESS_r13 (1 round old at r14 close) except the
-# three r12-green deferrals at the end (2 rounds old at r14 close —
-# the staleness limit, still inside the invariant; all three lead
+# four r12-green deferrals at the end (2 rounds old at r14 close —
+# the staleness limit, still inside the invariant; all four lead
 # the r15 window by construction). Rows whose SOURCE changed this
 # round without an in-window slot carry a per-row note naming the
 # in-window query + pytest that grades the changed code path.
@@ -5153,6 +5194,7 @@ _EXCLUDED_R14 = [
     ("reservoir_sample_events", "r13"),
     ("weighted_doc_sample", "r13"),
     ("doc_repetition_scores", "r13"),
+    ("count_by_year", "r12; deferred ONE round to make cap room for the r14 debuts and the two promoted changed-code rows — age 2 at r14 close (the staleness limit, inside the invariant), untouched code path, obligated first in the r15 window by make_driver_order"),
     ("count_global", "r12; deferred ONE round to make cap room for the r14 debuts and the two promoted changed-code rows — age 2 at r14 close (the staleness limit, inside the invariant), untouched code path, obligated first in the r15 window by make_driver_order"),
     ("distinct_users", "r12; deferred ONE round to make cap room for the r14 debuts and the two promoted changed-code rows — age 2 at r14 close (the staleness limit, inside the invariant), untouched code path, obligated first in the r15 window by make_driver_order"),
     ("media_frame_sample", "r12; deferred ONE round to make cap room for the r14 debuts and the two promoted changed-code rows — age 2 at r14 close (the staleness limit, inside the invariant), untouched code path, obligated first in the r15 window by make_driver_order"),

@@ -112,3 +112,43 @@ def test_min_overlap_requires_verify():
         minhash_lsh_pairs(
             None, "k", "items", 0.0, verify=False, min_overlap=3
         )
+
+
+def test_cooccurrence_lsh_hot_bucket_cap(spark):
+    """The skew story, unit-pinned (SCALE.md r14): a hot item's
+    bucket blows past max_bucket and is DROPPED, but every pair that
+    truly qualifies (>= tau shared items) also collides through its
+    NON-hot shared items' buckets, so the capped pre-cut still equals
+    the exact build on this construction — the cap absorbs the d^2
+    term without costing qualifying pairs that have any other
+    overlap."""
+    from data_mining_map_reduce_spark.operators.relational import (
+        co_occurrence_pairs,
+        co_occurrence_pairs_lsh,
+    )
+
+    rows = []
+    for k in range(30):
+        rows.append((k, "hot"))  # one item shared by ALL 30 keys
+        pair = k // 2
+        rows.append((k, f"a{pair}"))  # shared within (2i, 2i+1) only
+        rows.append((k, f"b{pair}"))
+    df = spark.createDataFrame(rows, "k long, i string")
+
+    exact = {
+        (r.a, r.b, r.n_shared)
+        for r in co_occurrence_pairs(df, "k", "i", min_shared=3).collect()
+    }
+    # pairs (2i, 2i+1) share {hot, a_i, b_i} = 3; everyone else shares
+    # only "hot" = 1 < tau
+    assert exact == {(2 * i, 2 * i + 1, 3) for i in range(15)}
+
+    capped = {
+        (r.a, r.b, r.n_shared)
+        for r in co_occurrence_pairs_lsh(
+            df, "k", "i", min_shared=3, max_bucket=3
+        ).collect()
+    }
+    # hot's buckets hold up to 30 keys >> cap 3 and are dropped; the
+    # qualifying pairs re-collide via a_i/b_i minima (bucket size 2)
+    assert capped == exact

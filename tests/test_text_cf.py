@@ -247,3 +247,22 @@ def test_prediction_bit_identical_across_shuffle_partitions(spark):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert len(runs[0]) > 0
     assert runs[0] == runs[1]
+
+
+def test_lm_perplexity_hand_computed(spark):
+    """Unigram-LM perplexity on a hand-computable corpus: vocab
+    a:2, b:2, c:1 (total 5) -> doc1 "a a b." has H = log2(2.5)
+    (ppl 2.5 exactly); doc2 "b c" has ppl = sqrt(2.5*5) = 3.5355.
+    Normalization strips the punctuation before tokenizing."""
+    from data_mining_map_reduce_spark.operators.text_analysis import (
+        lm_perplexity,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a a b."), (2, "b c"), (3, "   ")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in lm_perplexity(docs).collect()}
+    assert set(rows) == {1, 2}  # the empty doc has no H
+    assert rows[1].n_tokens == 3 and rows[1].ppl == 2.5
+    assert rows[2].n_tokens == 2 and rows[2].ppl == 3.5355
