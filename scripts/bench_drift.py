@@ -37,7 +37,11 @@ from pathlib import Path
 WALL_UP = 1.30
 CPU_UP = 1.30
 CPU_BOX = 1.15
-MIN_SEC = 1.0  # sub-second medians are noise-dominated; skip
+# r14 calibration: two same-code official runs back to back flagged a
+# 1.2 -> 1.6 s row (fm_distinct_users) as REGRESSION at the 30%
+# threshold — rows this small breathe 30% on nothing. 2 s is the
+# smallest median where the threshold separated signal from noise.
+MIN_SEC = 2.0
 
 
 def _median(xs: list) -> float | None:
