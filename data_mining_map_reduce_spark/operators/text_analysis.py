@@ -179,7 +179,10 @@ def language_id(
 
 
 def lm_perplexity(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    materialize: bool = True,
 ) -> DataFrame:
     """Unigram-LM perplexity per document — the CCNet-style corpus
     quality filter (an LM is fit on the corpus, documents are ranked
@@ -205,9 +208,11 @@ def lm_perplexity(
         F.col(id_col), F.explode(tokenize(normalize(F.col(text_col)))).alias("tok")
     )
     dtc = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("c"))
-    # slim (id, tok, c) relation read by BOTH the vocab aggregate and
-    # the scoring join — pin it so the explode runs once
-    dtc = dtc.localCheckpoint(eager=False)
+    if materialize:
+        # slim (id, tok, c) relation read by BOTH the vocab aggregate
+        # and the scoring join — pin it so the explode runs once
+        # (materialize=False keeps the pure lineage for plan tests)
+        dtc = dtc.localCheckpoint(eager=False)
     vocab = dtc.groupBy("tok").agg(F.sum("c").alias("cnt"))
     total = vocab.agg(F.sum("cnt").alias("n"))
     surprise = F.col("c") * -F.log2(F.col("cnt") * F.lit(1.0) / F.col("n"))

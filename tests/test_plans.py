@@ -234,3 +234,28 @@ def test_winnowed_spans_plan_shape(spark, sf_dir):
     # materializes the fp relation once, where the un-checkpointed
     # plan executed the whole pipeline three times (plan-audited)
     assert "posexplode" not in plan
+
+
+def test_lm_perplexity_prunes_and_stays_codegen(spark, sf_dir):
+    """doc_lm_perplexity's scale contract: the documents scan reads
+    ONLY (doc_id, text) — a perplexity pass over 100 TB must not drag
+    the other columns — and the scoring plan contains no Python eval
+    (everything is codegen expressions; the only BroadcastNestedLoop
+    is the intended 1-row corpus-total broadcast)."""
+    from data_mining_map_reduce_spark.operators.text_analysis import (
+        lm_perplexity,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    # materialize=False: the localCheckpoint pin replaces lineage with
+    # an ExistingRDD scan in the outer plan (same knob contract as
+    # minhash_lsh_pairs), so pruning is asserted on the pure plan
+    plan = _plan(lm_perplexity(docs, materialize=False))
+    scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan, plan
+    for ln in scan:
+        schema = ln.split("ReadSchema:")[1]
+        assert "text" in schema and "doc_id" in schema
+        assert "lang" not in schema and "source" not in schema, ln
+        assert "n_chars" not in schema, ln
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
