@@ -214,3 +214,41 @@ def test_redact_pii_matches_planted_counts(spark, docs):
             for k, tok in doc
         )
         assert r.redacted == want, (doc, r.redacted)
+
+
+@settings(**_SETTINGS)
+@given(
+    colls=_collections,
+    tau=st.sampled_from([1, 2, 3]),
+    cap=st.sampled_from([None, 2, 5000]),
+)
+def test_cooccurrence_lsh_refines_exact_fuzzed(spark, colls, tau, cap):
+    """The pre-cut's refinement contract, fuzzed (the X18 precedent):
+    on every random collection family and every hot-bucket cap, the
+    LSH build's output must be a SUBSET of the exact overlap counts
+    with identical n_shared on every emitted pair — precision 1.0 is
+    the invariant; recall is the banding's business (and with cap=2
+    deliberately brutal bucket-dropping, possibly tiny)."""
+    from data_mining_map_reduce_spark.operators.relational import (
+        co_occurrence_pairs_lsh,
+    )
+
+    rows = [(k, str(i)) for k, items in colls.items() for i in items]
+    df = spark.createDataFrame(rows or [(None, None)], "k int, item string")
+    if not rows:
+        df = df.where("k IS NOT NULL")
+    exact = {}
+    keys = sorted(colls)
+    for i, a in enumerate(keys):
+        for b in keys[i + 1 :]:
+            n = len(colls[a] & colls[b])
+            if n >= tau:
+                exact[(a, b)] = n
+    got = {
+        (r.a, r.b): r.n_shared
+        for r in co_occurrence_pairs_lsh(
+            df, "k", "item", min_shared=tau, max_bucket=cap
+        ).collect()
+    }
+    assert set(got) <= set(exact)
+    assert all(exact[p] == n for p, n in got.items())
