@@ -227,3 +227,49 @@ def lm_perplexity(
             ).alias("ppl"),
         )
     )
+
+
+def source_token_kl(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    materialize: bool = True,
+) -> DataFrame:
+    """Token-distribution drift per corpus slice: KL(P_slice ‖
+    P_corpus) in bits — the standard monitor for corpus mixing and
+    source drift in training-data pipelines (a slice whose unigram
+    distribution diverges from the blend is over/under-weighted or
+    contaminated). The corpus is the base measure, so every slice
+    token has support by construction — exact, no smoothing, fully
+    SQL-replayable (FULL oracle).
+
+    Output: (group_col, n_tokens, kl_bits), one row per slice with
+    >= 1 token. Plan shape for 100 TB: tokens collapse to per-(slice,
+    token) counts in ONE shuffle (the pinned slim relation below
+    feeds all three aggregates), slice totals and corpus token totals
+    aggregate FROM that reduced relation, and the final join is
+    slice-count-sized on one side; everything is codegen (log2), no
+    UDFs."""
+    toks = docs.select(
+        F.col(group_col), F.explode(tokenize(normalize(F.col(text_col)))).alias("tok")
+    )
+    stc = toks.groupBy(group_col, "tok").agg(F.count(F.lit(1)).alias("c"))
+    if materialize:
+        # slim (slice, tok, c): three consumers (slice totals, corpus
+        # token totals, the scoring join) — pin so the explode runs once
+        stc = stc.localCheckpoint(eager=False)
+    stot = stc.groupBy(group_col).agg(F.sum("c").alias("n"))
+    ctc = stc.groupBy("tok").agg(F.sum("c").alias("cc"))
+    ctot = stc.agg(F.sum("c").alias("nc"))
+    p = F.col("c") * F.lit(1.0) / F.col("n")
+    q = F.col("cc") * F.lit(1.0) / F.col("nc")
+    return (
+        stc.join(F.broadcast(stot), group_col)
+        .join(ctc, "tok")
+        .crossJoin(F.broadcast(ctot))
+        .groupBy(group_col)
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.round(F.sum(p * F.log2(p / q)), 6).alias("kl_bits"),
+        )
+    )

@@ -3057,6 +3057,47 @@ def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Token-distribution drift per corpus slice (r14): KL(P_source ‖
+# P_corpus) in bits — the corpus-mixing/source-drift monitor. The
+# corpus is the base measure, so every slice token has support and
+# the KL is exact with NO smoothing — fully SQL-replayable.
+# ---------------------------------------------------------------------------
+@query(
+    "source_token_kl",
+    r"""
+    WITH toks AS (
+        SELECT source,
+               unnest(list_filter(
+                   string_split_regex(
+                       translate(lower(text), '([,.!?:;])', ''), '\s+'),
+                   x -> x <> '')) AS tok
+        FROM documents
+    ),
+    stc AS (SELECT source, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+    stot AS (SELECT source, SUM(c) AS n FROM stc GROUP BY 1),
+    ctc AS (SELECT tok, SUM(c) AS cc FROM stc GROUP BY 1),
+    ctot AS (SELECT SUM(c) AS nc FROM stc)
+    SELECT s.source,
+           CAST(t.n AS BIGINT) AS n_tokens,
+           ROUND(SUM((s.c * 1.0 / t.n)
+                     * log2((s.c * 1.0 / t.n) / (v.cc * 1.0 / o.nc))), 6)
+               AS kl_bits
+    FROM stc s
+    JOIN stot t USING (source)
+    JOIN ctc v USING (tok)
+    CROSS JOIN ctot o
+    GROUP BY s.source, t.n
+    ORDER BY s.source
+    """,
+)
+def source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text_analysis import source_token_kl as _kl
+
+    docs = load_table(spark, sf_dir, "documents")
+    return _kl(docs).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
 # Language-ID heuristic. The scoring is deterministic (stopword-
 # profile coverage argmax with first-profile tie-break), so the
 # oracle replays it exactly: same tokenizer, same profile literals,
@@ -5077,14 +5118,16 @@ _DRIVER_ORDER = [
     #    pytest-pinned) --
     "ann_recall_check",
     "son_itemsets",
-    # -- r14 debut #3: unigram-LM perplexity scoring (CCNet-style
-    #    corpus quality filter), FULL oracle --
+    # -- r14 debuts #3/#4: unigram-LM perplexity scoring (CCNet-style
+    #    corpus quality filter) and per-source token-KL drift, both
+    #    FULL oracle --
     "doc_lm_perplexity",
+    "source_token_kl",
     # -- the r13 exclusion manifest: every row below was green in
     #    CORRECTNESS_r12 and hits the 2-round staleness limit at r14
     #    close — all rotate back in except count_by_year, count_global,
-    #    distinct_users and media_frame_sample (deferred one round, see
-    #    _EXCLUDED_R14).
+    #    distinct_users, largest_baskets and media_frame_sample (deferred
+    #    one round, see _EXCLUDED_R14).
     #    Of these, fpgrowth_itemsets re-grades the same fractional-
     #    support helper as son_itemsets; kmeans_cluster_sizes re-grades
     #    the shared-argmin routing on the local path; ann_topk_ivf /
@@ -5121,7 +5164,6 @@ _DRIVER_ORDER = [
     "doc_quality_stats",
     "token_counts_docs",
     "language_id_docs",
-    "largest_baskets",
     "priority_token_counts",
     "event_props_extract",
     "union_filtered_event_counts",
@@ -5139,8 +5181,8 @@ _DRIVER_ORDER = [
 
 # Queries excluded from the r14 driver window: every row below was
 # green in CORRECTNESS_r13 (1 round old at r14 close) except the
-# four r12-green deferrals at the end (2 rounds old at r14 close —
-# the staleness limit, still inside the invariant; all four lead
+# five r12-green deferrals at the end (2 rounds old at r14 close —
+# the staleness limit, still inside the invariant; all five lead
 # the r15 window by construction). Rows whose SOURCE changed this
 # round without an in-window slot carry a per-row note naming the
 # in-window query + pytest that grades the changed code path.
@@ -5194,6 +5236,7 @@ _EXCLUDED_R14 = [
     ("reservoir_sample_events", "r13"),
     ("weighted_doc_sample", "r13"),
     ("doc_repetition_scores", "r13"),
+    ("largest_baskets", "r12; deferred ONE round to make cap room for the r14 debuts and the two promoted changed-code rows — age 2 at r14 close (the staleness limit, inside the invariant), untouched code path (its O2/O4 sort idioms are also exercised by every ordered oracle in-window), obligated first in the r15 window by make_driver_order"),
     ("count_by_year", "r12; deferred ONE round to make cap room for the r14 debuts and the two promoted changed-code rows — age 2 at r14 close (the staleness limit, inside the invariant), untouched code path, obligated first in the r15 window by make_driver_order"),
     ("count_global", "r12; deferred ONE round to make cap room for the r14 debuts and the two promoted changed-code rows — age 2 at r14 close (the staleness limit, inside the invariant), untouched code path, obligated first in the r15 window by make_driver_order"),
     ("distinct_users", "r12; deferred ONE round to make cap room for the r14 debuts and the two promoted changed-code rows — age 2 at r14 close (the staleness limit, inside the invariant), untouched code path, obligated first in the r15 window by make_driver_order"),

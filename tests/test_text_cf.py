@@ -266,3 +266,22 @@ def test_lm_perplexity_hand_computed(spark):
     assert set(rows) == {1, 2}  # the empty doc has no H
     assert rows[1].n_tokens == 3 and rows[1].ppl == 2.5
     assert rows[2].n_tokens == 2 and rows[2].ppl == 3.5355
+
+
+def test_source_token_kl_hand_computed(spark):
+    """KL(P_source || P_corpus) on a hand-computable corpus: sources
+    A = "a a b." and B = "b c" against corpus probs a:.4 b:.4 c:.2 ->
+    KL_A = 2/3*log2(5/3) + 1/3*log2(5/6) = 0.403632 bits,
+    KL_B = 1/2*log2(5/4) + 1/2*log2(5/2) = 0.821928 bits."""
+    from data_mining_map_reduce_spark.operators.text_analysis import (
+        source_token_kl,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "A", "a a b."), (2, "B", "b c"), (3, "C", " ")],
+        "doc_id long, source string, text string",
+    )
+    rows = {r.source: r for r in source_token_kl(docs).collect()}
+    assert set(rows) == {"A", "B"}  # tokenless slice has no KL
+    assert rows["A"].n_tokens == 3 and rows["A"].kl_bits == 0.403632
+    assert rows["B"].n_tokens == 2 and rows["B"].kl_bits == 0.821928
