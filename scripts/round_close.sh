@@ -24,7 +24,8 @@ if ! git diff --quiet BENCH_SPREAD.json; then
     exit 1
   }
 fi
-if git grep -iIl -e anthropic -e openai -e claude -- ':!VERDICT.md' ':!ADVICE.md'; then
+if git grep -iIl -e anthropic -e openai -e claude -- \
+    ':!VERDICT.md' ':!ADVICE.md' ':!scripts/round_close.sh'; then
   echo "leak self-check hit (above files) — scrub before close" >&2
   exit 1
 fi
