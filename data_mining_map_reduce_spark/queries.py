@@ -3098,6 +3098,55 @@ def source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Deterministic exact-quota stratified subsample (r14): exactly k
+# documents per source, chosen by md5-hash order — the corpus
+# REBALANCING staple (downsample every source to a fixed budget,
+# reproducibly, no RNG state). Pure composition: top_k_per_group over
+# the replayable md5_hash60, so the oracle is FULL and the sample is
+# content-addressed (stable under row order, partitioning, and
+# cluster size — the property a resumable 100 TB pipeline needs).
+# Strata smaller than k keep all their rows, the same contract as
+# SQL's ROW_NUMBER <= k.
+# ---------------------------------------------------------------------------
+@query(
+    "stratified_doc_sample",
+    """
+    WITH h AS (
+        SELECT source, doc_id,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS hv
+        FROM documents
+    )
+    SELECT source, doc_id FROM (
+        SELECT source, doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY hv, doc_id) AS rn
+        FROM h
+    )
+    WHERE rn <= 20
+    ORDER BY source, doc_id
+    """,
+)
+def stratified_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.hashing import md5_hash60
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", md5_hash60("doc_id").alias("_hv")
+    )
+    return (
+        R.top_k_per_group(
+            docs,
+            "source",
+            [F.col("_hv").asc(), F.col("doc_id").asc()],
+            k=20,
+            ties=False,
+        )
+        .select("source", "doc_id")
+        .orderBy("source", "doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Language-ID heuristic. The scoring is deterministic (stopword-
 # profile coverage argmax with first-profile tie-break), so the
 # oracle replays it exactly: same tokenizer, same profile literals,
@@ -5118,16 +5167,19 @@ _DRIVER_ORDER = [
     #    pytest-pinned) --
     "ann_recall_check",
     "son_itemsets",
-    # -- r14 debuts #3/#4: unigram-LM perplexity scoring (CCNet-style
+    # -- r14 debuts #3-#5: unigram-LM perplexity scoring (CCNet-style
     #    corpus quality filter) and per-source token-KL drift, both
     #    FULL oracle --
     "doc_lm_perplexity",
     "source_token_kl",
+    # -- r14 debut #5: deterministic exact-quota stratified subsample
+    #    (md5-ordered top-k per source), FULL oracle --
+    "stratified_doc_sample",
     # -- the r13 exclusion manifest: every row below was green in
     #    CORRECTNESS_r12 and hits the 2-round staleness limit at r14
     #    close — all rotate back in except count_by_year, count_global,
-    #    distinct_users, largest_baskets and media_frame_sample (deferred
-    #    one round, see _EXCLUDED_R14).
+    #    distinct_users, event_props_extract, largest_baskets and
+    #    media_frame_sample (deferred one round, see _EXCLUDED_R14).
     #    Of these, fpgrowth_itemsets re-grades the same fractional-
     #    support helper as son_itemsets; kmeans_cluster_sizes re-grades
     #    the shared-argmin routing on the local path; ann_topk_ivf /
@@ -5165,7 +5217,6 @@ _DRIVER_ORDER = [
     "token_counts_docs",
     "language_id_docs",
     "priority_token_counts",
-    "event_props_extract",
     "union_filtered_event_counts",
     "event_value_tier_counts",
     "doc_length_percentiles",
@@ -5181,8 +5232,8 @@ _DRIVER_ORDER = [
 
 # Queries excluded from the r14 driver window: every row below was
 # green in CORRECTNESS_r13 (1 round old at r14 close) except the
-# five r12-green deferrals at the end (2 rounds old at r14 close —
-# the staleness limit, still inside the invariant; all five lead
+# six r12-green deferrals at the end (2 rounds old at r14 close —
+# the staleness limit, still inside the invariant; all six lead
 # the r15 window by construction). Rows whose SOURCE changed this
 # round without an in-window slot carry a per-row note naming the
 # in-window query + pytest that grades the changed code path.
@@ -5236,6 +5287,7 @@ _EXCLUDED_R14 = [
     ("reservoir_sample_events", "r13"),
     ("weighted_doc_sample", "r13"),
     ("doc_repetition_scores", "r13"),
+    ("event_props_extract", "r12; deferred ONE round to make cap room for the r14 debuts and the two promoted changed-code rows — age 2 at r14 close (the staleness limit, inside the invariant), untouched code path (F5 JSON extraction), obligated first in the r15 window by make_driver_order"),
     ("largest_baskets", "r12; deferred ONE round to make cap room for the r14 debuts and the two promoted changed-code rows — age 2 at r14 close (the staleness limit, inside the invariant), untouched code path (its O2/O4 sort idioms are also exercised by every ordered oracle in-window), obligated first in the r15 window by make_driver_order"),
     ("count_by_year", "r12; deferred ONE round to make cap room for the r14 debuts and the two promoted changed-code rows — age 2 at r14 close (the staleness limit, inside the invariant), untouched code path, obligated first in the r15 window by make_driver_order"),
     ("count_global", "r12; deferred ONE round to make cap room for the r14 debuts and the two promoted changed-code rows — age 2 at r14 close (the staleness limit, inside the invariant), untouched code path, obligated first in the r15 window by make_driver_order"),

@@ -285,3 +285,49 @@ def test_source_token_kl_hand_computed(spark):
     assert set(rows) == {"A", "B"}  # tokenless slice has no KL
     assert rows["A"].n_tokens == 3 and rows["A"].kl_bits == 0.403632
     assert rows["B"].n_tokens == 2 and rows["B"].kl_bits == 0.821928
+
+
+def test_stratified_sample_quota_and_layout_invariance(spark, sf_dir):
+    """The exact-quota subsample must take min(k, |stratum|) rows per
+    stratum and be CONTENT-ADDRESSED: the same rows regardless of
+    input partitioning/order (the property that makes a resumable
+    100 TB rebalance reproducible without RNG state)."""
+    from data_mining_map_reduce_spark.queries import stratified_doc_sample
+
+    base = stratified_doc_sample(spark, sf_dir).collect()
+    per = {}
+    for r in base:
+        per.setdefault(r.source, []).append(r.doc_id)
+    from data_mining_map_reduce_spark.sources.catalog import load_table
+
+    sizes = {
+        r.source: r.n
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for src, ids in per.items():
+        assert len(ids) == min(20, sizes[src])
+        assert len(set(ids)) == len(ids)
+
+    # layout invariance: shuffle the input hard, same output
+    from data_mining_map_reduce_spark.functions.hashing import md5_hash60
+    from data_mining_map_reduce_spark.operators.relational import (
+        top_k_per_group,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .orderBy(F.col("doc_id").desc())
+        .repartition(7)
+        .select("source", "doc_id", md5_hash60("doc_id").alias("_hv"))
+    )
+    again = sorted(
+        (r.source, r.doc_id)
+        for r in top_k_per_group(
+            docs, "source", [F.col("_hv").asc(), F.col("doc_id").asc()],
+            k=20, ties=False,
+        ).select("source", "doc_id").collect()
+    )
+    assert again == sorted((r.source, r.doc_id) for r in base)
