@@ -37,6 +37,79 @@ from ..functions.hashing import FOLD_PRIME, hash_params
 # with the disk to pay for it).
 EXACT_PAIRS_DEFAULT_MAX_KEYS = 200_000
 
+# Scale guard for the LSH verify join (r14 verdict task 2): the sf10
+# probe measured the registered reference-banding row (J >= 0.05,
+# b=32/r=1) at 958.6 s — 343 M candidate rows each carrying TWO
+# ~40-element bigint item arrays (~220 GB) through ONE verify shuffle,
+# where spill turns linear candidate growth superlinear; the
+# partition-count fix was tested and REFUTED (1024 partitions died on
+# disk — the WRITE volume is the wall, SCALE.md r14 addendum). The
+# guard estimates that write volume BEFORE the verify join runs:
+# candidate mass (sum of B*(B-1)/2 over post-cap bucket sizes — one
+# cheap aggregate over the banded relation, which the hot-bucket cap
+# scans anyway) times the per-candidate array payload (average set
+# size from the already-materialized per-item relation). sf1 measures
+# ~24 GB and runs in 30.4 s; sf10 measures ~240 GB and dies — the
+# 64 GiB default budget passes the former with ~2.6x headroom and
+# fails the latter fast, naming the four payload knobs. Env-overridable
+# (0 disables — e.g. a cluster whose shuffle tier has the capacity).
+LSH_VERIFY_DEFAULT_BUDGET_BYTES = 64 << 30
+
+
+def _guard_lsh_verify(
+    banded: DataFrame, exploded: DataFrame, threshold: float, bands: int,
+    rows_per_band: int, max_bucket: int | None,
+) -> None:
+    budget = int(
+        os.environ.get(
+            "SPARK_GRAFT_LSH_VERIFY_BUDGET",
+            str(LSH_VERIFY_DEFAULT_BUDGET_BYTES),
+        )
+    )
+    if budget <= 0:
+        return
+    # Candidate mass = sum over (post-cap) buckets of B*(B-1)/2 — the
+    # pre-distinct collision rows, a cheap upper bound on what the
+    # verify join shuffles (dedup only shrinks it). One aggregate over
+    # keys*bands rows; with materialize=True this job doubles as the
+    # signature checkpoint's materializing action, so the main query
+    # reuses the blocks it pays for.
+    mass_row = (
+        banded.groupBy("_bucket")
+        .agg(F.count(F.lit(1)).alias("_bsz"))
+        .agg(
+            F.coalesce(
+                F.sum(F.col("_bsz") * (F.col("_bsz") - 1) / 2), F.lit(0.0)
+            ).alias("_pairs")
+        )
+        .collect()[0]
+    )
+    stats = exploded.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.approx_count_distinct("_k").alias("_keys"),
+    ).collect()[0]
+    avg_set = stats["_n"] / max(stats["_keys"], 1)
+    # Two bigint arrays per candidate row (8 B/element) + ~64 B of row
+    # overhead — the shape the sf10 receipt attributes the wall to.
+    est_bytes = mass_row["_pairs"] * (16.0 * avg_set + 64.0)
+    if est_bytes > budget:
+        raise ValueError(
+            f"minhash_lsh_pairs: estimated verify-join payload "
+            f"~{est_bytes / 2**30:.0f} GiB (~{mass_row['_pairs']:.2e} "
+            f"candidate rows x 2 arrays of ~{avg_set:.0f} bigints) exceeds "
+            f"the {budget / 2**30:.0f} GiB shuffle budget at "
+            f"threshold={threshold}, bands={bands} (r={rows_per_band}), "
+            f"max_bucket={max_bucket}. This banding is a near-all-pairs "
+            "contract at this scale (SCALE.md r14: 958.6 s at sf10, "
+            "partition-count fix refuted — the array WRITE volume is the "
+            "wall). Bound it with a tighter threshold (the X2 dedup regime "
+            "runs 0.7 at r=2), fewer bands (recall trade), a lower "
+            "max_bucket (r10: half the wall, output-identical on this "
+            "corpus), or verify=False for consumers that re-exactify "
+            "downstream; raise SPARK_GRAFT_LSH_VERIFY_BUDGET (bytes, 0 "
+            "disables) for a deliberate run with the shuffle capacity."
+        )
+
 
 def _guard_exact_pairs(df: DataFrame, key: str) -> None:
     cap = int(
@@ -348,6 +421,13 @@ def minhash_lsh_pairs(
     consumer subtree reads them instead of re-running the upstream
     basket join. Set ``materialize=False`` to keep the pure-lineage
     plan (plan tests assert the aggregate shape through this knob).
+
+    Guarded against the measured sf10 verify-shuffle wall (r15): when
+    ``verify=True`` a pre-flight estimate of candidate mass x array
+    payload raises ValueError above ``SPARK_GRAFT_LSH_VERIFY_BUDGET``
+    (default 64 GiB; 0 disables) — see ``_guard_lsh_verify``. The
+    guard's two estimate jobs double as the lazy checkpoints'
+    materializing actions, so the main query reuses their blocks.
     """
     from ..functions.hashing import md5_hash60
 
@@ -425,6 +505,12 @@ def minhash_lsh_pairs(
     )
     if not verify:
         return candidates
+
+    # Pre-flight payload estimate BEFORE the array-carrying verify
+    # join is wired up — the sf10-measured scale wall (see
+    # _guard_lsh_verify). verify=False callers skip it: their output
+    # carries no arrays and their consumers re-exactify downstream.
+    _guard_lsh_verify(banded, exploded, threshold, bands, rows_per_band, max_bucket)
 
     items_sets = exploded.groupBy("_k").agg(F.collect_set("_h60").alias("_items"))
     if materialize:

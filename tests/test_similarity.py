@@ -72,6 +72,40 @@ def test_exact_pairs_scale_guard(spark, monkeypatch):
     assert exact_jaccard_pairs(df, "k", "it", threshold=0.5).count() > 0
 
 
+def test_lsh_verify_payload_guard(spark, monkeypatch):
+    """r14 verdict task 2: the verify join must refuse to run when the
+    estimated candidate-mass x array-payload volume exceeds the
+    shuffle budget (sf10 measured 958.6 s / ~220 GB at reference
+    banding; the partition fix was refuted — write volume is the
+    wall). The refusal names the payload knobs; under the budget (and
+    with the guard disabled) the operator runs unchanged, and
+    verify=False callers never pay the estimate."""
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(k, [f"item{i}" for i in range(k, k + 6)]) for k in range(20)],
+        "k long, items array<string>",
+    )
+    # tiny budget -> clear refusal naming the knobs
+    monkeypatch.setenv("SPARK_GRAFT_LSH_VERIFY_BUDGET", "1")
+    with _pytest.raises(ValueError, match="max_bucket"):
+        minhash_lsh_pairs(df, "k", "items", threshold=0.05)
+    # min_overlap mode verifies too -> same guard
+    with _pytest.raises(ValueError, match="SPARK_GRAFT_LSH_VERIFY_BUDGET"):
+        minhash_lsh_pairs(df, "k", "items", 0.0, min_overlap=2)
+    # verify=False carries no arrays -> no guard, runs under a 1-byte
+    # budget (its consumers re-exactify downstream)
+    assert (
+        minhash_lsh_pairs(df, "k", "items", 0.05, verify=False).count() >= 0
+    )
+    # generous budget -> runs
+    monkeypatch.setenv("SPARK_GRAFT_LSH_VERIFY_BUDGET", str(1 << 30))
+    assert minhash_lsh_pairs(df, "k", "items", threshold=0.05).count() >= 0
+    # 0 disables (deliberate runs on clusters with the shuffle tier)
+    monkeypatch.setenv("SPARK_GRAFT_LSH_VERIFY_BUDGET", "0")
+    assert minhash_lsh_pairs(df, "k", "items", threshold=0.05).count() >= 0
+
+
 def test_cooccurrence_lsh_refines_exact(spark, sf_dir):
     """r13 verdict task 1: the LSH-pre-cut edge build must REFINE the
     exact co-occurrence build — every emitted pair exists in the
