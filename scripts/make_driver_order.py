@@ -38,7 +38,9 @@ from data_mining_map_reduce_spark.queries import (  # noqa: E402
     SPARK_QUERIES,
 )
 from registry_window import (  # noqa: E402 — shared with tests/test_registry
+    AMORTIZE_OUTSIDE_MAX,
     WINDOW_CAP,
+    cohort_outside_counts,
     must_rotate,
     newest_driver_rows,
 )
@@ -69,14 +71,38 @@ def main() -> int:
             f"cap — the invariant is unsatisfiable; something skipped a round"
         )
         return 1
-    fillers = sorted(
+    # Amortized fill (r14 verdict task 3): before the oldest-first
+    # fill, pull in each cohort's OVERFLOW — the rows beyond
+    # AMORTIZE_OUTSIDE_MAX that would otherwise come due as one block
+    # (r14 deferred the whole 48-row r13 cohort and left r16 owing
+    # 54 > 50). Then spend remaining slack oldest-first as before.
+    rest = sorted(
         (q for q in SPARK_QUERIES if q not in must),
         key=lambda q: (newest.get(q, 0), q),
-    )[:slack]
+    )
+    by_cohort: dict[int, list[str]] = {}
+    for q in rest:
+        by_cohort.setdefault(newest.get(q, 0), []).append(q)
+    amortize = []
+    for r in sorted(by_cohort):
+        overflow = len(by_cohort[r]) - AMORTIZE_OUTSIDE_MAX
+        if overflow > 0:
+            amortize.extend(by_cohort[r][:overflow])
+    if len(must) + len(amortize) > WINDOW_CAP:
+        print(
+            f"\nERROR: {len(must)} obligations + {len(amortize)} "
+            f"amortization picks exceed the {WINDOW_CAP}-row cap"
+        )
+        return 1
+    fillers = amortize + [
+        q for q in rest if q not in set(amortize)
+    ][: slack - len(amortize)]
     print(
         f"\nSUGGESTED WINDOW ({WINDOW_CAP} = {len(must)} obligated + "
-        f"{slack} slack, oldest-first fill; swap slack slots for this "
-        f"round's new/changed queries):"
+        f"{len(amortize)} cohort-amortization picks + "
+        f"{slack - len(amortize)} slack, oldest-first fill; swap slack "
+        f"slots for this round's new/changed queries — but keep every "
+        f"cohort's outside count <= {AMORTIZE_OUTSIDE_MAX}):"
     )
     for q in must + fillers:
         print(f"  {q}")
@@ -86,7 +112,18 @@ def main() -> int:
     if missing:
         print(f"\nCURRENT _DRIVER_ORDER IS STALE — missing obligations: {missing}")
         return 1
-    print("\ncurrent _DRIVER_ORDER satisfies the invariant")
+    over = {
+        r: n
+        for r, n in cohort_outside_counts(newest, current, SPARK_QUERIES).items()
+        if n > AMORTIZE_OUTSIDE_MAX
+    }
+    if over:
+        print(
+            f"\nCURRENT _DRIVER_ORDER VIOLATES AMORTIZATION "
+            f"(> {AMORTIZE_OUTSIDE_MAX} of one cohort outside): {over}"
+        )
+        return 1
+    print("\ncurrent _DRIVER_ORDER satisfies the invariants")
     return 0
 
 

@@ -34,6 +34,21 @@ from pathlib import Path
 WINDOW_CAP = 50  # driver records at most this many rows per round
 STALENESS_LIMIT = 2  # newest row may be at most this many rounds old
 
+# Amortization bound (r14 verdict task 3): rows sharing a newest-row
+# round form a COHORT that all comes due in the same future round
+# (newest + STALENESS_LIMIT + 1). r14 deferred the entire 48-row r13
+# cohort at once, which made r15 owe 6 and r16 owe 54 — over the cap,
+# with the staleness test unable to warn until the window was already
+# unsatisfiable. The structural fix: no cohort may have more than
+# AMORTIZE_OUTSIDE_MAX rows left OUTSIDE the committed window, so the
+# round a cohort comes due owes at most AMORTIZE_OUTSIDE_MAX
+# rotations and keeps WINDOW_CAP - AMORTIZE_OUTSIDE_MAX slots free
+# for that round's debuts and changed-code re-rows. Because every
+# window re-rows at least the overflow of the newest cohort, the
+# bound propagates: each round's 50 fresh rows get split across later
+# windows instead of coming due as one block.
+AMORTIZE_OUTSIDE_MAX = WINDOW_CAP - 6
+
 
 def newest_driver_rows(repo: Path) -> tuple[dict[str, int], int]:
     """(query -> newest round with a CORRECTNESS row, newest round on
@@ -69,3 +84,25 @@ def must_rotate(
         ),
         key=lambda q: (newest.get(q, 0), q),
     )
+
+
+def cohort_outside_counts(
+    newest: dict[str, int],
+    window: set[str],
+    queries: set[str] | list[str],
+) -> dict[int, int]:
+    """How many registered queries of each newest-row cohort the
+    committed window leaves outside — the quantity AMORTIZE_OUTSIDE_MAX
+    bounds (each cohort's outside rows all come due together at
+    cohort_round + STALENESS_LIMIT + 1). Never-rowed queries (cohort
+    0) are excluded: the staleness invariant already forces them
+    in-window, so they can never be 'outside' legally."""
+    counts: dict[int, int] = {}
+    for q in queries:
+        if q in window:
+            continue
+        r = newest.get(q, 0)
+        if r == 0:
+            continue
+        counts[r] = counts.get(r, 0) + 1
+    return counts

@@ -23,8 +23,10 @@ REPO = Path(__file__).resolve().parent.parent
 
 sys.path.insert(0, str(REPO / "scripts"))
 from registry_window import (  # noqa: E402 — one policy definition for
-    STALENESS_LIMIT,  # the round-open tool AND this CI guard
+    AMORTIZE_OUTSIDE_MAX,  # the round-open tool AND this CI guard
+    STALENESS_LIMIT,
     WINDOW_CAP,
+    cohort_outside_counts,
     newest_driver_rows,
 )
 
@@ -120,6 +122,33 @@ def test_driver_window_next_round_has_capacity():
     assert len(must_rotate_next) <= WINDOW_CAP, (
         f"r{upcoming + 1} would owe {len(must_rotate_next)} rotations "
         f"with only {WINDOW_CAP} slots — rebalance this window"
+    )
+
+
+def test_driver_window_amortizes_cohorts():
+    """r14 verdict task 3: rows green in the same round form a cohort
+    that all comes due together (newest + STALENESS_LIMIT + 1). r14
+    deferred the whole 48-row r13 cohort at once, which left r16
+    owing 54 > 50 — the capacity test above could only fire a round
+    late. Bound the cause, not the symptom: the committed window may
+    leave at most AMORTIZE_OUTSIDE_MAX rows of ANY single cohort
+    outside, so the round a cohort comes due keeps
+    WINDOW_CAP - AMORTIZE_OUTSIDE_MAX slots free for debuts and
+    changed-code re-rows. Windows therefore always mix cohorts —
+    each round's 50 fresh rows get split across later windows instead
+    of arriving as one block."""
+    newest, _ = _newest_driver_rows()
+    window = set(_DRIVER_ORDER[:WINDOW_CAP])
+    over = {
+        r: n
+        for r, n in cohort_outside_counts(newest, window, SPARK_QUERIES).items()
+        if n > AMORTIZE_OUTSIDE_MAX
+    }
+    assert not over, (
+        f"window leaves whole cohorts outside beyond the amortization "
+        f"bound ({AMORTIZE_OUTSIDE_MAX}): {over} — pull more rows of "
+        f"those cohorts in-window (scripts/make_driver_order.py "
+        f"computes an amortized fill)"
     )
 
 
