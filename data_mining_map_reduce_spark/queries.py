@@ -2917,6 +2917,25 @@ def ann_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# SemDeDup (r14 verdict task 5): embedding-level dedup end-to-end —
+# k-means semantic clusters → within-cluster cosine pairs (the
+# quadratic lives inside one applyInPandas task per cluster; only
+# qualifying pairs leave it) → connected components → canonical doc
+# per semantic-duplicate group. Rows-only (iterative quantizer); the
+# refinement pytest pins semantic groups ⊆ the exact cosine-threshold
+# closure, and the pair stage's cosine math is oracle-grounded by
+# embedding_pair_distances. threshold=0.4 matches the corpus's
+# near-dup regime (max pairwise cosine ≈ 0.51 at sf0.01).
+# ---------------------------------------------------------------------------
+@query("semantic_dedup_docs")
+def semantic_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.ann import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, threshold=0.4).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
 # A16: TF-IDF top terms per document (A3 PDF §4.2 formula — tf
 # normalized by the doc's max term frequency, idf = ln(N/df)).
 # ---------------------------------------------------------------------------

@@ -229,3 +229,122 @@ def test_ivfpq_refinement_scores_are_exact(spark):
             overlap += 1
             assert r.cos_sim == exact[key], key
     assert overlap > 0
+
+
+def test_semantic_pairs_refine_exact_cosine_pairs(spark):
+    """SemDeDup pair stage, both directions of the refinement
+    contract: every within-cluster pair IS an exact cosine-threshold
+    pair with the IDENTICAL rounded similarity (precision 1.0 — the
+    verify is exact, clustering only restricts the candidate set),
+    and recall stays high because near-dups have near-identical
+    embeddings and so co-cluster except on a Voronoi boundary."""
+    from data_mining_map_reduce_spark.operators.ann import (
+        cosine_near_dup_pairs_exact,
+        semantic_near_dup_pairs,
+    )
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    exact = {
+        (r.a, r.b): r.cos_sim
+        for r in cosine_near_dup_pairs_exact(emb, threshold=0.4).collect()
+    }
+    sem = {
+        (r.a, r.b): r.cos_sim
+        for r in semantic_near_dup_pairs(emb, threshold=0.4).collect()
+    }
+    assert len(exact) > 0
+    assert set(sem) <= set(exact), "semantic pair the exact graph lacks"
+    mism = {p for p in sem if abs(sem[p] - exact[p]) > 1e-6}
+    assert not mism, f"cos_sim mismatch on {sorted(mism)[:5]}"
+    recall = len(sem) / len(exact)
+    # deterministic 0.814 at the default n_probe=2 (seeded quantizer,
+    # fixed corpus); single-probe measures 0.356 on these weak pairs
+    assert recall >= 0.8, f"recall {recall:.3f} ({len(sem)}/{len(exact)})"
+
+
+def test_semantic_pairs_planted_near_dups_full_recall(spark):
+    """The actual SemDeDup regime: near-IDENTICAL embeddings (planted
+    dup = base + 1% noise, cos > 0.99) land in the same cluster even
+    at n_probe=1, so recall is exactly 1.0 — the multi-probe knob
+    exists for weak-cosine corpora, not this one."""
+    import numpy as np
+
+    from data_mining_map_reduce_spark.operators.ann import (
+        semantic_near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal((30, 16))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((2 * i, [float(x) for x in v]))
+        dup = v + 0.01 * rng.standard_normal(16)
+        rows.append((2 * i + 1, [float(x) for x in dup]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r.a, r.b)
+        for r in semantic_near_dup_pairs(
+            emb, threshold=0.95, k=8, n_probe=1
+        ).collect()
+    }
+    planted = {(2 * i, 2 * i + 1) for i in range(30)}
+    assert planted <= got, f"missed planted dups: {sorted(planted - got)[:5]}"
+
+
+def test_semantic_dedup_groups_refine_cosine_closure(spark):
+    """r14 verdict task 5 done-criterion: semantic-duplicate groups
+    must REFINE the exact cosine-threshold transitive closure — every
+    doc's canonical lives in the SAME closure component, so semantic
+    dedup never merges docs the exact graph keeps apart. Singletons
+    map to themselves and every id is mapped exactly once."""
+    from data_mining_map_reduce_spark.operators.ann import (
+        cosine_near_dup_pairs_exact,
+        semantic_dedup,
+    )
+    from data_mining_map_reduce_spark.operators.graph import (
+        connected_components,
+    )
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    closure = {
+        r.id: r.component
+        for r in connected_components(
+            cosine_near_dup_pairs_exact(emb, threshold=0.4).select(
+                F.col("a").alias("src"), F.col("b").alias("dst")
+            )
+        ).collect()
+    }
+    got = semantic_dedup(emb, threshold=0.4).collect()
+    n = emb.count()
+    assert len(got) == n
+    assert len({r.vec_id for r in got}) == n
+    merged = 0
+    for r in got:
+        if r.canonical_id != r.vec_id:
+            merged += 1
+            assert closure.get(r.vec_id) == closure.get(r.canonical_id), (
+                r.vec_id,
+                r.canonical_id,
+            )
+        assert r.is_kept == (r.canonical_id == r.vec_id)
+    assert merged > 0, "no semantic duplicates found at threshold 0.4"
+
+
+def test_semantic_dedup_hot_cluster_guard(spark):
+    """A skewed quantizer (every vector identical -> one giant
+    cluster) must fail fast with the knob names, not hand one
+    straggler task an unbounded quadratic."""
+    import pytest as _pytest
+
+    from data_mining_map_reduce_spark.operators.ann import (
+        semantic_near_dup_pairs,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 4), 1.0]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    with _pytest.raises(ValueError, match="max_cluster_rows"):
+        semantic_near_dup_pairs(
+            emb, threshold=0.9, k=2, max_cluster_rows=5
+        ).collect()
