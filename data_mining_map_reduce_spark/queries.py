@@ -5171,149 +5171,138 @@ def winnow_candidate_docs(
 # Names absent from this list sort AFTER every listed name (past the
 # cap) — a new query must be added here explicitly to get a driver row.
 _DRIVER_ORDER = [
-    # -- r14 debuts (a never-rowed query must be in-window its first
-    #    round): the LSH-pre-cut co-occurrence edge build (r13 verdict
-    #    task 1, FULL md5-replay oracle + refinement pytest) and the
-    #    forced-distributed k-means drift guard (task 3, rows-only by
-    #    iterative nature, grades _assign_mean_pass at driver scale) --
-    "cooccurrence_pairs_lsh",
-    "kmeans_cluster_sizes_dist",
-    # -- r13-green rows promoted back in-window because their code
-    #    changed THIS round: ann_recall_check re-pins IVF/IVF-PQ recall
-    #    after quantizer training (ann._lloyd_np) moved onto the shared
-    #    _argmin_sq_l2 kernel (ADVICE r13); son_itemsets re-grades the
-    #    fractional-support plumbing (absolute mode value-identical,
-    #    pytest-pinned) --
-    "ann_recall_check",
-    "son_itemsets",
-    # -- r14 debuts #3-#5: unigram-LM perplexity scoring (CCNet-style
-    #    corpus quality filter) and per-source token-KL drift, both
-    #    FULL oracle --
-    "doc_lm_perplexity",
-    "source_token_kl",
-    # -- r14 debut #5: deterministic exact-quota stratified subsample
-    #    (md5-ordered top-k per source), FULL oracle --
-    "stratified_doc_sample",
-    # -- the r13 exclusion manifest: every row below was green in
-    #    CORRECTNESS_r12 and hits the 2-round staleness limit at r14
-    #    close — all rotate back in except count_by_year, count_global,
-    #    distinct_users, event_props_extract, largest_baskets and
-    #    media_frame_sample (deferred one round, see _EXCLUDED_R14).
-    #    Of these, fpgrowth_itemsets re-grades the same fractional-
-    #    support helper as son_itemsets; kmeans_cluster_sizes re-grades
-    #    the shared-argmin routing on the local path; ann_topk_ivf /
-    #    ann_topk_ivfpq re-run on the changed quantizer training --
-    "flagship_category_avg",
-    "pii_redact_stats",
-    "duplicate_ngram_spans_winnowed",
-    "duplicate_ngram_spans",
-    "corpus_curation_funnel_lsh",
-    "gn_quality_check",
-    "simhash_doc_pairs",
-    "fpgrowth_itemsets",
-    "dedup_canonical_docs",
-    "graph_components",
-    "ann_topk_ivfpq",
-    "doc_length_percentiles_approx",
-    "dict_encode_brands",
-    "dict_encode_partkeys_big",
-    "contamination_ngram_overlap",
-    "cm_heavy_hitter_partkeys",
-    "window_heavy_hitter_users",
-    "kmeans_cluster_sizes",
-    "bfr_round_stats",
-    "ann_topk_exact",
-    "ann_topk_lsh",
-    "ann_topk_ivf",
-    "jaccard_pairs_exact",
-    "near_dup_docs_exact",
+    # -- the six r12-green obligated leads (queries.py r14 manifest
+    #    promised these first; make_driver_order computes the same set) --
+    "count_by_year",
+    "count_global",
+    "distinct_users",
+    "event_props_extract",
+    "largest_baskets",
+    "media_frame_sample",
+    # -- r15 debut (a never-rowed query must be in-window its first
+    #    round): SemDeDup — rows-only by iterative-quantizer nature;
+    #    refinement + recall pytests and sf1/sf10 receipts in SCALE.md --
+    "semantic_dedup_docs",
+    # -- changed-code rows: r15 adds the LSH verify-payload guard
+    #    (similarity._guard_lsh_verify) on the verify=True path; every
+    #    minhash-CTE consumer re-grades here (cf_user_predictions_lsh is
+    #    the verify=False consumer — plan unchanged, re-rowed anyway) --
+    "minhash_lsh_pairs",
     "near_dup_docs_lsh",
-    "corpus_curation_funnel",
-    "graph_betweenness_top",
-    "graph_betweenness_sampled",
-    "graph_lpa_community_sizes",
-    "doc_quality_stats",
-    "token_counts_docs",
-    "language_id_docs",
-    "priority_token_counts",
-    "union_filtered_event_counts",
-    "event_value_tier_counts",
-    "doc_length_percentiles",
-    "top_customers_per_segment",
-    "approx_distinct_users",
-    "doc_fingerprint_stats",
-    "fingerprint_overlap_pairs",
-    "exact_dup_doc_groups",
-    "train_test_split_counts",
-    "baskets_by_customer",
+    "dedup_canonical_docs_lsh",
+    "cooccurrence_pairs_lsh",
+    "corpus_curation_funnel_lsh",
+    "cf_user_predictions_lsh",
+    # -- r14-cohort amortization picks (registry_window.AMORTIZE_OUTSIDE_MAX:
+    #    no cohort may leave > 44 rows outside, so r17 owes <= 44, not 50;
+    #    these three double as in-window coverage for the r15 ann.py additions) --
+    "ann_recall_check",
+    "ann_topk_exact",
+    "ann_topk_ivf",
+    # -- oldest-first fill: r13-green rows at the staleness limit (age 2
+    #    at r15 close) rotate back in --
+    "asof_last_purchase",
+    "avg_price_by_priority",
+    "betweenness_mass_check",
+    "bloom_probe_custkeys",
+    "cf_item_similarities",
+    "cf_predictions",
+    "cf_user_predictions",
+    "content_based_scores",
+    "cooccurrence_pairs",
+    "corr_qty_price_by_flag",
+    "customers_in_both_statuses",
+    "customers_never_final",
+    "doc_repetition_scores",
+    "embedding_pair_distances",
+    "event_rollup_multigrain",
+    "fm_distinct_users",
+    "frequent_items",
+    "frequent_pairs",
+    "girvan_newman_communities",
+    "graph_degree_distribution",
+    "graph_triangle_count",
+    "join_filter_brand_counts",
+    "kmeans_wcss_check",
+    "kmv_distinct_users",
+    "media_feature_rollup",
+    "order_item_lists",
+    "partition_layout_stats",
+    "pii_scan_stats",
+    "pivot_status_by_priority",
+    "reservoir_sample_events",
+    "revenue_cube",
+    "rollup_revenue",
+    "session_windows_per_user",
+    "sketch_error_check",
     # ---- driver cap (50) falls here ----
 ]
 
-# Queries excluded from the r14 driver window: every row below was
-# green in CORRECTNESS_r13 (1 round old at r14 close) except the
-# six r12-green deferrals at the end (2 rounds old at r14 close —
-# the staleness limit, still inside the invariant; all six lead
-# the r15 window by construction). Rows whose SOURCE changed this
+# Queries excluded from the r15 driver window: 44 r14-green rows (age 1
+# at r15 close) and 11 r13-green rows (age 2 — the staleness limit,
+# still inside the invariant; all 11 are obligated first in the r16
+# window by make_driver_order). Rows whose SOURCE module changed this
 # round without an in-window slot carry a per-row note naming the
 # in-window query + pytest that grades the changed code path.
-_EXCLUDED_R14 = [
+_EXCLUDED_R15 = [
     # name                      last green driver row
-    ("girvan_newman_communities", "r13"),
-    ("minhash_lsh_pairs", "r13; r14 operator change adds the min_overlap verify branch — inert for this query (the default Jaccard tail is untouched, plan unchanged); the branch itself is graded in-window by cooccurrence_pairs_lsh (FULL oracle) + the refinement pytest"),
+    ("ann_topk_ivfpq", "r14; r15 ann.py change is ADDITIVE (new semantic_* functions and _assign_probe_clusters; no existing function touched) — the module is graded in-window by ann_recall_check / ann_topk_exact / ann_topk_ivf"),
+    ("ann_topk_lsh", "r14; r15 ann.py change is ADDITIVE (new semantic_* functions and _assign_probe_clusters; no existing function touched) — the module is graded in-window by ann_recall_check / ann_topk_exact / ann_topk_ivf"),
+    ("approx_distinct_users", "r14"),
+    ("baskets_by_customer", "r14"),
+    ("bfr_round_stats", "r14"),
+    ("cm_heavy_hitter_partkeys", "r14"),
+    ("contamination_ngram_overlap", "r14"),
+    ("corpus_curation_funnel", "r14; r15 similarity.py change adds the LSH verify-payload guard — inert for the exact path (no call site in exact_jaccard_pairs; plan unchanged), the guard itself is graded in-window by minhash_lsh_pairs + the guard pytest"),
+    ("dedup_canonical_docs", "r14; r15 similarity.py change adds the LSH verify-payload guard — inert for the exact path (no call site in exact_jaccard_pairs; plan unchanged), the guard itself is graded in-window by minhash_lsh_pairs + the guard pytest"),
+    ("dict_encode_brands", "r14"),
+    ("dict_encode_partkeys_big", "r14"),
+    ("doc_fingerprint_stats", "r14"),
+    ("doc_length_percentiles", "r14"),
+    ("doc_length_percentiles_approx", "r14"),
+    ("doc_lm_perplexity", "r14"),
+    ("doc_quality_stats", "r14"),
+    ("duplicate_ngram_spans", "r14"),
+    ("duplicate_ngram_spans_winnowed", "r14"),
+    ("event_value_tier_counts", "r14"),
+    ("exact_dup_doc_groups", "r14"),
+    ("fingerprint_overlap_pairs", "r14"),
+    ("flagship_category_avg", "r14"),
+    ("fpgrowth_itemsets", "r14"),
+    ("gn_quality_check", "r14"),
+    ("graph_betweenness_sampled", "r14"),
+    ("graph_betweenness_top", "r14"),
+    ("graph_components", "r14"),
+    ("graph_lpa_community_sizes", "r14"),
+    ("jaccard_pairs_exact", "r14; r15 similarity.py change adds the LSH verify-payload guard — inert for the exact path (no call site in exact_jaccard_pairs; plan unchanged), the guard itself is graded in-window by minhash_lsh_pairs + the guard pytest"),
+    ("kmeans_cluster_sizes", "r14"),
+    ("kmeans_cluster_sizes_dist", "r14"),
+    ("language_id_docs", "r14"),
+    ("near_dup_docs_exact", "r14; r15 similarity.py change adds the LSH verify-payload guard — inert for the exact path (no call site in exact_jaccard_pairs; plan unchanged), the guard itself is graded in-window by minhash_lsh_pairs + the guard pytest"),
+    ("pii_redact_stats", "r14"),
+    ("priority_token_counts", "r14"),
+    ("simhash_doc_pairs", "r14"),
+    ("son_itemsets", "r14"),
+    ("source_token_kl", "r14"),
+    ("stratified_doc_sample", "r14"),
+    ("token_counts_docs", "r14"),
+    ("top_customers_per_segment", "r14"),
+    ("train_test_split_counts", "r14"),
+    ("union_filtered_event_counts", "r14"),
+    ("window_heavy_hitter_users", "r14"),
     ("solo_flagship_parity", "r13"),
-    ("pii_scan_stats", "r13"),
-    ("cf_item_similarities", "r13"),
-    ("cf_predictions", "r13"),
-    ("cf_user_predictions_lsh", "r13; consumes the verify=False candidate path, untouched by the r14 min_overlap branch"),
-    ("dedup_canonical_docs_lsh", "r13; consumes minhash_lsh_pairs — same inert min_overlap-branch note"),
-    ("media_feature_rollup", "r13"),
-    ("betweenness_mass_check", "r13"),
-    ("sketch_error_check", "r13"),
-    ("kmeans_wcss_check", "r13; r14 routes _local_lloyd through the shared _argmin_sq_l2 kernel (ADVICE r13; same expansion-form expression it already inlined, so value-identical) — graded in-window by kmeans_cluster_sizes (local path) AND kmeans_cluster_sizes_dist (forced-distributed debut); local/distributed parity pytest re-run green"),
-    ("partition_layout_stats", "r13"),
-    ("window_distinct_users_approx", "r13"),
-    ("embedding_pair_distances", "r13"),
-    ("session_windows_per_user", "r13"),
-    ("window_tumbling_hourly", "r13"),
-    ("window_sliding_hourly", "r13"),
-    ("window_distinct_users_exact", "r13"),
-    ("asof_last_purchase", "r13"),
-    ("event_rollup_multigrain", "r13"),
-    ("revenue_cube", "r13"),
-    ("fm_distinct_users", "r13"),
-    ("kmv_distinct_users", "r13"),
     ("source_mix_stats", "r13"),
-    ("tfidf_top_terms", "r13"),
-    ("cooccurrence_pairs", "r13"),
-    ("cf_user_predictions", "r13"),
-    ("content_based_scores", "r13"),
-    ("top_users_by_orders", "r13"),
-    ("avg_price_by_priority", "r13"),
-    ("word_count_top20", "r13"),
-    ("join_filter_brand_counts", "r13"),
-    ("customers_in_both_statuses", "r13"),
-    ("corr_qty_price_by_flag", "r13"),
-    ("customers_never_final", "r13"),
-    ("rollup_revenue", "r13"),
-    ("pivot_status_by_priority", "r13"),
-    ("order_item_lists", "r13"),
-    ("graph_degree_distribution", "r13"),
-    ("graph_triangle_count", "r13"),
-    ("frequent_items", "r13"),
-    ("frequent_pairs", "r13"),
     ("suffstats_by_label", "r13"),
-    ("bloom_probe_custkeys", "r13"),
-    ("reservoir_sample_events", "r13"),
+    ("tfidf_top_terms", "r13"),
+    ("top_users_by_orders", "r13"),
     ("weighted_doc_sample", "r13"),
-    ("doc_repetition_scores", "r13"),
-    ("event_props_extract", "r12; deferred ONE round to make cap room for the r14 debuts and the two promoted changed-code rows — age 2 at r14 close (the staleness limit, inside the invariant), untouched code path (F5 JSON extraction), obligated first in the r15 window by make_driver_order"),
-    ("largest_baskets", "r12; deferred ONE round to make cap room for the r14 debuts and the two promoted changed-code rows — age 2 at r14 close (the staleness limit, inside the invariant), untouched code path (its O2/O4 sort idioms are also exercised by every ordered oracle in-window), obligated first in the r15 window by make_driver_order"),
-    ("count_by_year", "r12; deferred ONE round to make cap room for the r14 debuts and the two promoted changed-code rows — age 2 at r14 close (the staleness limit, inside the invariant), untouched code path, obligated first in the r15 window by make_driver_order"),
-    ("count_global", "r12; deferred ONE round to make cap room for the r14 debuts and the two promoted changed-code rows — age 2 at r14 close (the staleness limit, inside the invariant), untouched code path, obligated first in the r15 window by make_driver_order"),
-    ("distinct_users", "r12; deferred ONE round to make cap room for the r14 debuts and the two promoted changed-code rows — age 2 at r14 close (the staleness limit, inside the invariant), untouched code path, obligated first in the r15 window by make_driver_order"),
-    ("media_frame_sample", "r12; deferred ONE round to make cap room for the r14 debuts and the two promoted changed-code rows — age 2 at r14 close (the staleness limit, inside the invariant), untouched code path, obligated first in the r15 window by make_driver_order"),
+    ("window_distinct_users_approx", "r13"),
+    ("window_distinct_users_exact", "r13"),
+    ("window_sliding_hourly", "r13"),
+    ("window_tumbling_hourly", "r13"),
+    ("word_count_top20", "r13"),
 ]
-_DRIVER_ORDER += [name for name, _ in _EXCLUDED_R14]
+_DRIVER_ORDER += [name for name, _ in _EXCLUDED_R15]
 
 
 _V = TypeVar("_V")
