@@ -108,6 +108,17 @@ def main() -> None:
     # sidecar-only, see _tree_cpu_sec; entries are None (JSON null)
     # when the paired CPU reading was unusable (_cpu_delta)
     cpu_samples: dict[str, list[float | None]] = {}
+    # sidecar-only (r14 verdict task 4): [session ordinal, 1-based
+    # execution index within that recycled JVM session] per sample,
+    # appended in lockstep with cpu_samples. A query's first
+    # executions in a fresh session measure codegen/JIT at 1.5-2x
+    # wall AND cpu (r14: betweenness 9.0 -> 4.9 -> 3.7 s consecutive
+    # in ONE session), and roster growth shifts every session
+    # boundary — so drift adjudication needs to know WHERE in its
+    # session each sample ran; scripts/bench_drift.py auto-annotates
+    # flags whose inflated samples are early-in-session.
+    positions: dict[str, list[list[int]]] = {}
+    session_idx = 0
     # Recycle the session every RESTART_EVERY queries: one local JVM
     # accumulating 60+ queries' generated classes, broadcasts, and
     # shuffle state measures late queries 2-5x slower than the same
@@ -120,6 +131,7 @@ def main() -> None:
     for name, fn in sorted(SPARK_QUERIES.items()):
         if since_restart >= restart_every:
             since_restart = 0
+            session_idx += 1
             try:
                 spark.stop()
             except Exception:
@@ -140,6 +152,7 @@ def main() -> None:
             cpu_samples.setdefault(name, []).append(
                 _cpu_delta(c0, _tree_cpu_sec())
             )
+            positions.setdefault(name, []).append([session_idx, since_restart])
             # Several operators legitimately cache intermediates whose
             # lifetime is the caller's collect (SON partitions, CF
             # ratings, graph edge sets). Drop them so query N's leftovers
@@ -211,6 +224,7 @@ def main() -> None:
                     break
                 if since_restart >= restart_every:
                     since_restart = 0
+                    session_idx += 1
                     try:
                         spark.stop()
                     except Exception:
@@ -230,6 +244,9 @@ def main() -> None:
                     samples[name].append(round(time.perf_counter() - t0, 4))
                     cpu_samples.setdefault(name, []).append(
                         _cpu_delta(c0, _tree_cpu_sec())
+                    )
+                    positions.setdefault(name, []).append(
+                        [session_idx, since_restart]
                     )
                     spark.catalog.clearCache()
                     gc.collect()
@@ -276,7 +293,9 @@ def main() -> None:
         # with HEAVY_REPS=1 / RESTART / BUDGET_SEC set still produced
         # non-official samples and overwrote the committed file);
         # anything else lands in BENCH_SPREAD.local.json (gitignored).
-        # SPARK_GRAFT_BENCH_OFFICIAL=1 forces the official path,
+        # SPARK_GRAFT_BENCH_OFFICIAL=1 asserts the run SHOULD be
+        # official — but never overrides the conditions (r15, ADVICE):
+        # a forced run that fails them lands local with a loud notice.
         # SPARK_GRAFT_BENCH_SIDECAR overrides the target outright.
         shaping = [
             v
@@ -284,11 +303,30 @@ def main() -> None:
             if v.startswith("SPARK_GRAFT_BENCH_")
             and v not in ("SPARK_GRAFT_BENCH_SIDECAR", "SPARK_GRAFT_BENCH_OFFICIAL")
         ]
-        official = os.environ.get("SPARK_GRAFT_BENCH_OFFICIAL") == "1" or (
-            not shaping
-            and os.path.realpath(sf_dir)
-            == os.path.realpath("/root/testdata/sf0.1")
+        # OFFICIAL=1 exists to force the official path when the
+        # conditions genuinely hold but detection is in doubt — it is
+        # NOT licensed to commit incomparable samples (ADVICE r14: a
+        # stale exported OFFICIAL=1 plus a shaping var or a non-
+        # official sf_dir would clobber the committed sidecar with
+        # exactly what the guard was built to keep out). The sf_dir
+        # requirement is absolute; shaping vars under OFFICIAL=1
+        # downgrade to local with a loud notice naming them.
+        at_official_sf = os.path.realpath(sf_dir) == os.path.realpath(
+            "/root/testdata/sf0.1"
         )
+        forced = os.environ.get("SPARK_GRAFT_BENCH_OFFICIAL") == "1"
+        if forced and (shaping or not at_official_sf):
+            print(
+                "[bench] SPARK_GRAFT_BENCH_OFFICIAL=1 OVERRIDDEN -> "
+                "local sidecar: "
+                + (
+                    f"shaping vars set {sorted(shaping)}"
+                    if shaping
+                    else f"sf_dir {sf_dir} is not the official SF"
+                ),
+                file=sys.stderr,
+            )
+        official = at_official_sf and not shaping
         sidecar = os.environ.get("SPARK_GRAFT_BENCH_SIDECAR") or os.path.join(
             os.path.dirname(os.path.abspath(__file__)),
             "BENCH_SPREAD.json" if official else "BENCH_SPREAD.local.json",
@@ -299,6 +337,7 @@ def main() -> None:
                     "sf": sf,
                     "samples": samples,
                     "cpu_sec": cpu_samples,
+                    "positions": positions,
                     "errors": errors,
                 },
                 fh,

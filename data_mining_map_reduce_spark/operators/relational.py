@@ -163,7 +163,13 @@ def co_occurrence_pairs_lsh(
     verify is exact; refinement pytest-asserted). Recall is governed
     by the banding vs each qualifying pair's JACCARD, not its raw
     overlap: a pair sharing min_shared items out of huge baskets has
-    low Jaccard and may miss every band.
+    low Jaccard and may miss every band. One caveat on "identical
+    counts" (ADVICE r14): the verify intersects 60-bit md5 ITEM
+    HASHES while the exact twin (and the DuckDB replay) counts raw
+    items, so two distinct items of one pair's union colliding in 60
+    bits would inflate n_shared — P ≈ n²/2⁶¹ per pair, the same seam
+    every md5-folded family member documents; negligible at any
+    corpus size this engine runs.
 
     WHEN to use which twin — measured, not assumed (SCALE.md r14):
     this build's candidate volume is what banding leaves after

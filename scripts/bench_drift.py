@@ -42,11 +42,52 @@ CPU_BOX = 1.15
 # threshold — rows this small breathe 30% on nothing. 2 s is the
 # smallest median where the threshold separated signal from noise.
 MIN_SEC = 2.0
+# A sample executed this early in its recycled JVM session measures
+# codegen/JIT on top of the plan (r14: betweenness 9.0 -> 4.9 -> 3.7 s
+# consecutive within ONE session; r14's manual adjudications traced
+# every confirmed-noise mover to this). Position 1 is the first
+# measured query after the warmup; 2 still measured ~1.3x.
+EARLY_POS = 2
 
 
 def _median(xs: list) -> float | None:
     xs = [x for x in xs if x is not None]
     return round(statistics.median(xs), 3) if xs else None
+
+
+def _session_note(old: dict, new: dict, q: str, w0: float) -> str | None:
+    """r14 verdict task 4: auto-adjudicate a flag against the
+    sidecar's per-sample [session, position] records. If the query's
+    NON-early samples (position > EARLY_POS in their session) have a
+    median back within the wall threshold of the baseline, the
+    inflation lives entirely in first-in-session JIT samples — the
+    flag is cleared with the evidence; if every sample ran early, say
+    so (the manual 3x-in-one-idle-session re-run is still the
+    decider). Returns None when positions are absent (pre-r15
+    sidecar) or tell us nothing."""
+    pos = new.get("positions", {}).get(q)
+    walls = new.get("samples", {}).get(q)
+    if not pos or not walls or len(pos) != len(walls):
+        return None
+    late = [w for w, sp in zip(walls, pos) if sp[1] > EARLY_POS]
+    early = [(w, sp[1]) for w, sp in zip(walls, pos) if sp[1] <= EARLY_POS]
+    if not early:
+        return None  # no early sample — position explains nothing
+    if late:
+        lm = _median(late)
+        if lm is not None and lm / w0 < WALL_UP:
+            return (
+                f"CLEARED: non-early samples median {lm} within "
+                f"{int((WALL_UP - 1) * 100)}% of baseline; inflated "
+                f"sample(s) ran at session position(s) "
+                f"{sorted(p for _, p in early)} (first-in-session JIT)"
+            )
+        return None  # late samples are ALSO up — position isn't the cause
+    return (
+        f"INCONCLUSIVE: all {len(early)} samples ran at session "
+        f"position(s) <= {EARLY_POS} — re-run 3x in one idle session "
+        f"to adjudicate"
+    )
 
 
 def classify(old: dict, new: dict) -> list[dict]:
@@ -64,7 +105,12 @@ def classify(old: dict, new: dict) -> list[dict]:
             continue
         c0 = _median(old.get("cpu_sec", {}).get(q, []))
         c1 = _median(new.get("cpu_sec", {}).get(q, []))
-        cpu_ratio = (c1 / c0) if (c0 and c1) else None
+        # None-test explicitly (ADVICE r14): a legitimate 0.0 CPU
+        # median must not degrade the row to WALL-ONLY (0/x and x/0
+        # are real readings — guard only the divide-by-zero)
+        cpu_ratio = (
+            (c1 / c0) if (c0 is not None and c1 is not None and c0 > 0) else None
+        )
         if ratio < 1:
             verdict = "IMPROVED"
         elif cpu_ratio is None:
@@ -75,19 +121,25 @@ def classify(old: dict, new: dict) -> list[dict]:
             verdict = "BOX"
         else:
             verdict = "MIXED"
+        note = None
+        if verdict in ("REGRESSION", "MIXED", "WALL-ONLY (no usable cpu sample)"):
+            note = _session_note(old, new, q, w0)
+            if note and note.startswith("CLEARED"):
+                verdict = f"SESSION-POS ({verdict})"
         rows.append(
             {
                 "query": q,
                 "wall": [w0, w1],
                 "wall_ratio": round(ratio, 2),
                 "cpu": [c0, c1],
-                "cpu_ratio": round(cpu_ratio, 2) if cpu_ratio else None,
+                "cpu_ratio": round(cpu_ratio, 2) if cpu_ratio is not None else None,
                 "verdict": verdict,
+                **({"session_note": note} if note else {}),
             }
         )
     sev = {"REGRESSION": 0, "MIXED": 1, "WALL-ONLY (no usable cpu sample)": 2,
            "BOX": 3, "IMPROVED": 4}
-    rows.sort(key=lambda r: (sev[r["verdict"]], -r["wall_ratio"]))
+    rows.sort(key=lambda r: (sev.get(r["verdict"], 3), -r["wall_ratio"]))
     return rows
 
 
@@ -106,15 +158,22 @@ def main(argv: list[str]) -> int:
         new = json.loads((repo / "BENCH_SPREAD.json").read_text())
     rows = classify(old, new)
     if not rows:
-        print("no wall movers >= 30% at >= 1 s — nothing to adjudicate")
+        # threshold text derived from the constant (ADVICE r14: the
+        # message said ">= 1 s" while MIN_SEC was 2.0)
+        print(
+            f"no wall movers >= {int((WALL_UP - 1) * 100)}% at "
+            f">= {MIN_SEC:g} s — nothing to adjudicate"
+        )
         return 0
     for r in rows:
         print(
             f"{r['verdict']:<12} {r['query']:<34} "
             f"wall {r['wall'][0]} -> {r['wall'][1]} ({r['wall_ratio']}x)  "
             f"cpu {r['cpu'][0]} -> {r['cpu'][1]}"
-            + (f" ({r['cpu_ratio']}x)" if r["cpu_ratio"] else "")
+            + (f" ({r['cpu_ratio']}x)" if r["cpu_ratio"] is not None else "")
         )
+        if r.get("session_note"):
+            print(f"{'':<12}   {r['session_note']}")
     return 1 if any(r["verdict"] == "REGRESSION" for r in rows) else 0
 
 

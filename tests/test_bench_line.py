@@ -188,3 +188,75 @@ def test_bench_drift_classifier():
     }
     rows = {r["query"]: r["verdict"] for r in bd.classify(old, new)}
     assert rows == {"a": "REGRESSION", "b": "BOX", "c": "IMPROVED"}
+
+
+def _load_bd():
+    import importlib.util as _ilu
+    from pathlib import Path as _P
+
+    spec = _ilu.spec_from_file_location(
+        "bench_drift",
+        _P(__file__).resolve().parent.parent / "scripts" / "bench_drift.py",
+    )
+    bd = _ilu.module_from_spec(spec)
+    spec.loader.exec_module(bd)
+    return bd
+
+
+def test_bench_drift_session_position_clears_jit_flags():
+    """r14 verdict task 4: a mover whose inflated samples all ran at
+    session positions <= EARLY_POS, with the NON-early samples back at
+    baseline, is auto-cleared (verdict wrapped in SESSION-POS, exit
+    code no longer fails); a mover whose late samples are also up
+    keeps its flag; an all-early mover is marked INCONCLUSIVE but
+    stays flagged; a pre-r15 sidecar (no positions) is untouched."""
+    bd = _load_bd()
+    old = {
+        "samples": {"jit": [10.0, 10.0], "real": [10.0, 10.0], "early": [10.0]},
+        "cpu_sec": {"jit": [50.0, 50.0], "real": [50.0, 50.0], "early": [50.0]},
+    }
+    new = {
+        "samples": {
+            "jit": [19.0, 10.1],
+            "real": [14.0, 14.2, 14.1],
+            "early": [15.0],
+        },
+        "cpu_sec": {
+            "jit": [95.0, 50.0],
+            "real": [70.0, 71.0, 70.5],
+            "early": [75.0],
+        },
+        "positions": {
+            "jit": [[0, 1], [1, 7]],            # inflated sample first-in-session
+            "real": [[0, 5], [1, 8], [2, 11]],  # late samples also up
+            "early": [[0, 2]],                  # only an early sample exists
+        },
+    }
+    rows = {r["query"]: r for r in bd.classify(old, new)}
+    assert rows["jit"]["verdict"] == "SESSION-POS (REGRESSION)"
+    assert rows["jit"]["session_note"].startswith("CLEARED")
+    assert rows["real"]["verdict"] == "REGRESSION"
+    assert "session_note" not in rows["real"]
+    assert rows["early"]["verdict"] == "REGRESSION"
+    assert rows["early"]["session_note"].startswith("INCONCLUSIVE")
+    # pre-r15 sidecars carry no positions: classification unchanged
+    new_nopos = {k: v for k, v in new.items() if k != "positions"}
+    rows2 = {r["query"]: r["verdict"] for r in bd.classify(old, new_nopos)}
+    assert rows2 == {"jit": "REGRESSION", "real": "REGRESSION", "early": "REGRESSION"}
+
+
+def test_bench_drift_zero_cpu_median_is_not_missing():
+    """ADVICE r14: a legitimate 0.0 CPU median is a reading, not a
+    missing sample — only a true None (or a zero denominator) may
+    degrade the row to WALL-ONLY."""
+    bd = _load_bd()
+    old = {"samples": {"a": [10.0]}, "cpu_sec": {"a": [5.0]}}
+    new = {"samples": {"a": [14.0]}, "cpu_sec": {"a": [0.0]}}
+    (row,) = bd.classify(old, new)
+    # 0.0/5.0 = 0.0 — a real, flat-cpu reading: BOX, not WALL-ONLY
+    assert row["verdict"] == "BOX"
+    assert row["cpu_ratio"] == 0.0
+    old2 = {"samples": {"a": [10.0]}, "cpu_sec": {"a": [0.0]}}
+    (row2,) = bd.classify(old2, new)
+    # zero denominator: ratio undefined -> WALL-ONLY
+    assert row2["verdict"].startswith("WALL-ONLY")

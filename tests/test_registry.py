@@ -52,6 +52,16 @@ def test_every_oracle_has_a_query():
     assert set(ORACLES) <= set(SPARK_QUERIES)
 
 
+def test_no_query_name_is_purely_numeric():
+    """ADVICE r14: the bench line's spread keys are positional
+    (decimal-string indexes into the rendered "queries" order), with
+    full names as the fallback for folded rows — a registered name
+    that is all digits would decode as an index and silently point
+    the spread at the wrong row. Pin it at the source."""
+    bad = [q for q in SPARK_QUERIES if q.isdigit()]
+    assert not bad, f"digit-only query names break spread decoding: {bad}"
+
+
 def _newest_driver_rows() -> tuple[dict[str, int], int]:
     newest, max_round = newest_driver_rows(REPO)
     assert max_round > 0, "no CORRECTNESS_r*.json artifacts found"
