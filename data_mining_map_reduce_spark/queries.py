@@ -2472,13 +2472,21 @@ def _funnel_oracle_sql(near_dropped_ctes: str) -> str:
     )
 
 
-def _corpus_funnel_impl(spark: SparkSession, sf_dir: str, lsh: bool) -> DataFrame:
+def _corpus_funnel_impl(
+    spark: SparkSession, sf_dir: str, lsh: bool, docs: DataFrame | None = None
+) -> DataFrame:
+    # ``docs`` (r15): the funnel over an injected document set instead
+    # of the full table — the subsample-then-curate composition
+    # (scripts/probe_subsample_curate.py measures it at sf10). Default
+    # None loads the table: both registered funnel rows are
+    # byte-identical to their r14 plans.
     from .functions.text import normalize, tokenize
     from .operators.dedup import doc_shingle_pairs, doc_shingles, exact_duplicate_groups
     from .operators.similarity import exact_jaccard_pairs, minhash_lsh_pairs
     from .operators.text_analysis import language_pred_exprs
 
-    docs = load_table(spark, sf_dir, "documents")
+    if docs is None:
+        docs = load_table(spark, sf_dir, "documents")
     exact = exact_duplicate_groups(docs).select(
         "doc_id", (F.col("doc_id") == F.col("canonical_id")).alias("_k1")
     )
