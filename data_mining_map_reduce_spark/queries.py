@@ -5261,7 +5261,7 @@ _EXCLUDED_R15 = [
     ("bfr_round_stats", "r14"),
     ("cm_heavy_hitter_partkeys", "r14"),
     ("contamination_ngram_overlap", "r14"),
-    ("corpus_curation_funnel", "r14; r15 similarity.py change adds the LSH verify-payload guard — inert for the exact path (no call site in exact_jaccard_pairs; plan unchanged), the guard itself is graded in-window by minhash_lsh_pairs + the guard pytest"),
+    ("corpus_curation_funnel", "r14; r15 similarity.py change adds the LSH verify-payload guard — inert for the exact path (no call site in exact_jaccard_pairs; plan unchanged), the guard itself is graded in-window by minhash_lsh_pairs + the guard pytest; r15 also adds an optional docs= injection arg to the shared _corpus_funnel_impl (None default loads the table — plan byte-identical), graded in-window by corpus_curation_funnel_lsh which runs the same impl"),
     ("dedup_canonical_docs", "r14; r15 similarity.py change adds the LSH verify-payload guard — inert for the exact path (no call site in exact_jaccard_pairs; plan unchanged), the guard itself is graded in-window by minhash_lsh_pairs + the guard pytest"),
     ("dict_encode_brands", "r14"),
     ("dict_encode_partkeys_big", "r14"),
