@@ -3125,6 +3125,55 @@ def source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# DSIR importance weights (r15, X33): per-doc log2 likelihood ratio of
+# the target slice's unigram LM vs the corpus LM, add-one smoothed
+# over the corpus vocabulary — Xie et al. 2023's data-selection-via-
+# importance-resampling estimator on exact unigrams (integer counts +
+# log2, so the oracle is FULL). Target slice: source 'src0'. Sampling
+# ∝ 2^log2_w composes with the X22/stratified samplers downstream.
+# ---------------------------------------------------------------------------
+@query(
+    "doc_dsir_weights",
+    r"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               unnest(list_filter(
+                   string_split_regex(
+                       translate(lower(text), '([,.!?:;])', ''), '\s+'),
+                   x -> x <> '')) AS tok
+        FROM documents
+    ),
+    dtc AS (SELECT doc_id, source, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2, 3),
+    corpus AS (SELECT tok, SUM(c) AS cc FROM dtc GROUP BY 1),
+    tgt AS (SELECT tok, SUM(c) AS ct FROM dtc WHERE source = 'src0' GROUP BY 1),
+    tot AS (
+        SELECT SUM(c) AS nc,
+               SUM(CASE WHEN source = 'src0' THEN c ELSE 0 END) AS nt,
+               COUNT(DISTINCT tok) AS v
+        FROM dtc
+    ),
+    w AS (
+        SELECT corpus.tok,
+               log2(((COALESCE(ct, 0) + 1) * 1.0 / (nt + v))
+                    / ((cc + 1) * 1.0 / (nc + v))) AS w
+        FROM corpus LEFT JOIN tgt USING (tok) CROSS JOIN tot
+    )
+    SELECT d.doc_id,
+           CAST(SUM(d.c) AS BIGINT) AS n_tokens,
+           ROUND(SUM(d.c * w.w), 4) AS log2_w
+    FROM dtc d JOIN w USING (tok)
+    GROUP BY d.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text_analysis import dsir_log_importance
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_log_importance(docs, target_value="src0").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
 # Deterministic exact-quota stratified subsample (r14): exactly k
 # documents per source, chosen by md5-hash order — the corpus
 # REBALANCING staple (downsample every source to a fixed budget,
@@ -5242,13 +5291,16 @@ _DRIVER_ORDER = [
     "revenue_cube",
     "rollup_revenue",
     "session_windows_per_user",
-    "sketch_error_check",
+    # -- r15 debut #2 (swapped into the last slack slot mid-round;
+    #    sketch_error_check moved to the manifest, age 2 at r15 close,
+    #    obligated r16): DSIR importance weights, FULL oracle --
+    "doc_dsir_weights",
     # ---- driver cap (50) falls here ----
 ]
 
 # Queries excluded from the r15 driver window: 44 r14-green rows (age 1
-# at r15 close) and 11 r13-green rows (age 2 — the staleness limit,
-# still inside the invariant; all 11 are obligated first in the r16
+# at r15 close) and 12 r13-green rows (age 2 — the staleness limit,
+# still inside the invariant; all 12 are obligated first in the r16
 # window by make_driver_order). Rows whose SOURCE module changed this
 # round without an in-window slot carry a per-row note naming the
 # in-window query + pytest that grades the changed code path.
@@ -5298,6 +5350,7 @@ _EXCLUDED_R15 = [
     ("train_test_split_counts", "r14"),
     ("union_filtered_event_counts", "r14"),
     ("window_heavy_hitter_users", "r14"),
+    ("sketch_error_check", "r13; swapped out of the window mid-round for the doc_dsir_weights debut — untouched code path (A12 sketch twins also graded by fm_distinct_users/kmv_distinct_users in-window)"),
     ("solo_flagship_parity", "r13"),
     ("source_mix_stats", "r13"),
     ("suffstats_by_label", "r13"),

@@ -137,6 +137,7 @@ EXTENSION_ROWS: list[tuple[str, str, list[str], str]] = [
     ("X30", "Exact-substring (8-gram span) dup discovery", ["duplicate_ngram_spans"], "r11: Lee-et-al-style span reach, all-codegen expansion"),
     ("X31", "PII scan (email/phone/IPv4)", ["pii_scan_stats"], "r11: planted '_probe_pii' docs; Java-regex vs RE2 agreement pytest-pinned"),
     ("X32", "Semantic dedup (SemDeDup)", ["semantic_dedup_docs"], "r15: per-cluster pandas gram pairs + CC; refinement/recall pytests; sf1/sf10 receipts"),
+    ("X33", "DSIR importance weights", ["doc_dsir_weights"], "r15: smoothed unigram likelihood ratio vs target slice, FULL oracle; hand-computed + discrimination pytests"),
 ]
 
 

@@ -331,3 +331,55 @@ def test_stratified_sample_quota_and_layout_invariance(spark, sf_dir):
         ).select("source", "doc_id").collect()
     )
     assert again == sorted((r.source, r.doc_id) for r in base)
+
+
+def test_dsir_weights_hand_computed(spark):
+    """X33 DSIR log importance: hand-check the smoothed unigram
+    likelihood ratio on a 3-doc corpus. Target slice = 'tgt'.
+    Corpus tokens: apple x3 (2 tgt), banana x2 (0 tgt), V=2,
+    nc=5, nt=2.
+      w(apple)  = log2( (2+1)/(2+2) / ((3+1)/(5+2)) ) = log2(21/16)
+      w(banana) = log2( (0+1)/(2+2) / ((2+1)/(5+2)) ) = log2(7/12)
+    d1 ('apple apple', tgt)  -> 2*w(apple)
+    d2 ('banana banana')     -> 2*w(banana)
+    d3 ('apple')             -> 1*w(apple)
+    """
+    import math
+
+    from data_mining_map_reduce_spark.operators.text_analysis import (
+        dsir_log_importance,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "tgt", "apple apple"), (2, "web", "banana banana"),
+         (3, "web", "apple")],
+        "doc_id long, source string, text string",
+    )
+    rows = {r.doc_id: r for r in dsir_log_importance(docs, "tgt").collect()}
+    w_apple = math.log2((3 / 4) / (4 / 7))
+    w_banana = math.log2((1 / 4) / (3 / 7))
+    assert rows[1].n_tokens == 2
+    assert rows[1].log2_w == round(2 * w_apple, 4)
+    assert rows[2].log2_w == round(2 * w_banana, 4)
+    assert rows[3].log2_w == round(1 * w_apple, 4)
+
+
+def test_dsir_weights_discriminate_target_slice(spark):
+    """The estimator's point: documents FROM the target slice must
+    score higher on average than the rest of the corpus (measured
+    +0.80 vs -0.83 mean log2_w at sf0.01 — assert the sign gap, not
+    the exact values)."""
+    from data_mining_map_reduce_spark.operators.text_analysis import (
+        dsir_log_importance,
+    )
+    from data_mining_map_reduce_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    scored = dsir_log_importance(docs, "src0").join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    rows = scored.groupBy(F.col("source") == "src0").agg(
+        F.avg("log2_w").alias("m")
+    ).collect()
+    m = {r[0]: r["m"] for r in rows}
+    assert m[True] > m[False] + 1.0, m
