@@ -348,3 +348,42 @@ def test_semantic_dedup_hot_cluster_guard(spark):
         semantic_near_dup_pairs(
             emb, threshold=0.9, k=2, max_cluster_rows=5
         ).collect()
+
+
+def test_semantic_pairs_refinement_fuzz_seeds(spark):
+    """The refinement invariant under varied geometry: for several
+    seeded random corpora (different cluster structure, duplicates,
+    and zero vectors), EVERY semantic pair must exist in the exact
+    cosine graph with the identical rounded similarity — precision
+    1.0 is a structural property of the exact verify, not a fact
+    about one corpus."""
+    import numpy as np
+
+    from data_mining_map_reduce_spark.operators.ann import (
+        cosine_near_dup_pairs_exact,
+        semantic_near_dup_pairs,
+    )
+
+    for seed in (1, 2):
+        rng = np.random.default_rng(seed)
+        centers = rng.standard_normal((5, 12)) * 2
+        rows = []
+        for i in range(120):
+            v = centers[i % 5] + rng.standard_normal(12) * 0.8
+            rows.append((i, [float(x) for x in v]))
+        rows.append((120, [0.0] * 12))  # zero vector: norm guard path
+        rows.append((121, rows[0][1]))  # exact duplicate of row 0
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        exact = {
+            (r.a, r.b): r.cos_sim
+            for r in cosine_near_dup_pairs_exact(emb, threshold=0.6).collect()
+        }
+        sem = {
+            (r.a, r.b): r.cos_sim
+            for r in semantic_near_dup_pairs(
+                emb, threshold=0.6, k=5, seed=seed
+            ).collect()
+        }
+        assert set(sem) <= set(exact), f"seed {seed}: non-exact pair emitted"
+        assert all(abs(sem[p] - exact[p]) <= 1e-6 for p in sem), seed
+        assert (0, 121) in sem, f"seed {seed}: exact duplicate pair missed"

@@ -259,3 +259,25 @@ def test_lm_perplexity_prunes_and_stays_codegen(spark, sf_dir):
         assert "lang" not in schema and "source" not in schema, ln
         assert "n_chars" not in schema, ln
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dsir_weights_single_explode_pin(spark, sf_dir):
+    """X33 plan contract: the (doc, slice, token, count) relation is
+    pinned behind a lazy localCheckpoint, so the consuming plan reads
+    RDD blocks — the tokenizer explode and the documents scan appear
+    ZERO times (three consumers would otherwise re-run the explode
+    each; the minhash/source_token_kl precedent). materialize=False
+    keeps the pure-lineage plan for shape checks."""
+    from data_mining_map_reduce_spark.operators.text_analysis import (
+        dsir_log_importance,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pinned = _plan(dsir_log_importance(docs, "src0"))
+    assert "ExistingRDD" in pinned
+    assert "Scan parquet" not in pinned
+    assert "Generate explode" not in pinned
+    # the pure-lineage form keeps the explode visible (the knob the
+    # pin is asserted against)
+    raw = _plan(dsir_log_importance(docs, "src0", materialize=False))
+    assert "Generate explode" in raw
