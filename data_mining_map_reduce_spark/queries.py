@@ -3564,9 +3564,16 @@ def content_based_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_partkey").alias("i"),
         F.concat_ws(" ", "p_name", "p_type").alias("text"),
     )
-    iprof = item_profiles(item_docs, k=5)
+    # Pin the two multi-consumer profile relations (r15: the plan
+    # audit counted 47 exchanges here — the TF-IDF subtree behind
+    # iprof re-planned once per consumer: user_profiles, the item-norm
+    # aggregate, and the intersection join; uprof likewise twice).
+    # Both are SLIM (two columns) so the r12 slim-vs-fat rule allows
+    # the RDD pin; audited plan drops to 12 exchanges, values
+    # identical (FULL oracle re-graded in-window this round).
+    iprof = item_profiles(item_docs, k=5).localCheckpoint(eager=False)
     ratings = _ratings(spark, sf_dir).cache()
-    uprof = user_profiles(ratings, iprof, k=20)
+    uprof = user_profiles(ratings, iprof, k=20).localCheckpoint(eager=False)
     targets = ratings.where(F.col("u") < 50).select("u", "i")
     return content_based_scores(uprof, iprof, targets, min_cos=0.01).orderBy(
         "u", "i"

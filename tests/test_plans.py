@@ -281,3 +281,33 @@ def test_dsir_weights_single_explode_pin(spark, sf_dir):
     # pin is asserted against)
     raw = _plan(dsir_log_importance(docs, "src0", materialize=False))
     assert "Generate explode" in raw
+
+
+def test_no_rowwise_python_or_cartesian_anywhere_fast_subset(spark, sf_dir):
+    """Registry-wide structural invariant, asserted on the subset
+    whose plans build without training jobs (scripts/plan_audit.py
+    sweeps ALL queries per round — PLAN_AUDIT.md is its committed
+    receipt): no BatchEvalPython (row-at-a-time Python UDF) and no
+    raw CartesianProduct (unbroadcast cross join) may appear in any
+    executed plan. Arrow-batched MapInPandas/FlatMapGroupsInPandas
+    and BroadcastNestedLoopJoin are the sanctioned forms."""
+    from data_mining_map_reduce_spark.queries import SPARK_QUERIES
+
+    fast = [
+        "flagship_category_avg", "count_by_year", "join_filter_brand_counts",
+        "top_customers_per_segment", "event_rollup_multigrain", "revenue_cube",
+        "word_count_top20", "tfidf_top_terms", "doc_lm_perplexity",
+        "source_token_kl", "doc_dsir_weights", "stratified_doc_sample",
+        "cooccurrence_pairs", "frequent_pairs", "order_item_lists",
+        "asof_last_purchase", "pivot_status_by_priority", "language_id_docs",
+        "doc_quality_stats", "exact_dup_doc_groups",
+    ]
+    for name in fast:
+        plan = (
+            SPARK_QUERIES[name](spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BatchEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
