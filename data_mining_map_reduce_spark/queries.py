@@ -2487,8 +2487,15 @@ def _corpus_funnel_impl(
 
     if docs is None:
         docs = load_table(spark, sf_dir, "documents")
-    exact = exact_duplicate_groups(docs).select(
-        "doc_id", (F.col("doc_id") == F.col("canonical_id")).alias("_k1")
+    # Pin the exact-dup verdict relation (r15 plan audit): TWO
+    # consumers (the near-dup stage's docs1 pre-filter and the final
+    # flags join) otherwise each re-run the full-corpus normalize +
+    # groupBy behind exact_duplicate_groups. Slim (doc_id + bool), so
+    # the r12 slim-vs-fat rule allows the RDD pin.
+    exact = (
+        exact_duplicate_groups(docs)
+        .select("doc_id", (F.col("doc_id") == F.col("canonical_id")).alias("_k1"))
+        .localCheckpoint(eager=False)
     )
     docs1 = docs.join(exact.where(F.col("_k1")).select("doc_id"), "doc_id")
     if lsh:
@@ -5320,7 +5327,7 @@ _EXCLUDED_R15 = [
     ("bfr_round_stats", "r14"),
     ("cm_heavy_hitter_partkeys", "r14"),
     ("contamination_ngram_overlap", "r14"),
-    ("corpus_curation_funnel", "r14; r15 similarity.py change adds the LSH verify-payload guard — inert for the exact path (no call site in exact_jaccard_pairs; plan unchanged), the guard itself is graded in-window by minhash_lsh_pairs + the guard pytest; r15 also adds an optional docs= injection arg to the shared _corpus_funnel_impl (None default loads the table — plan byte-identical), graded in-window by corpus_curation_funnel_lsh which runs the same impl"),
+    ("corpus_curation_funnel", "r14; r15 similarity.py change adds the LSH verify-payload guard — inert for the exact path (no call site in exact_jaccard_pairs; plan unchanged), the guard itself is graded in-window by minhash_lsh_pairs + the guard pytest; r15 also adds an optional docs= injection arg to the shared _corpus_funnel_impl (None default loads the table — plan byte-identical), graded in-window by corpus_curation_funnel_lsh which runs the same impl; r15 also pins the shared impl's exact-dup verdict relation (slim localCheckpoint — two consumers re-ran the corpus groupBy), same in-window grading"),
     ("dedup_canonical_docs", "r14; r15 similarity.py change adds the LSH verify-payload guard — inert for the exact path (no call site in exact_jaccard_pairs; plan unchanged), the guard itself is graded in-window by minhash_lsh_pairs + the guard pytest"),
     ("dict_encode_brands", "r14"),
     ("dict_encode_partkeys_big", "r14"),
