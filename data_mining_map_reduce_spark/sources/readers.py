@@ -53,3 +53,25 @@ def read_chunked_dir(
     the sorted path list. The streaming twin is a file source with
     maxFilesPerTrigger=1 (see streaming/)."""
     return [spark.read.format(fmt).options(**options).load(p) for p in paths]
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """Columnar ORC scan — Spark-native (vectorized reader, predicate
+    pushdown, column pruning), the other columnar interchange format
+    a large ingest pipeline meets besides parquet. Schema rides in
+    the file footer; no inference pass."""
+    return spark.read.orc(path)
+
+
+def read_json_lines_gz(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> DataFrame:
+    """S1 over gzip: web-scale text corpora ship as *.jsonl.gz; the
+    Hadoop codec layer decompresses transparently off the extension,
+    so this is read_json_lines with one operational caveat pinned in
+    the docstring — gzip is NOT splittable, so one .gz file = one
+    task. At 100 TB the parallelism comes from MANY files (the
+    standard corpus layout: thousands of shard files), never from
+    splitting one; re-shard or recompress (zstd/bzip2) anything
+    monolithic before it hits the cluster."""
+    return spark.read.schema(schema).json(path)

@@ -40,6 +40,7 @@ SURVEY_ROWS: list[tuple[str, str, list[str], str]] = [
     ("S8", "Line-delimited JSON sink", [], "pytest test_io"),
     ("S9", "Text/CSV report sink", [], "pytest test_io"),
     ("S10", "Single-node no-Spark path", ["solo_flagship_parity"], "solo.py (r11): pyarrow+numpy twin, pytest parity vs Spark flagship"),
+    ("S11", "ORC + gzipped-JSONL sources (r15)", [], "pytest round-trips: ORC pushdown plan-asserted; one task per .gz shard pinned"),
     ("P1", "Field projection", ["flagship_category_avg"], ""),
     ("P2", "Equality filter", ["count_by_year"], ""),
     ("P3", "Null filter", ["join_filter_brand_counts"], ""),

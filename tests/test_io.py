@@ -176,3 +176,51 @@ def test_events_ts_loads_as_timestamp(spark):
             F.min("y").alias("lo"), F.max("y").alias("hi")
         ).first()
         assert 2000 <= years["lo"] <= years["hi"] <= 2100
+
+
+def test_orc_roundtrip(spark, sf_dir, tmp_path):
+    """S-row extension (r15): ORC is the other Spark-native columnar
+    interchange format a large ingest meets; same vectorized scan /
+    pushdown / pruning story as parquet, round-tripped value-exact."""
+    from data_mining_map_reduce_spark.sources.readers import read_orc
+    from data_mining_map_reduce_spark.sources.writers import write_orc
+
+    df = _flagship(spark, sf_dir)
+    path = str(tmp_path / "out_orc")
+    write_orc(df, path)
+    assert _rows(read_orc(spark, path)) == _rows(df)
+    # pushdown reaches the ORC scan like parquet's
+    plan = (
+        read_orc(spark, path)
+        .where(F.col("category") == "x")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan and "category" in plan
+
+
+def test_gzipped_jsonl_reads_transparently(spark, sf_dir, tmp_path):
+    """S1 over gzip (the *.jsonl.gz corpus-shard layout): the codec
+    layer decompresses off the extension; values identical to the
+    uncompressed read. One .gz = one task (not splittable) — the
+    operational caveat lives in the reader docstring."""
+    import gzip
+    import json as _json
+
+    from data_mining_map_reduce_spark.sources.readers import (
+        read_json_lines_gz,
+    )
+
+    df = _flagship(spark, sf_dir)
+    rows = [r.asDict() for r in df.collect()]
+    shard_dir = tmp_path / "gz_shards"
+    shard_dir.mkdir()
+    # two shards: parallelism across files, never within one
+    for i, half in enumerate((rows[: len(rows) // 2], rows[len(rows) // 2 :])):
+        with gzip.open(shard_dir / f"part-{i}.jsonl.gz", "wt") as fh:
+            for r in half:
+                fh.write(_json.dumps(r) + "\n")
+    back = read_json_lines_gz(spark, str(shard_dir), RESULT_SCHEMA)
+    assert _rows(back) == _rows(df)
+    assert back.rdd.getNumPartitions() == 2  # one task per .gz shard
