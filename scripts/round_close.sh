@@ -9,7 +9,10 @@
 #   3. bench drift adjudication: HEAD's BENCH_SPREAD.json vs the
 #      working tree's (exit 1 = a wall+cpu regression candidate needs
 #      adjudicating in BENCH_NOTES before the round ends)
-#   4. leak self-check over tracked text (provider/internal terms)
+#   4. plan audit (r15): every registered query's executed plan must
+#      be free of BatchEvalPython / raw CartesianProduct (~2 min;
+#      regenerates PLAN_AUDIT.md — commit it if it changed)
+#   5. leak self-check over tracked text (provider/internal terms)
 set -e
 cd "$(dirname "$0")/.."
 python -m pytest tests/test_registry.py -q
@@ -24,6 +27,10 @@ if ! git diff --quiet BENCH_SPREAD.json; then
     exit 1
   }
 fi
+python scripts/plan_audit.py > /dev/null || {
+  echo "plan audit flagged a forbidden plan shape — see PLAN_AUDIT.md" >&2
+  exit 1
+}
 if git grep -iIl -e anthropic -e openai -e claude -- \
     ':!VERDICT.md' ':!ADVICE.md' ':!scripts/round_close.sh'; then
   echo "leak self-check hit (above files) — scrub before close" >&2

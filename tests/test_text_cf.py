@@ -383,3 +383,29 @@ def test_dsir_weights_discriminate_target_slice(spark):
     ).collect()
     m = {r[0]: r["m"] for r in rows}
     assert m[True] > m[False] + 1.0, m
+
+
+def test_dsir_weights_layout_invariant(spark):
+    """Content-addressed determinism (the stratified-sample
+    precedent): repartitioning/reordering the input must not change
+    any rounded weight — the 4-dp rounding absorbs float-sum order
+    across layouts (headroom ~1e9x: per-doc sums of ~50 O(1)-sized
+    log terms reorder at ~1e-15)."""
+    from data_mining_map_reduce_spark.operators.text_analysis import (
+        dsir_log_importance,
+    )
+    from data_mining_map_reduce_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    base = {
+        r.doc_id: (r.n_tokens, r.log2_w)
+        for r in dsir_log_importance(docs, "src0").collect()
+    }
+    shuffled = {
+        r.doc_id: (r.n_tokens, r.log2_w)
+        for r in dsir_log_importance(
+            docs.repartition(7, "source").orderBy(F.col("doc_id").desc()),
+            "src0",
+        ).collect()
+    }
+    assert base == shuffled
