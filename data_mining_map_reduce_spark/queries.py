@@ -2477,9 +2477,12 @@ def _corpus_funnel_impl(
 ) -> DataFrame:
     # ``docs`` (r15): the funnel over an injected document set instead
     # of the full table — the subsample-then-curate composition
-    # (scripts/probe_subsample_curate.py measures it at sf10). Default
-    # None loads the table: both registered funnel rows are
-    # byte-identical to their r14 plans.
+    # (scripts/probe_subsample_curate.py measures it at sf10). The
+    # None default only pins WHICH relation feeds the funnel (the
+    # loaded table, as before); the registered plans themselves DID
+    # change in r15 — the exact-dup verdict pin below replaces the
+    # groupBy subtree with an ExistingRDD in both funnel rows (both
+    # re-graded in-window r15/r16).
     from .functions.text import normalize, tokenize
     from .operators.dedup import doc_shingle_pairs, doc_shingles, exact_duplicate_groups
     from .operators.similarity import exact_jaccard_pairs, minhash_lsh_pairs
@@ -5241,119 +5244,100 @@ def winnow_candidate_docs(
 # the must-rotate set mechanically at round open.
 # Names absent from this list sort AFTER every listed name (past the
 # cap) — a new query must be added here explicitly to get a driver row.
+#
+# _WINDOW_ROUND pins the round this committed window was built FOR
+# (r15 verdict task 1). The registry tests grade staleness/capacity
+# against THIS round, not newest-artifact + 1 — the driver writes
+# CORRECTNESS_r{N}.json after the builder's close, and for two rounds
+# running the suite went red at judge time because the already-closed
+# window was being re-graded as if it were the next round's. The
+# companion guard lives in scripts/make_driver_order.py (run by
+# round_open.sh), which hard-fails once the newest artifact round
+# reaches _WINDOW_ROUND until the window is rebalanced and this pin
+# bumped — so the pin cannot silently go stale either.
+_WINDOW_ROUND = 16
+
 _DRIVER_ORDER = [
-    # -- the six r12-green obligated leads (queries.py r14 manifest
-    #    promised these first; make_driver_order computes the same set) --
-    "count_by_year",
-    "count_global",
-    "distinct_users",
-    "event_props_extract",
-    "largest_baskets",
-    "media_frame_sample",
-    # -- r15 debut (a never-rowed query must be in-window its first
-    #    round): SemDeDup — rows-only by iterative-quantizer nature;
-    #    refinement + recall pytests and sf1/sf10 receipts in SCALE.md --
-    "semantic_dedup_docs",
-    # -- changed-code rows: r15 adds the LSH verify-payload guard
-    #    (similarity._guard_lsh_verify) on the verify=True path; every
-    #    minhash-CTE consumer re-grades here (cf_user_predictions_lsh is
-    #    the verify=False consumer — plan unchanged, re-rowed anyway) --
+    # -- the 12 obligated leads: r13-green rows at the staleness limit
+    #    (age 2 at r15 close; make_driver_order computes the same set) --
+    "sketch_error_check",
+    "solo_flagship_parity",
+    "source_mix_stats",
+    "suffstats_by_label",
+    "tfidf_top_terms",
+    "top_users_by_orders",
+    "weighted_doc_sample",
+    "window_distinct_users_approx",
+    "window_distinct_users_exact",
+    "window_sliding_hourly",
+    "window_tumbling_hourly",
+    "word_count_top20",
+    # -- r15-cohort amortization picks (>= 6 needed: the 50-row r15
+    #    cohort may leave at most AMORTIZE_OUTSIDE_MAX=44 outside).
+    #    All seven double as r16 changed-code coverage:
+    #    minhash/near-dup/canonical re-grade the _guard_lsh_verify
+    #    avg_set fix (deduped per-key set sizes, r15 ADVICE item 2);
+    #    the funnel row re-grades the exact-relation pin + semantic=
+    #    arg; semantic_dedup_docs re-grades the lazy `assigned`
+    #    checkpoint (ADVICE item 4); doc_dsir_weights re-grades the
+    #    DSIR refactor shared with the resampling debut;
+    #    pii_scan_stats re-grades the SSN + Luhn-card extension --
     "minhash_lsh_pairs",
     "near_dup_docs_lsh",
     "dedup_canonical_docs_lsh",
-    "cooccurrence_pairs_lsh",
     "corpus_curation_funnel_lsh",
-    "cf_user_predictions_lsh",
-    # -- r14-cohort amortization picks (registry_window.AMORTIZE_OUTSIDE_MAX:
-    #    no cohort may leave > 44 rows outside, so r17 owes <= 44, not 50;
-    #    these three double as in-window coverage for the r15 ann.py additions) --
-    "ann_recall_check",
-    "ann_topk_exact",
-    "ann_topk_ivf",
-    # -- oldest-first fill: r13-green rows at the staleness limit (age 2
-    #    at r15 close) rotate back in --
-    "asof_last_purchase",
-    "avg_price_by_priority",
-    "betweenness_mass_check",
-    "bloom_probe_custkeys",
-    "cf_item_similarities",
-    "cf_predictions",
-    "cf_user_predictions",
-    "content_based_scores",
-    "cooccurrence_pairs",
-    "corr_qty_price_by_flag",
-    "customers_in_both_statuses",
-    "customers_never_final",
-    "doc_repetition_scores",
-    "embedding_pair_distances",
-    "event_rollup_multigrain",
-    "fm_distinct_users",
-    "frequent_items",
-    "frequent_pairs",
-    "girvan_newman_communities",
-    "graph_degree_distribution",
-    "graph_triangle_count",
-    "join_filter_brand_counts",
-    "kmeans_wcss_check",
-    "kmv_distinct_users",
-    "media_feature_rollup",
-    "order_item_lists",
-    "partition_layout_stats",
-    "pii_scan_stats",
-    "pivot_status_by_priority",
-    "reservoir_sample_events",
-    "revenue_cube",
-    "rollup_revenue",
-    "session_windows_per_user",
-    # -- r15 debut #2 (swapped into the last slack slot mid-round;
-    #    sketch_error_check moved to the manifest, age 2 at r15 close,
-    #    obligated r16): DSIR importance weights, FULL oracle --
+    "semantic_dedup_docs",
     "doc_dsir_weights",
+    "pii_scan_stats",
+    # -- changed-code r14 rows: the funnel exact-relation pin (r15
+    #    verdict task 2), the PII regex extension (task 6), and the
+    #    decontamination work sharing X27's overlap scoring (task 5) --
+    "corpus_curation_funnel",
+    "pii_redact_stats",
+    "contamination_ngram_overlap",
+    # -- oldest-first fill: r14-green rows (age 2 at r16 close) --
+    "ann_topk_ivfpq",
+    "ann_topk_lsh",
+    "approx_distinct_users",
+    "baskets_by_customer",
+    "bfr_round_stats",
+    "cm_heavy_hitter_partkeys",
+    "dedup_canonical_docs",
+    "dict_encode_brands",
+    "dict_encode_partkeys_big",
+    "doc_fingerprint_stats",
+    "doc_length_percentiles",
+    "doc_length_percentiles_approx",
+    "doc_lm_perplexity",
+    "doc_quality_stats",
+    "duplicate_ngram_spans",
+    "duplicate_ngram_spans_winnowed",
+    "event_value_tier_counts",
+    "exact_dup_doc_groups",
+    "fingerprint_overlap_pairs",
+    "flagship_category_avg",
+    "fpgrowth_itemsets",
+    "gn_quality_check",
+    "graph_betweenness_sampled",
+    "graph_betweenness_top",
+    "graph_components",
+    "graph_lpa_community_sizes",
+    "jaccard_pairs_exact",
+    "kmeans_cluster_sizes",
     # ---- driver cap (50) falls here ----
 ]
 
-# Queries excluded from the r15 driver window: 44 r14-green rows (age 1
-# at r15 close) and 12 r13-green rows (age 2 — the staleness limit,
-# still inside the invariant; all 12 are obligated first in the r16
+# Queries excluded from the r16 driver window: 13 r14-green rows and
+# 43 r15-green rows (ages 2 and 1 at r16 close — both inside the
+# staleness invariant; the r14 residue is obligated first in the r17
 # window by make_driver_order). Rows whose SOURCE module changed this
 # round without an in-window slot carry a per-row note naming the
 # in-window query + pytest that grades the changed code path.
-_EXCLUDED_R15 = [
+_EXCLUDED_R16 = [
     # name                      last green driver row
-    ("ann_topk_ivfpq", "r14; r15 ann.py change is ADDITIVE (new semantic_* functions and _assign_probe_clusters; no existing function touched) — the module is graded in-window by ann_recall_check / ann_topk_exact / ann_topk_ivf"),
-    ("ann_topk_lsh", "r14; r15 ann.py change is ADDITIVE (new semantic_* functions and _assign_probe_clusters; no existing function touched) — the module is graded in-window by ann_recall_check / ann_topk_exact / ann_topk_ivf"),
-    ("approx_distinct_users", "r14"),
-    ("baskets_by_customer", "r14"),
-    ("bfr_round_stats", "r14"),
-    ("cm_heavy_hitter_partkeys", "r14"),
-    ("contamination_ngram_overlap", "r14"),
-    ("corpus_curation_funnel", "r14; r15 similarity.py change adds the LSH verify-payload guard — inert for the exact path (no call site in exact_jaccard_pairs; plan unchanged), the guard itself is graded in-window by minhash_lsh_pairs + the guard pytest; r15 also adds an optional docs= injection arg to the shared _corpus_funnel_impl (None default loads the table — plan byte-identical), graded in-window by corpus_curation_funnel_lsh which runs the same impl; r15 also pins the shared impl's exact-dup verdict relation (slim localCheckpoint — two consumers re-ran the corpus groupBy), same in-window grading"),
-    ("dedup_canonical_docs", "r14; r15 similarity.py change adds the LSH verify-payload guard — inert for the exact path (no call site in exact_jaccard_pairs; plan unchanged), the guard itself is graded in-window by minhash_lsh_pairs + the guard pytest"),
-    ("dict_encode_brands", "r14"),
-    ("dict_encode_partkeys_big", "r14"),
-    ("doc_fingerprint_stats", "r14"),
-    ("doc_length_percentiles", "r14"),
-    ("doc_length_percentiles_approx", "r14"),
-    ("doc_lm_perplexity", "r14"),
-    ("doc_quality_stats", "r14"),
-    ("duplicate_ngram_spans", "r14"),
-    ("duplicate_ngram_spans_winnowed", "r14"),
-    ("event_value_tier_counts", "r14"),
-    ("exact_dup_doc_groups", "r14"),
-    ("fingerprint_overlap_pairs", "r14"),
-    ("flagship_category_avg", "r14"),
-    ("fpgrowth_itemsets", "r14"),
-    ("gn_quality_check", "r14"),
-    ("graph_betweenness_sampled", "r14"),
-    ("graph_betweenness_top", "r14"),
-    ("graph_components", "r14"),
-    ("graph_lpa_community_sizes", "r14"),
-    ("jaccard_pairs_exact", "r14; r15 similarity.py change adds the LSH verify-payload guard — inert for the exact path (no call site in exact_jaccard_pairs; plan unchanged), the guard itself is graded in-window by minhash_lsh_pairs + the guard pytest"),
-    ("kmeans_cluster_sizes", "r14"),
     ("kmeans_cluster_sizes_dist", "r14"),
     ("language_id_docs", "r14"),
-    ("near_dup_docs_exact", "r14; r15 similarity.py change adds the LSH verify-payload guard — inert for the exact path (no call site in exact_jaccard_pairs; plan unchanged), the guard itself is graded in-window by minhash_lsh_pairs + the guard pytest"),
-    ("pii_redact_stats", "r14"),
+    ("near_dup_docs_exact", "r14; the r16 similarity.py change (deduped avg_set in _guard_lsh_verify) is verify=True-LSH-path only — no call site in exact_jaccard_pairs, plan unchanged; the guard fix is graded in-window by minhash_lsh_pairs/near_dup_docs_lsh + the guard pytest"),
     ("priority_token_counts", "r14"),
     ("simhash_doc_pairs", "r14"),
     ("son_itemsets", "r14"),
@@ -5364,20 +5348,51 @@ _EXCLUDED_R15 = [
     ("train_test_split_counts", "r14"),
     ("union_filtered_event_counts", "r14"),
     ("window_heavy_hitter_users", "r14"),
-    ("sketch_error_check", "r13; swapped out of the window mid-round for the doc_dsir_weights debut — untouched code path (A12 sketch twins also graded by fm_distinct_users/kmv_distinct_users in-window)"),
-    ("solo_flagship_parity", "r13"),
-    ("source_mix_stats", "r13"),
-    ("suffstats_by_label", "r13"),
-    ("tfidf_top_terms", "r13"),
-    ("top_users_by_orders", "r13"),
-    ("weighted_doc_sample", "r13"),
-    ("window_distinct_users_approx", "r13"),
-    ("window_distinct_users_exact", "r13"),
-    ("window_sliding_hourly", "r13"),
-    ("window_tumbling_hourly", "r13"),
-    ("word_count_top20", "r13"),
+    ("ann_recall_check", "r15; r16 ann.py change is the lazy localCheckpoint on SemDeDup's `assigned` relation — semantic_* path only (no shared helper touched), graded in-window by semantic_dedup_docs + the refinement pytests"),
+    ("ann_topk_exact", "r15; same note as ann_recall_check"),
+    ("ann_topk_ivf", "r15; same note as ann_recall_check"),
+    ("asof_last_purchase", "r15"),
+    ("avg_price_by_priority", "r15"),
+    ("betweenness_mass_check", "r15"),
+    ("bloom_probe_custkeys", "r15"),
+    ("cf_item_similarities", "r15"),
+    ("cf_predictions", "r15"),
+    ("cf_user_predictions", "r15"),
+    ("cf_user_predictions_lsh", "r15; verify=False minhash consumer — the r16 _guard_lsh_verify avg_set fix never executes on this path (guard returns before any estimate when verify is off); graded in-window by minhash_lsh_pairs"),
+    ("content_based_scores", "r15"),
+    ("cooccurrence_pairs", "r15"),
+    ("cooccurrence_pairs_lsh", "r15; verify=False minhash consumer (band-bucket pre-cut only) — the r16 guard avg_set fix never executes on this path; graded in-window by minhash_lsh_pairs"),
+    ("corr_qty_price_by_flag", "r15"),
+    ("count_by_year", "r15"),
+    ("count_global", "r15"),
+    ("customers_in_both_statuses", "r15"),
+    ("customers_never_final", "r15"),
+    ("distinct_users", "r15"),
+    ("doc_repetition_scores", "r15"),
+    ("embedding_pair_distances", "r15"),
+    ("event_props_extract", "r15"),
+    ("event_rollup_multigrain", "r15"),
+    ("fm_distinct_users", "r15"),
+    ("frequent_items", "r15"),
+    ("frequent_pairs", "r15"),
+    ("girvan_newman_communities", "r15"),
+    ("graph_degree_distribution", "r15"),
+    ("graph_triangle_count", "r15"),
+    ("join_filter_brand_counts", "r15"),
+    ("kmeans_wcss_check", "r15"),
+    ("kmv_distinct_users", "r15"),
+    ("largest_baskets", "r15"),
+    ("media_feature_rollup", "r15"),
+    ("media_frame_sample", "r15"),
+    ("order_item_lists", "r15"),
+    ("partition_layout_stats", "r15"),
+    ("pivot_status_by_priority", "r15"),
+    ("reservoir_sample_events", "r15"),
+    ("revenue_cube", "r15"),
+    ("rollup_revenue", "r15"),
+    ("session_windows_per_user", "r15"),
 ]
-_DRIVER_ORDER += [name for name, _ in _EXCLUDED_R15]
+_DRIVER_ORDER += [name for name, _ in _EXCLUDED_R16]
 
 
 _V = TypeVar("_V")

@@ -35,6 +35,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from data_mining_map_reduce_spark.queries import (  # noqa: E402
     _DRIVER_ORDER,
+    _WINDOW_ROUND,
     SPARK_QUERIES,
 )
 from registry_window import (  # noqa: E402 — shared with tests/test_registry
@@ -55,6 +56,13 @@ def main() -> int:
         return 1
     upcoming = max_round + 1
     print(f"newest artifact: r{max_round}; computing window for r{upcoming}")
+    # Phase-awareness guard (r15 verdict task 1): the committed window
+    # carries the round it was built FOR. Once the driver's artifact
+    # for that round lands, the NEXT round must rebalance and bump the
+    # pin before anything else — hard-fail here (round_open.sh runs
+    # this script first) so the pin cannot silently go stale while
+    # tests/test_registry.py keeps grading an old round green.
+    pin_stale = _WINDOW_ROUND < upcoming
 
     must = must_rotate(newest, upcoming, SPARK_QUERIES)
     never = [q for q in SPARK_QUERIES if q not in newest]
@@ -111,6 +119,13 @@ def main() -> int:
     missing = [q for q in must if q not in current]
     if missing:
         print(f"\nCURRENT _DRIVER_ORDER IS STALE — missing obligations: {missing}")
+        return 1
+    if pin_stale:
+        print(
+            f"\nWINDOW PIN IS STALE — _WINDOW_ROUND={_WINDOW_ROUND} but the "
+            f"upcoming round is r{upcoming}; rebalance _DRIVER_ORDER for "
+            f"r{upcoming} (suggestion above) and bump _WINDOW_ROUND"
+        )
         return 1
     over = {
         r: n

@@ -14,6 +14,7 @@ from pathlib import Path
 
 from data_mining_map_reduce_spark.queries import (
     _DRIVER_ORDER,
+    _WINDOW_ROUND,
     ORACLES,
     SPARK_QUERIES,
 )
@@ -77,16 +78,37 @@ def test_driver_order_covers_registry_exactly():
     )
 
 
+def test_window_round_pin_is_current():
+    """PHASE-AWARENESS (r15 verdict task 1). The committed window is
+    built FOR `_WINDOW_ROUND`; the driver writes CORRECTNESS_r{N}.json
+    AFTER the builder's close, so for two rounds running the suite was
+    red at judge time — the already-closed window was graded as if it
+    were the next round's. The staleness/capacity tests below now
+    grade against the pinned round, which is valid in exactly two
+    states: window built, artifact not yet written (_WINDOW_ROUND =
+    newest + 1) or artifact written, next round not yet opened
+    (_WINDOW_ROUND = newest). Anything else means a rebalance was
+    skipped (round_open.sh's make_driver_order call also hard-fails
+    in that state) or the pin jumped a round."""
+    _, max_round = _newest_driver_rows()
+    assert max_round <= _WINDOW_ROUND <= max_round + 1, (
+        f"_WINDOW_ROUND={_WINDOW_ROUND} but the newest artifact is "
+        f"r{max_round} — run scripts/make_driver_order.py, rebalance "
+        f"_DRIVER_ORDER, and bump the pin"
+    )
+
+
 def test_driver_window_staleness_invariant():
-    """MECHANIZED rotation guard (r12 verdict task 2). The upcoming
-    round is newest-artifact + 1; at its close, every query NOT in
-    the current 50-row window keeps its existing newest row. Fail if
-    that would leave any query's newest row > 2 rounds old — i.e.
-    every must-rotate row has to sit inside the window BEFORE the
-    round runs, and a brand-new query (no row yet) must be in-window
-    its first round."""
-    newest, max_round = _newest_driver_rows()
-    upcoming = max_round + 1
+    """MECHANIZED rotation guard (r12 verdict task 2). At the close of
+    the round this window was built for (`_WINDOW_ROUND` — NOT
+    newest-artifact + 1; see test_window_round_pin_is_current), every
+    query NOT in the current 50-row window keeps its existing newest
+    row. Fail if that would leave any query's newest row > 2 rounds
+    old — i.e. every must-rotate row has to sit inside the window
+    BEFORE the round runs, and a brand-new query (no row yet) must be
+    in-window its first round."""
+    newest, _ = _newest_driver_rows()
+    upcoming = _WINDOW_ROUND
     window = set(_DRIVER_ORDER[:WINDOW_CAP])
     stale = []
     for name in SPARK_QUERIES:
@@ -116,8 +138,8 @@ def test_driver_window_next_round_has_capacity():
     early only moves WHICH round owes it — so they don't consume
     capacity long-term; roster GROWTH does, which the roster test
     below bounds.)"""
-    newest, max_round = _newest_driver_rows()
-    upcoming = max_round + 1
+    newest, _ = _newest_driver_rows()
+    upcoming = _WINDOW_ROUND  # phase-aware: see test_window_round_pin_is_current
     window = set(_DRIVER_ORDER[:WINDOW_CAP])
     # After the upcoming round closes: in-window rows are fresh
     # (age 0); everything else keeps `newest`. Next round must rotate
