@@ -3184,6 +3184,82 @@ def doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# DSIR importance RESAMPLING (r16, completing X33): the paper's actual
+# deliverable is not the weights but the resampled training subset —
+# draw k documents without replacement with probability ∝ 2^log2_w
+# (Xie et al. 2023 §2.3 "importance resampling"). Composition of X33
+# with the X22 A-ES sampler run in the log domain (w = 2^log2_w would
+# over/underflow a double on long documents; the key comparison
+# u^(1/w) ⇔ ln(-ln u) − log2_w·ln 2 is exact in log space — see
+# streaming/reservoir.weighted_sample_log2). The md5 uniform draw and
+# the 4-dp-rounded weight are both bit-replayable in DuckDB, so the
+# oracle replays the draw, the log-key, and the tie-broken rank —
+# FULL oracle. k=100 of the corpus, target slice 'src0'.
+# ---------------------------------------------------------------------------
+@query(
+    "dsir_resampled_docs",
+    r"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               unnest(list_filter(
+                   string_split_regex(
+                       translate(lower(text), '([,.!?:;])', ''), '\s+'),
+                   x -> x <> '')) AS tok
+        FROM documents
+    ),
+    dtc AS (SELECT doc_id, source, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2, 3),
+    corpus AS (SELECT tok, SUM(c) AS cc FROM dtc GROUP BY 1),
+    tgt AS (SELECT tok, SUM(c) AS ct FROM dtc WHERE source = 'src0' GROUP BY 1),
+    tot AS (
+        SELECT SUM(c) AS nc,
+               SUM(CASE WHEN source = 'src0' THEN c ELSE 0 END) AS nt,
+               COUNT(DISTINCT tok) AS v
+        FROM dtc
+    ),
+    w AS (
+        SELECT corpus.tok,
+               log2(((COALESCE(ct, 0) + 1) * 1.0 / (nt + v))
+                    / ((cc + 1) * 1.0 / (nc + v))) AS w
+        FROM corpus LEFT JOIN tgt USING (tok) CROSS JOIN tot
+    ),
+    dw AS (
+        SELECT d.doc_id,
+               CAST(SUM(d.c) AS BIGINT) AS n_tokens,
+               ROUND(SUM(d.c * w.w), 4) AS log2_w
+        FROM dtc d JOIN w USING (tok)
+        GROUP BY d.doc_id
+    ),
+    keyed AS (
+        SELECT doc_id, n_tokens, log2_w,
+               ln(-ln((CAST(('0x' || substr(md5(concat_ws('|', doc_id, '7')),
+                                            1, 15)) AS BIGINT)
+                       % 4503599627370496 + 0.5) / 4503599627370496.0))
+               - log2_w * ln(2) AS ek
+        FROM dw
+    )
+    SELECT doc_id, n_tokens, log2_w FROM (
+        SELECT doc_id, n_tokens, log2_w,
+               ROW_NUMBER() OVER (ORDER BY ek ASC, doc_id ASC) AS rk
+        FROM keyed
+    )
+    WHERE rk <= 100
+    ORDER BY doc_id
+    """,
+)
+def dsir_resampled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text_analysis import dsir_log_importance
+    from .streaming.reservoir import weighted_sample_log2
+
+    docs = load_table(spark, sf_dir, "documents")
+    weights = dsir_log_importance(docs, target_value="src0")
+    return (
+        weighted_sample_log2(weights, 100, "log2_w", seed=7, id_cols=["doc_id"])
+        .select("doc_id", "n_tokens", "log2_w")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Deterministic exact-quota stratified subsample (r14): exactly k
 # documents per source, chosen by md5-hash order — the corpus
 # REBALANCING staple (downsample every source to a fixed budget,
@@ -5289,6 +5365,10 @@ _DRIVER_ORDER = [
     "semantic_dedup_docs",
     "doc_dsir_weights",
     "pii_scan_stats",
+    # -- r16 debuts (a never-rowed query must be in-window its first
+    #    round): DSIR importance resampling (completes X33 with the
+    #    X22 A-ES sampler in log space — FULL oracle) --
+    "dsir_resampled_docs",
     # -- changed-code r14 rows: the funnel exact-relation pin (r15
     #    verdict task 2), the PII regex extension (task 6), and the
     #    decontamination work sharing X27's overlap scoring (task 5) --
@@ -5323,7 +5403,6 @@ _DRIVER_ORDER = [
     "graph_components",
     "graph_lpa_community_sizes",
     "jaccard_pairs_exact",
-    "kmeans_cluster_sizes",
     # ---- driver cap (50) falls here ----
 ]
 
@@ -5335,6 +5414,7 @@ _DRIVER_ORDER = [
 # in-window query + pytest that grades the changed code path.
 _EXCLUDED_R16 = [
     # name                      last green driver row
+    ("kmeans_cluster_sizes", "r14"),
     ("kmeans_cluster_sizes_dist", "r14"),
     ("language_id_docs", "r14"),
     ("near_dup_docs_exact", "r14; the r16 similarity.py change (deduped avg_set in _guard_lsh_verify) is verify=True-LSH-path only — no call site in exact_jaccard_pairs, plan unchanged; the guard fix is graded in-window by minhash_lsh_pairs/near_dup_docs_lsh + the guard pytest"),
@@ -5387,7 +5467,7 @@ _EXCLUDED_R16 = [
     ("order_item_lists", "r15"),
     ("partition_layout_stats", "r15"),
     ("pivot_status_by_priority", "r15"),
-    ("reservoir_sample_events", "r15"),
+    ("reservoir_sample_events", "r15; the r16 reservoir.py change is ADDITIVE (new weighted_sample_log2; no existing function touched) — the module is graded in-window by weighted_doc_sample (obligated) and the dsir_resampled_docs debut"),
     ("revenue_cube", "r15"),
     ("rollup_revenue", "r15"),
     ("session_windows_per_user", "r15"),

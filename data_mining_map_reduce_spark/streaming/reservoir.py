@@ -191,3 +191,67 @@ def weighted_sample(
             .drop("_wk", "_rk")
         )
     return keyed.orderBy(F.col("_wk").desc(), *ties).limit(k).drop("_wk")
+
+
+def weighted_sample_log2(
+    df: DataFrame,
+    k: int,
+    log2_weight_col: str,
+    strata: list[str] | None = None,
+    seed: int = 7,
+    id_cols: list[str] | None = None,
+) -> DataFrame:
+    """``weighted_sample`` for weights given in the LOG2 domain
+    (w = 2^log2_w) — the importance-resampling form (X33 DSIR, Xie et
+    al. 2023 arXiv:2302.03169 §2: sample ∝ the likelihood-ratio
+    weight). Materializing w = 2^log2_w in a double overflows above
+    log2_w ≈ 1023 and flushes to zero below ≈ −1074 (silently
+    EXCLUDING those rows, since A-ES gives weight-0 rows probability
+    0) — log-likelihood-ratio sums over long documents reach such
+    magnitudes, so the A-ES key comparison runs entirely in log
+    space instead:
+
+        maximize  u^(1/w)
+      ⇔ minimize  (-ln u) / w          (the exponential race: the key
+                                        is Exp(rate=w); smallest wins)
+      ⇔ minimize  ln(-ln u) - log2_w·ln 2
+
+    — the same selection as ``weighted_sample`` for every finite
+    weight, with no magnitude constraint. The uniform draw u is the
+    same md5 content hash over ``id_cols`` ⊕ seed (bit-identical in
+    DuckDB, so the oracle replays the key; see the
+    dsir_resampled_docs oracle), strictly inside (0, 1) by the +0.5
+    bucket centering, so ln(-ln u) is always finite. Ties break on
+    ``id_cols`` ascending. Cross-engine caveat (the documented
+    weighted_doc_sample pow() argument): last-ulp ln() differences
+    could flip a rank only when two keys agree to ~15 significant
+    digits at the k-boundary — not observable on real draws. Without
+    ``id_cols`` the draw falls back to ``F.rand(seed)``
+    (layout-dependent)."""
+    import math
+
+    from ..functions.hashing import md5_hash60
+
+    if id_cols:
+        u = (
+            F.pmod(
+                md5_hash60(_content_key_str(id_cols, seed)),
+                F.lit(1 << 52),
+            ).cast("double")
+            + F.lit(0.5)
+        ) / F.lit(float(1 << 52))
+        ties = [F.col(c).asc() for c in id_cols]
+    else:
+        u = F.rand(seed)
+        ties = []
+    keyed = df.withColumn(
+        "_ek", F.log(-F.log(u)) - F.col(log2_weight_col) * F.lit(math.log(2.0))
+    )
+    if strata:
+        w = Window.partitionBy(*strata).orderBy(F.col("_ek").asc(), *ties)
+        return (
+            keyed.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") <= k)
+            .drop("_ek", "_rk")
+        )
+    return keyed.orderBy(F.col("_ek").asc(), *ties).limit(k).drop("_ek")

@@ -385,6 +385,60 @@ def test_dsir_weights_discriminate_target_slice(spark):
     assert m[True] > m[False] + 1.0, m
 
 
+def test_dsir_resample_shifts_mean_weight(spark):
+    """X33 completion (r16): importance RESAMPLING must actually move
+    the selected subset toward the target distribution — the paper's
+    §3 sanity property. Assert the resampled set's mean log2_w exceeds
+    the full-corpus mean (k=100 of 500 docs at sf0.01; measured gap
+    ~ +1 bit vs the corpus mean straddling 0), and that selection ∝
+    2^log2_w is deterministic content-addressed top-k (rerun equal)."""
+    from data_mining_map_reduce_spark.queries import dsir_resampled_docs
+
+    sample = dsir_resampled_docs(spark, "/root/testdata/sf0.01")
+    rows = sample.collect()
+    assert len(rows) == 100
+    from data_mining_map_reduce_spark.operators.text_analysis import (
+        dsir_log_importance,
+    )
+    from data_mining_map_reduce_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    corpus_mean = dsir_log_importance(docs, "src0").agg(
+        F.avg("log2_w")
+    ).collect()[0][0]
+    sample_mean = sum(r.log2_w for r in rows) / len(rows)
+    assert sample_mean > corpus_mean, (sample_mean, corpus_mean)
+    again = {r.doc_id for r in dsir_resampled_docs(spark, "/root/testdata/sf0.01").collect()}
+    assert again == {r.doc_id for r in rows}
+
+
+def test_weighted_sample_log2_matches_linear_domain(spark):
+    """weighted_sample_log2 must select the SAME rows as
+    weighted_sample when the linear-domain weight is representable:
+    w = 2^log2_w with small magnitudes — the log-space key is a
+    monotone transform of u^(1/w), so top-k agrees exactly."""
+    from data_mining_map_reduce_spark.streaming.reservoir import (
+        weighted_sample,
+        weighted_sample_log2,
+    )
+
+    rows = [(i, float((i % 7) - 3)) for i in range(1, 101)]
+    df = spark.createDataFrame(rows, "id long, lw double").withColumn(
+        "w", F.pow(F.lit(2.0), F.col("lw"))
+    )
+    lin = {
+        r.id
+        for r in weighted_sample(df, 10, "w", seed=7, id_cols=["id"]).collect()
+    }
+    log = {
+        r.id
+        for r in weighted_sample_log2(
+            df, 10, "lw", seed=7, id_cols=["id"]
+        ).collect()
+    }
+    assert lin == log
+
+
 def test_dsir_weights_layout_invariant(spark):
     """Content-addressed determinism (the stratified-sample
     precedent): repartitioning/reordering the input must not change
