@@ -4774,6 +4774,208 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Benchmark DEcontamination (r16, completing X27 the way
+# pii_redact_stats completes pii_scan_stats): given the train/test
+# overlap scores, actually remove contaminated training documents and
+# report what the removal cost — per-source kept/dropped doc and
+# whitespace-token counts at overlap threshold 0.5 — plus a
+# ZERO-RESIDUAL RE-SCAN: the overlap join re-runs on the survivors
+# and the per-source max residual score is emitted (must sit below
+# the threshold; real pipelines run exactly this verification pass
+# because the dedup stage may have been approximate). Threshold 0.5
+# separates the planted near-dup contamination (scores >= 0.545 at
+# sf0.01) from background trigram overlap (<= 0.43) with margin on
+# both sides. Everything is integer counts over the same md5-hashed
+# gram keys as X27 — FULL oracle.
+# ---------------------------------------------------------------------------
+def _decontaminated_corpus_stats_impl(
+    docs: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """Shared by the registered query and the planted-probe pytest
+    (tests/test_text_cf.py), which injects a synthetic corpus with a
+    train doc copying a test doc verbatim and pins the drop."""
+    from .functions.hashing import md5_hash60
+    from .functions.text import tokenize
+    from .operators.dedup import doc_shingle_pairs
+
+    bucket = F.pmod(
+        F.pmod(
+            F.lit(1103515245) * F.pmod(F.col("doc_id"), F.lit(2147483647))
+            + F.lit(12345),
+            F.lit(2147483647),
+        ),
+        F.lit(100),
+    )
+    tagged = docs.select(
+        "doc_id", F.when(bucket < 80, "train").otherwise("test").alias("split")
+    )
+    # One checkpointed (doc_id, split, g) relation feeds the benchmark
+    # gram set, the train scoring join, AND the residual re-scan —
+    # the X27 pin, now with three consumers.
+    sh = (
+        doc_shingle_pairs(docs)
+        .join(tagged, "doc_id")
+        .select("doc_id", "split", md5_hash60("shingle").alias("g"))
+        .localCheckpoint(eager=False)
+    )
+    bench = (
+        sh.where(F.col("split") == "test")
+        .select("g")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+
+    def _overlap_scores(grams: DataFrame) -> DataFrame:
+        return (
+            grams.join(bench, "g", "left")
+            .groupBy("doc_id")
+            .agg(
+                F.round(
+                    F.sum(F.coalesce("_hit", F.lit(0)))
+                    / F.count(F.lit(1)),
+                    6,
+                ).alias("score")
+            )
+        )
+
+    train_grams = sh.where(F.col("split") == "train").select("doc_id", "g")
+    # Every train doc, its source and token count, and its drop
+    # verdict (docs too short to shingle have no score — overlap 0,
+    # kept). Slim (id, source, int, bool) and consumed twice (rollup
+    # + the kept-set re-scan), so pinned per the r12 slim-vs-fat rule.
+    flagged = (
+        tagged.where(F.col("split") == "train")
+        .join(
+            docs.select(
+                "doc_id",
+                "source",
+                F.size(tokenize(F.col("text"))).alias("n_ws"),
+            ),
+            "doc_id",
+        )
+        .join(_overlap_scores(train_grams), "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            "n_ws",
+            (F.coalesce("score", F.lit(0.0)) >= threshold).alias("dropped"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    kept_ids = flagged.where(~F.col("dropped")).select("doc_id")
+    # The residual re-scan: re-run the overlap join on the survivors
+    # (NOT a replay of the stored scores — the verification pass).
+    rescan = _overlap_scores(train_grams.join(kept_ids, "doc_id"))
+    resid = (
+        flagged.where(~F.col("dropped"))
+        .select("doc_id", "source")
+        .join(rescan, "doc_id", "left")
+        .groupBy("source")
+        .agg(F.max("score").alias("_mr"))
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.sum(F.when(~F.col("dropped"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_docs_kept"),
+            F.sum(F.when(F.col("dropped"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_docs_dropped"),
+            F.sum(F.when(~F.col("dropped"), F.col("n_ws")).otherwise(0))
+            .cast("long")
+            .alias("n_tokens_kept"),
+            F.sum(F.when(F.col("dropped"), F.col("n_ws")).otherwise(0))
+            .cast("long")
+            .alias("n_tokens_dropped"),
+        )
+        .join(resid, "source", "left")
+        .select(
+            "source",
+            "n_docs_kept",
+            "n_docs_dropped",
+            "n_tokens_kept",
+            "n_tokens_dropped",
+            F.coalesce("_mr", F.lit(0.0)).alias("max_residual"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "decontaminated_corpus_stats",
+    f"""
+    WITH tagged AS (SELECT doc_id, {_SPLIT_SQL} AS split FROM documents),
+    sh AS ({_DOC_SHINGLES_SQL}),
+    ex AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(UNNEST(s)), 1, 15)) AS BIGINT) AS g
+      FROM sh
+    ),
+    bench AS (
+      SELECT DISTINCT g FROM ex JOIN tagged USING (doc_id)
+      WHERE split = 'test'
+    ),
+    tr AS (
+      SELECT ex.doc_id, ex.g FROM ex JOIN tagged USING (doc_id)
+      WHERE split = 'train'
+    ),
+    scores AS (
+      SELECT doc_id,
+             ROUND(SUM(CASE WHEN bench.g IS NOT NULL THEN 1 ELSE 0 END)
+                   * 1.0 / COUNT(*), 6) AS score
+      FROM tr LEFT JOIN bench ON tr.g = bench.g
+      GROUP BY doc_id
+    ),
+    train AS (
+      SELECT t.doc_id, d.source,
+             len(list_filter(string_split_regex(d.text, '\\s+'),
+                             x -> x <> '')) AS n_ws,
+             COALESCE(s.score, 0) >= 0.5 AS dropped
+      FROM tagged t
+      JOIN documents d USING (doc_id)
+      LEFT JOIN scores s USING (doc_id)
+      WHERE t.split = 'train'
+    ),
+    kept AS (SELECT doc_id, source FROM train WHERE NOT dropped),
+    rescan AS (
+      SELECT tr.doc_id,
+             ROUND(SUM(CASE WHEN bench.g IS NOT NULL THEN 1 ELSE 0 END)
+                   * 1.0 / COUNT(*), 6) AS score
+      FROM tr JOIN kept USING (doc_id)
+      LEFT JOIN bench ON tr.g = bench.g
+      GROUP BY tr.doc_id
+    ),
+    resid AS (
+      SELECT kept.source, MAX(rescan.score) AS mr
+      FROM kept LEFT JOIN rescan USING (doc_id)
+      GROUP BY kept.source
+    ),
+    roll AS (
+      SELECT source,
+             CAST(SUM(CASE WHEN NOT dropped THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_docs_kept,
+             CAST(SUM(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_docs_dropped,
+             CAST(SUM(CASE WHEN NOT dropped THEN n_ws ELSE 0 END) AS BIGINT)
+                 AS n_tokens_kept,
+             CAST(SUM(CASE WHEN dropped THEN n_ws ELSE 0 END) AS BIGINT)
+                 AS n_tokens_dropped
+      FROM train GROUP BY source
+    )
+    SELECT roll.source, n_docs_kept, n_docs_dropped,
+           n_tokens_kept, n_tokens_dropped,
+           COALESCE(resid.mr, 0.0) AS max_residual
+    FROM roll LEFT JOIN resid ON roll.source = resid.source
+    ORDER BY roll.source
+    """,
+)
+def decontaminated_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return _decontaminated_corpus_stats_impl(docs, threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
 # X28: intra-document repetition score (the Gopher/C4-style quality
 # signal): fraction of a doc's word-3-grams that are duplicates of an
 # earlier gram in the SAME doc. Pure single-scan projection — the
@@ -5369,6 +5571,9 @@ _DRIVER_ORDER = [
     #    round): DSIR importance resampling (completes X33 with the
     #    X22 A-ES sampler in log space — FULL oracle) --
     "dsir_resampled_docs",
+    # -- r16 debut: benchmark decontamination (removal half of X27,
+    #    kept/dropped rollup + zero-residual re-scan — FULL oracle) --
+    "decontaminated_corpus_stats",
     # -- changed-code r14 rows: the funnel exact-relation pin (r15
     #    verdict task 2), the PII regex extension (task 6), and the
     #    decontamination work sharing X27's overlap scoring (task 5) --
@@ -5402,7 +5607,6 @@ _DRIVER_ORDER = [
     "graph_betweenness_top",
     "graph_components",
     "graph_lpa_community_sizes",
-    "jaccard_pairs_exact",
     # ---- driver cap (50) falls here ----
 ]
 
@@ -5414,6 +5618,7 @@ _DRIVER_ORDER = [
 # in-window query + pytest that grades the changed code path.
 _EXCLUDED_R16 = [
     # name                      last green driver row
+    ("jaccard_pairs_exact", "r14; the r16 similarity.py change (deduped avg_set in _guard_lsh_verify) is verify=True-LSH-path only — no call site in exact_jaccard_pairs, plan unchanged; graded in-window by minhash_lsh_pairs + the guard pytest"),
     ("kmeans_cluster_sizes", "r14"),
     ("kmeans_cluster_sizes_dist", "r14"),
     ("language_id_docs", "r14"),

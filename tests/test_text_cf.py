@@ -439,6 +439,43 @@ def test_weighted_sample_log2_matches_linear_domain(spark):
     assert lin == log
 
 
+def test_decontamination_drops_planted_probe(spark):
+    """X27 removal half (r16): a synthetic corpus with a TRAIN doc
+    copying a TEST doc verbatim (the planted contamination), a clean
+    train doc, and a too-short-to-shingle train doc. Under the affine
+    X21 split, ids 1/2 land in 'test' and 3..8 in 'train'. The probe
+    must be dropped (overlap 1.0 >= 0.5), the clean and short docs
+    kept, token counts exact, and the re-scan residual below the
+    threshold — the zero-residual contract."""
+    from data_mining_map_reduce_spark.queries import (
+        _decontaminated_corpus_stats_impl,
+    )
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (1, "bench", bench_text),                      # test split
+            (3, "webA", bench_text),                       # PROBE: verbatim copy -> dropped
+            (4, "webA", "one two three four five six"),    # clean -> kept
+            (5, "webB", "tiny doc"),                       # < 3 tokens, no shingles -> kept
+            (6, "webB", "seven eight nine ten eleven"),    # clean -> kept
+        ],
+        "doc_id long, source string, text string",
+    )
+    rows = {
+        r.source: r
+        for r in _decontaminated_corpus_stats_impl(docs, threshold=0.5).collect()
+    }
+    assert set(rows) == {"webA", "webB"}  # train sources only
+    a, b = rows["webA"], rows["webB"]
+    assert (a.n_docs_kept, a.n_docs_dropped) == (1, 1)
+    assert (a.n_tokens_kept, a.n_tokens_dropped) == (6, 8)
+    assert (b.n_docs_kept, b.n_docs_dropped) == (2, 0)
+    assert (b.n_tokens_kept, b.n_tokens_dropped) == (7, 0)
+    assert a.max_residual < 0.5 and b.max_residual < 0.5
+    assert a.max_residual == 0.0  # clean doc shares no trigram with bench
+
+
 def test_dsir_weights_layout_invariant(spark):
     """Content-addressed determinism (the stratified-sample
     precedent): repartitioning/reordering the input must not change
