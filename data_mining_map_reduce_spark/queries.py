@@ -2473,7 +2473,11 @@ def _funnel_oracle_sql(near_dropped_ctes: str) -> str:
 
 
 def _corpus_funnel_impl(
-    spark: SparkSession, sf_dir: str, lsh: bool, docs: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    lsh: bool,
+    docs: DataFrame | None = None,
+    semantic: float | None = None,
 ) -> DataFrame:
     # ``docs`` (r15): the funnel over an injected document set instead
     # of the full table — the subsample-then-curate composition
@@ -2553,6 +2557,37 @@ def _corpus_funnel_impl(
         per_doc.join(exact, "doc_id")
         .join(near_dropped, "doc_id", "left")
     )
+    names = ["raw", "exact_dedup", "near_dedup", "quality", "lang_en"]
+    conds = [k1, k2, k3, k4]
+    if semantic is not None:
+        # X32 × X23 (r16): stack embedding-level SemDeDup AFTER the
+        # text stages — real pipelines dedup semantically on what
+        # survives near-dup + quality + language, not on the raw
+        # corpus. ``semantic`` is the cosine threshold. The flags
+        # relation is slim (id + bools + one int) and its survivor
+        # set feeds the iterative quantizer (one action per Lloyd
+        # round), so it is pinned; with semantic=None this branch is
+        # never entered and both registered text-funnel plans are
+        # untouched.
+        from .operators.ann import semantic_dedup
+
+        flags = flags.localCheckpoint(eager=False)
+        surv = flags.where(k4).select("doc_id")
+        emb = (
+            load_table(spark, sf_dir, "embeddings")
+            .join(surv, F.col("vec_id") == F.col("doc_id"))
+            .select("vec_id", "embedding")
+        )
+        sem = semantic_dedup(emb, threshold=semantic).select(
+            F.col("vec_id").alias("doc_id"),
+            F.col("is_kept").alias("_sem"),
+        )
+        flags = flags.join(sem, "doc_id", "left")
+        # a survivor without an embedding row is not evaluable by the
+        # semantic stage — kept (coalesce TRUE), mirroring how the
+        # text stages keep docs too short to shingle
+        conds.append(k4 & F.coalesce(F.col("_sem"), F.lit(True)))
+        names.append("semantic_dedup")
 
     def _cnt(cond):
         return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
@@ -2560,19 +2595,14 @@ def _corpus_funnel_impl(
     def _tok(cond):
         return F.sum(F.when(cond, F.col("n_ws_tokens")).otherwise(0)).cast("long")
 
-    row = flags.agg(
+    aggs = [
         F.count(F.lit(1)).cast("long").alias("n0"),
         F.sum("n_ws_tokens").cast("long").alias("t0"),
-        _cnt(k1).alias("n1"),
-        _tok(k1).alias("t1"),
-        _cnt(k2).alias("n2"),
-        _tok(k2).alias("t2"),
-        _cnt(k3).alias("n3"),
-        _tok(k3).alias("t3"),
-        _cnt(k4).alias("n4"),
-        _tok(k4).alias("t4"),
-    )
-    names = ["raw", "exact_dedup", "near_dedup", "quality", "lang_en"]
+    ]
+    for i, cond in enumerate(conds, start=1):
+        aggs.append(_cnt(cond).alias(f"n{i}"))
+        aggs.append(_tok(cond).alias(f"t{i}"))
+    row = flags.agg(*aggs)
     stages = F.array(
         *[
             F.struct(
@@ -2606,6 +2636,20 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def corpus_curation_funnel_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _corpus_funnel_impl(spark, sf_dir, lsh=True)
+
+
+# X32 × X23 (r16): the funnel with embedding-level SemDeDup stacked
+# after the text stages — LSH near-dup path (the scale variant), then
+# k-means clusters + within-cluster cosine canonical filter at 0.4 on
+# the lang_en survivors. Rows-only by nature (iterative quantizer —
+# the same reason semantic_dedup_docs is rows-only); the stage
+# arithmetic is pinned by pytest (first five stages IDENTICAL to
+# corpus_curation_funnel_lsh, monotone throughout, exact-variant
+# stage counts pinned at sf0.01) and the pair stage's cosine math is
+# oracle-grounded by embedding_pair_distances.
+@query("corpus_curation_funnel_semantic")
+def corpus_curation_funnel_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _corpus_funnel_impl(spark, sf_dir, lsh=True, semantic=0.4)
 
 
 # ---------------------------------------------------------------------------
@@ -5574,6 +5618,9 @@ _DRIVER_ORDER = [
     # -- r16 debut: benchmark decontamination (removal half of X27,
     #    kept/dropped rollup + zero-residual re-scan — FULL oracle) --
     "decontaminated_corpus_stats",
+    # -- r16 debut: the funnel with a SemDeDup stage (X32 × X23) —
+    #    rows-only by nature (iterative quantizer) --
+    "corpus_curation_funnel_semantic",
     # -- changed-code r14 rows: the funnel exact-relation pin (r15
     #    verdict task 2), the PII regex extension (task 6), and the
     #    decontamination work sharing X27's overlap scoring (task 5) --
@@ -5606,7 +5653,6 @@ _DRIVER_ORDER = [
     "graph_betweenness_sampled",
     "graph_betweenness_top",
     "graph_components",
-    "graph_lpa_community_sizes",
     # ---- driver cap (50) falls here ----
 ]
 
@@ -5618,6 +5664,7 @@ _DRIVER_ORDER = [
 # in-window query + pytest that grades the changed code path.
 _EXCLUDED_R16 = [
     # name                      last green driver row
+    ("graph_lpa_community_sizes", "r14"),
     ("jaccard_pairs_exact", "r14; the r16 similarity.py change (deduped avg_set in _guard_lsh_verify) is verify=True-LSH-path only — no call site in exact_jaccard_pairs, plan unchanged; graded in-window by minhash_lsh_pairs + the guard pytest"),
     ("kmeans_cluster_sizes", "r14"),
     ("kmeans_cluster_sizes_dist", "r14"),

@@ -217,6 +217,41 @@ def test_corpus_curation_funnel_invariants(spark, sf_dir):
     assert rows[-1].n_docs > 0
 
 
+def test_corpus_curation_funnel_semantic_stage(spark):
+    """X32 × X23 (r16): the funnel with embedding-level SemDeDup
+    stacked after the text stages. The first five stages must be
+    IDENTICAL to the text-only funnel (the semantic stage is purely
+    additive), the new stage must keep the funnel monotone, and the
+    exact-variant stage counts are pinned at sf0.01 (deterministic:
+    md5 hash families + seeded k-means)."""
+    from data_mining_map_reduce_spark.queries import (
+        _corpus_funnel_impl,
+        corpus_curation_funnel_semantic,
+    )
+
+    sf01 = "/root/testdata/sf0.01"
+    sem = corpus_curation_funnel_semantic(spark, sf01).collect()
+    assert [r.stage for r in sem] == [
+        "raw", "exact_dedup", "near_dedup", "quality", "lang_en",
+        "semantic_dedup",
+    ]
+    assert [r.stage_idx for r in sem] == [0, 1, 2, 3, 4, 5]
+    base = _corpus_funnel_impl(spark, sf01, lsh=True).collect()
+    for b, s in zip(base, sem[:5]):
+        assert (b.n_docs, b.n_tokens) == (s.n_docs, s.n_tokens)
+    for prev, cur in zip(sem, sem[1:]):
+        assert cur.n_docs <= prev.n_docs
+        assert cur.n_tokens <= prev.n_tokens
+    assert sem[5].n_docs > 0
+    # exact-variant pinned counts (sf0.01): semantic stage drops 29
+    # of the 401 lang_en survivors
+    exact = _corpus_funnel_impl(spark, sf01, lsh=False, semantic=0.4).collect()
+    assert [(r.n_docs, r.n_tokens) for r in exact] == [
+        (500, 27165), (500, 27165), (476, 25901),
+        (426, 24522), (401, 23776), (372, 22076),
+    ]
+
+
 def test_corpus_curation_funnel_lsh_refines_exact(spark, sf_dir):
     """The LSH funnel twin (r10 — added after the sf10 probe measured
     the exact variant exhausting local disk at 500 k docs) drops a
