@@ -5265,8 +5265,9 @@ def _rank_dup_spans(grams: DataFrame, limit: int = 25) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # X31: PII scan over the document corpus — per-source counts of email /
-# phone / IPv4 matches, the detection half of a scrubbing stage (the
-# redaction half is the same three patterns through regexp_replace).
+# phone / SSN / Luhn-checked card / IPv4 matches, the detection half
+# of a scrubbing stage (the redaction half is the same patterns
+# through regexp_replace).
 # The synthetic corpus contains no PII, so — exactly like the planted
 # PNG in media_feature_rollup — three probe documents with known PII
 # under the collision-proof source '_probe_pii' are unioned on BOTH
@@ -5280,11 +5281,64 @@ def _rank_dup_spans(grams: DataFrame, limit: int = 25) -> DataFrame:
 _PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
 _PII_IPV4 = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+# r16 (r15 verdict task 6): SSN and payment-card coverage. The SSN
+# shape (3-2-4) and the phone shape (3-3-4) are disjoint regex
+# languages, and \b keeps either from firing inside a longer digit
+# run, so the no-overlapping-matches parity property holds. Card
+# candidates are 16 digits in 4-groups with optional -/space
+# separators; DETECTION additionally Luhn-checks each candidate
+# (pure integer arithmetic over the digit sequence — replayable in
+# DuckDB), while REDACTION conservatively scrubs every candidate
+# (a typo'd card is still worth scrubbing) and reports the
+# candidate count, so scrub parity is against card_candidates.
+_PII_SSN = r"\b\d{3}-\d{2}-\d{4}\b"
+_PII_CARD = r"\b\d{4}(?:[- ]?\d{4}){3}\b"
 _PII_PROBES = [
     (-901, "reach me at alice@example.com or bob.smith+test@mail.example.org thanks"),
     (-902, "call 415-555-0143 or 650-555-0100 backup host 10.0.0.1"),
     (-903, "server 192.168.1.100 peers 172.16.254.3 and 8.8.8.8 admin root@10.1.1.5"),
+    (-904, "ssn 123-45-6789 alt 987-65-4321 for records"),
+    (-905, "card 4539-1488-0343-6467 or 4111 1111 1111 1111 bogus 1234-5678-9012-3456 done"),
 ]
+
+
+def _luhn_valid(c: Column) -> Column:
+    """Luhn checksum validity of the digit string inside ``c``
+    (separators stripped): from the rightmost digit, every second
+    digit doubles (minus 9 when the double exceeds 9) and the total
+    must be ≡ 0 (mod 10). Pure integer arithmetic over an
+    F.aggregate(sequence) — JVM-side, no UDF — and bit-identical in
+    DuckDB (``_luhn_sql`` mirrors it term for term)."""
+    ds = F.regexp_replace(c, "[^0-9]", "")
+    length = F.length(ds)
+
+    def _term(i: Column) -> Column:
+        d = F.substr(ds, i, F.lit(1)).cast("int")
+        dbl = d * F.lit(2)
+        # 1-based position-from-right = length - i + 1; double when even
+        return F.when(
+            (length - i) % 2 == 1,
+            dbl - F.when(dbl > 9, 9).otherwise(0),
+        ).otherwise(d)
+
+    total = F.aggregate(
+        F.sequence(F.lit(1), length), F.lit(0), lambda acc, i: acc + _term(i)
+    )
+    return total % 10 == 0
+
+
+def _luhn_sql(var: str) -> str:
+    """The DuckDB mirror of ``_luhn_valid`` for a lambda variable
+    named ``var`` — same stripped digit string, same per-position
+    doubling rule, same mod-10 test (all BIGINT arithmetic)."""
+    ds = f"regexp_replace({var}, '[^0-9]', '', 'g')"
+    dig = f"CAST(substr({ds}, CAST(i AS INTEGER), 1) AS BIGINT)"
+    return (
+        f"list_sum(list_transform(range(1, length({ds}) + 1), "
+        f"i -> CASE WHEN (length({ds}) - i) % 2 = 1 "
+        f"THEN 2 * {dig} - CASE WHEN 2 * {dig} > 9 THEN 9 ELSE 0 END "
+        f"ELSE {dig} END)) % 10 = 0"
+    )
 _PII_PROBES_SQL = " UNION ALL ".join(
     f"SELECT CAST({doc_id} AS BIGINT) AS doc_id, '{text}' AS text, "
     "'_probe_pii' AS source"
@@ -5303,15 +5357,22 @@ _PII_PROBES_SQL = " UNION ALL ".join(
       SELECT source,
              len(regexp_extract_all(text, '{_PII_EMAIL}')) AS n_emails,
              len(regexp_extract_all(text, '{_PII_PHONE}')) AS n_phones,
+             len(regexp_extract_all(text, '{_PII_SSN}')) AS n_ssns,
+             len(list_filter(regexp_extract_all(text, '{_PII_CARD}'),
+                             c -> {_luhn_sql("c")})) AS n_cards,
+             len(regexp_extract_all(text, '{_PII_CARD}')) AS n_card_cands,
              len(regexp_extract_all(text, '{_PII_IPV4}')) AS n_ips
       FROM corpus
     )
     SELECT source,
            COUNT(*) AS n_docs,
-           CAST(SUM(CASE WHEN n_emails + n_phones + n_ips > 0
-                         THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+           CAST(SUM(CASE WHEN n_emails + n_phones + n_ssns + n_cards + n_ips
+                         > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
            CAST(SUM(n_emails) AS BIGINT) AS emails,
            CAST(SUM(n_phones) AS BIGINT) AS phones,
+           CAST(SUM(n_ssns) AS BIGINT) AS ssns,
+           CAST(SUM(n_cards) AS BIGINT) AS cards,
+           CAST(SUM(n_card_cands) AS BIGINT) AS card_candidates,
            CAST(SUM(n_ips) AS BIGINT) AS ips
     FROM scanned
     GROUP BY source
@@ -5328,6 +5389,7 @@ def pii_scan_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id long, text string, source string",
         )
     )
+    card_cands = F.regexp_extract_all("text", F.lit(_PII_CARD), 0)
     scanned = corpus.select(
         "source",
         F.size(F.regexp_extract_all("text", F.lit(_PII_EMAIL), 0)).alias(
@@ -5336,6 +5398,11 @@ def pii_scan_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all("text", F.lit(_PII_PHONE), 0)).alias(
             "n_phones"
         ),
+        F.size(F.regexp_extract_all("text", F.lit(_PII_SSN), 0)).alias(
+            "n_ssns"
+        ),
+        F.size(F.filter(card_cands, _luhn_valid)).alias("n_cards"),
+        F.size(card_cands).alias("n_card_cands"),
         F.size(F.regexp_extract_all("text", F.lit(_PII_IPV4), 0)).alias("n_ips"),
     )
     return (
@@ -5344,12 +5411,20 @@ def pii_scan_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(
                 F.when(
-                    F.col("n_emails") + F.col("n_phones") + F.col("n_ips") > 0,
+                    F.col("n_emails")
+                    + F.col("n_phones")
+                    + F.col("n_ssns")
+                    + F.col("n_cards")
+                    + F.col("n_ips")
+                    > 0,
                     1,
                 ).otherwise(0)
             ).alias("docs_with_pii"),
             F.sum("n_emails").alias("emails"),
             F.sum("n_phones").alias("phones"),
+            F.sum("n_ssns").alias("ssns"),
+            F.sum("n_cards").alias("cards"),
+            F.sum("n_card_cands").alias("card_candidates"),
             F.sum("n_ips").alias("ips"),
         )
         .orderBy("source")
@@ -5357,15 +5432,19 @@ def pii_scan_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# X31 redaction half: scrub the same three PII patterns through
-# regexp_replace (sequentially: email -> phone -> IPv4, so a count at
-# each stage is exactly the number of substrings that stage replaced),
-# then RE-SCAN the redacted corpus and prove zero residual matches.
-# Counts parity with pii_scan_stats is pytest-asserted (the synthetic
-# corpus + probes contain no overlapping matches, so stage-wise counts
-# equal the detection query's whole-text counts). Replacement tokens
-# ('<EMAIL>' etc.) contain no digits/@/dots so they can never create a
-# new match. DuckDB needs the explicit 'g' flag (its regexp_replace is
+# X31 redaction half: scrub the same PII patterns through
+# regexp_replace (sequentially: email -> phone -> SSN -> card ->
+# IPv4, so a count at each stage is exactly the number of substrings
+# that stage replaced), then RE-SCAN the redacted corpus and prove
+# zero residual matches. The card stage scrubs every CANDIDATE
+# (Luhn-valid or not — conservative: a typo'd card is still worth
+# scrubbing), so its parity column is the detection query's
+# card_candidates. Counts parity with pii_scan_stats is
+# pytest-asserted (the synthetic corpus + probes contain no
+# overlapping matches, so stage-wise counts equal the detection
+# query's whole-text counts). Replacement tokens ('<EMAIL>' etc.)
+# contain no digits/@/dots so they can never create a new match.
+# DuckDB needs the explicit 'g' flag (its regexp_replace is
 # first-match by default; Spark's is global). Scale: one stateless
 # scan, regexp in codegen, no shuffle past the per-source partial agg
 # — same shape as the detection query.
@@ -5391,20 +5470,36 @@ def pii_scan_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     s3 AS (
       SELECT source, n_emails, n_phones,
-             len(regexp_extract_all(t2, '{_PII_IPV4}')) AS n_ips,
-             regexp_replace(t2, '{_PII_IPV4}', '<IP>', 'g') AS redacted
+             len(regexp_extract_all(t2, '{_PII_SSN}')) AS n_ssns,
+             regexp_replace(t2, '{_PII_SSN}', '<SSN>', 'g') AS t3
       FROM s2
+    ),
+    s4 AS (
+      SELECT source, n_emails, n_phones, n_ssns,
+             len(regexp_extract_all(t3, '{_PII_CARD}')) AS n_cards,
+             regexp_replace(t3, '{_PII_CARD}', '<CARD>', 'g') AS t4
+      FROM s3
+    ),
+    s5 AS (
+      SELECT source, n_emails, n_phones, n_ssns, n_cards,
+             len(regexp_extract_all(t4, '{_PII_IPV4}')) AS n_ips,
+             regexp_replace(t4, '{_PII_IPV4}', '<IP>', 'g') AS redacted
+      FROM s4
     )
     SELECT source,
            COUNT(*) AS n_docs,
            CAST(SUM(n_emails) AS BIGINT) AS emails_redacted,
            CAST(SUM(n_phones) AS BIGINT) AS phones_redacted,
+           CAST(SUM(n_ssns) AS BIGINT) AS ssns_redacted,
+           CAST(SUM(n_cards) AS BIGINT) AS cards_redacted,
            CAST(SUM(n_ips) AS BIGINT) AS ips_redacted,
            CAST(SUM(len(regexp_extract_all(redacted, '{_PII_EMAIL}'))
                   + len(regexp_extract_all(redacted, '{_PII_PHONE}'))
+                  + len(regexp_extract_all(redacted, '{_PII_SSN}'))
+                  + len(regexp_extract_all(redacted, '{_PII_CARD}'))
                   + len(regexp_extract_all(redacted, '{_PII_IPV4}'))) AS BIGINT)
              AS residual_matches
-    FROM s3
+    FROM s5
     GROUP BY source
     ORDER BY source
     """,
@@ -5426,6 +5521,8 @@ def pii_redact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_emails").alias("emails_redacted"),
             F.sum("n_phones").alias("phones_redacted"),
+            F.sum("n_ssns").alias("ssns_redacted"),
+            F.sum("n_cards").alias("cards_redacted"),
             F.sum("n_ips").alias("ips_redacted"),
             F.sum("n_residual").alias("residual_matches"),
         )
@@ -5434,13 +5531,15 @@ def pii_redact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def redact_pii(corpus: DataFrame, text_col: str = "text") -> DataFrame:
-    """Sequential PII scrub (email -> phone -> IPv4) with per-stage
-    replaced counts and a post-scrub residual re-scan. Adds columns
-    ``n_emails n_phones n_ips redacted n_residual`` (counts are the
-    number of substrings each stage's regexp_replace rewrote —
-    counted on that stage's INPUT text, so they are exact even if an
-    earlier stage's replacement changed the surrounding text). The
-    whole thing is a single codegen projection; no shuffle."""
+    """Sequential PII scrub (email -> phone -> SSN -> card -> IPv4)
+    with per-stage replaced counts and a post-scrub residual re-scan.
+    Adds columns ``n_emails n_phones n_ssns n_cards n_ips redacted
+    n_residual`` (counts are the number of substrings each stage's
+    regexp_replace rewrote — counted on that stage's INPUT text, so
+    they are exact even if an earlier stage's replacement changed the
+    surrounding text; n_cards counts CANDIDATES, Luhn-checked
+    detection is pii_scan_stats' job). The whole thing is a single
+    codegen projection; no shuffle."""
 
     def _n(col: str, pat: str) -> Column:
         return F.size(F.regexp_extract_all(col, F.lit(pat), 0))
@@ -5450,15 +5549,21 @@ def redact_pii(corpus: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("_t1", F.regexp_replace(text_col, _PII_EMAIL, "<EMAIL>"))
         .withColumn("n_phones", _n("_t1", _PII_PHONE))
         .withColumn("_t2", F.regexp_replace("_t1", _PII_PHONE, "<PHONE>"))
-        .withColumn("n_ips", _n("_t2", _PII_IPV4))
-        .withColumn("redacted", F.regexp_replace("_t2", _PII_IPV4, "<IP>"))
+        .withColumn("n_ssns", _n("_t2", _PII_SSN))
+        .withColumn("_t3", F.regexp_replace("_t2", _PII_SSN, "<SSN>"))
+        .withColumn("n_cards", _n("_t3", _PII_CARD))
+        .withColumn("_t4", F.regexp_replace("_t3", _PII_CARD, "<CARD>"))
+        .withColumn("n_ips", _n("_t4", _PII_IPV4))
+        .withColumn("redacted", F.regexp_replace("_t4", _PII_IPV4, "<IP>"))
         .withColumn(
             "n_residual",
             _n("redacted", _PII_EMAIL)
             + _n("redacted", _PII_PHONE)
+            + _n("redacted", _PII_SSN)
+            + _n("redacted", _PII_CARD)
             + _n("redacted", _PII_IPV4),
         )
-        .drop("_t1", "_t2")
+        .drop("_t1", "_t2", "_t3", "_t4")
     )
 
 

@@ -19,6 +19,8 @@ _EXPECTED_REDACTED = {
     -901: "reach me at <EMAIL> or <EMAIL> thanks",
     -902: "call <PHONE> or <PHONE> backup host <IP>",
     -903: "server <IP> peers <IP> and <IP> admin root@<IP>",
+    -904: "ssn <SSN> alt <SSN> for records",
+    -905: "card <CARD> or <CARD> bogus <CARD> done",
 }
 
 
@@ -31,10 +33,34 @@ def test_probes_redact_to_known_strings(spark):
     assert {k: r.redacted for k, r in rows.items()} == _EXPECTED_REDACTED
     assert all(r.n_residual == 0 for r in rows.values())
     # per-stage replaced counts per probe (root@10.1.1.5 is an IP hit,
-    # not an email — the email TLD requires letters)
-    assert (rows[-901].n_emails, rows[-901].n_phones, rows[-901].n_ips) == (2, 0, 0)
-    assert (rows[-902].n_emails, rows[-902].n_phones, rows[-902].n_ips) == (0, 2, 1)
-    assert (rows[-903].n_emails, rows[-903].n_phones, rows[-903].n_ips) == (0, 0, 4)
+    # not an email — the email TLD requires letters). The card stage
+    # scrubs every candidate, Luhn-valid or not (3 on probe -905).
+    def counts(r):
+        return (r.n_emails, r.n_phones, r.n_ssns, r.n_cards, r.n_ips)
+
+    assert counts(rows[-901]) == (2, 0, 0, 0, 0)
+    assert counts(rows[-902]) == (0, 2, 0, 0, 1)
+    assert counts(rows[-903]) == (0, 0, 0, 0, 4)
+    assert counts(rows[-904]) == (0, 0, 2, 0, 0)
+    assert counts(rows[-905]) == (0, 0, 0, 3, 0)
+
+
+def test_luhn_detection_rejects_invalid_candidates(spark):
+    """Detection Luhn-checks card candidates: probe -905 carries two
+    valid numbers (4539-1488-0343-6467 and 4111 1111 1111 1111) and
+    one invalid (1234-5678-9012-3456) — the scan must report cards=2
+    against card_candidates=3 for the probe source, and the SSN probe
+    must not leak into the phone count (disjoint 3-2-4 vs 3-3-4
+    shapes)."""
+    probe = {
+        r.source: r
+        for r in SPARK_QUERIES["pii_scan_stats"](spark, SF_SMOKE).collect()
+    }["_probe_pii"]
+    assert probe.cards == 2
+    assert probe.card_candidates == 3
+    assert probe.ssns == 2
+    assert probe.phones == 2  # only the -902 phones, not the SSNs
+    assert probe.docs_with_pii == 5
 
 
 def test_redaction_counts_match_detection(spark):
@@ -53,9 +79,17 @@ def test_redaction_counts_match_detection(spark):
     assert set(detect) == set(redact)
     for source, d in detect.items():
         r = redact[source]
-        assert (r.emails_redacted, r.phones_redacted, r.ips_redacted) == (
+        assert (
+            r.emails_redacted,
+            r.phones_redacted,
+            r.ssns_redacted,
+            r.cards_redacted,
+            r.ips_redacted,
+        ) == (
             d.emails,
             d.phones,
+            d.ssns,
+            d.card_candidates,  # redaction scrubs candidates, not just Luhn-valid
             d.ips,
         ), source
         assert r.residual_matches == 0, source
