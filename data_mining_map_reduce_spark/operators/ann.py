@@ -562,7 +562,16 @@ def semantic_near_dup_pairs(
     (cosine_near_dup_pairs_exact): same rounded-to-6dp cosine, same
     threshold, restricted to co-probed pairs — recall is governed by
     the quantizer, precision 1.0 by construction (the verify is an
-    exact cosine; pytest-asserted both ways).
+    exact cosine; pytest-asserted both ways). Cross-engine rounding
+    seam (r15 ADVICE): the refinement contract compares the numpy
+    gram's 6-dp cosine against Spark's codegen cosine — a value
+    landing exactly on a 5e-7 rounding boundary could round apart in
+    the 6th decimal across the two engines and flip threshold
+    inclusion (the intra-numpy BLAS-shape variance is absorbed by the
+    max() dedup below, but the numpy-vs-Spark seam is not). The
+    refinement pytest carries a 1e-6 tolerance for exactly this;
+    measured deltas on this corpus are ~1e-16, eight orders under the
+    boundary (the source_token_kl headroom argument).
     """
     from .clustering import kmeans
 
@@ -571,7 +580,15 @@ def semantic_near_dup_pairs(
         n = pts.count()
         k = max(8, -(-n // target_cluster_size))
     _, centroids = kmeans(pts, "_v", k=k, seed=seed)
-    assigned = _assign_probe_clusters(pts, "_v", centroids, n_probe)
+    # Lazy pin (r15 ADVICE): the multi-probe mapInPandas feeds BOTH
+    # the hot-cluster pre-flight and the pair stage — un-pinned it
+    # executed twice; the pre-flight count below doubles as the
+    # checkpoint's materializing action, so the pair stage reads the
+    # blocks. (Fat rows, but the pair stage reads every column; only
+    # the count loses pruning — cheaper than a second mapInPandas.)
+    assigned = _assign_probe_clusters(pts, "_v", centroids, n_probe).localCheckpoint(
+        eager=False
+    )
     sizes = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("_n"))
     hot = sizes.where(F.col("_n") > max_cluster_rows).limit(1).collect()
     if hot:

@@ -84,11 +84,17 @@ def _guard_lsh_verify(
         )
         .collect()[0]
     )
+    # avg_set over DEDUPED (key, item) pairs (r15 ADVICE): the verify
+    # sets are collect_set aggregates, so the payload is governed by
+    # distinct items per key — the raw occurrence count would inflate
+    # the estimate on duplicate-heavy baskets and refuse near-budget
+    # runs that actually fit. xxhash64 folds the pair for one HLL
+    # (collisions are irrelevant at estimate precision).
     stats = exploded.agg(
-        F.count(F.lit(1)).alias("_n"),
+        F.approx_count_distinct(F.xxhash64("_k", "_h60")).alias("_pairs_d"),
         F.approx_count_distinct("_k").alias("_keys"),
     ).collect()[0]
-    avg_set = stats["_n"] / max(stats["_keys"], 1)
+    avg_set = stats["_pairs_d"] / max(stats["_keys"], 1)
     # Two bigint arrays per candidate row (8 B/element) + ~64 B of row
     # overhead — the shape the sf10 receipt attributes the wall to.
     est_bytes = mass_row["_pairs"] * (16.0 * avg_set + 64.0)
@@ -425,9 +431,15 @@ def minhash_lsh_pairs(
     Guarded against the measured sf10 verify-shuffle wall (r15): when
     ``verify=True`` a pre-flight estimate of candidate mass x array
     payload raises ValueError above ``SPARK_GRAFT_LSH_VERIFY_BUDGET``
-    (default 64 GiB; 0 disables) — see ``_guard_lsh_verify``. The
-    guard's two estimate jobs double as the lazy checkpoints'
-    materializing actions, so the main query reuses their blocks.
+    (default 64 GiB; 0 disables) — see ``_guard_lsh_verify``. SIDE
+    EFFECT: this makes ``verify=True`` CONSTRUCTION eager — the two
+    estimate aggregates run as collect() jobs when this function is
+    called, even if the returned DataFrame is never acted on. With
+    ``materialize=True`` (the default) those jobs double as the lazy
+    checkpoints' materializing actions, so the main query reuses
+    their blocks and the guard is nearly free; with
+    ``materialize=False`` each estimate recomputes its full upstream
+    (plan-only callers should use verify=False or budget 0).
     """
     from ..functions.hashing import md5_hash60
 
