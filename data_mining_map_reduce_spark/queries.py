@@ -2478,6 +2478,7 @@ def _corpus_funnel_impl(
     lsh: bool,
     docs: DataFrame | None = None,
     semantic: float | None = None,
+    survivors: bool = False,
 ) -> DataFrame:
     # ``docs`` (r15): the funnel over an injected document set instead
     # of the full table — the subsample-then-curate composition
@@ -2588,6 +2589,14 @@ def _corpus_funnel_impl(
         # text stages keep docs too short to shingle
         conds.append(k4 & F.coalesce(F.col("_sem"), F.lit(True)))
         names.append("semantic_dedup")
+
+    if survivors:
+        # Composition exit (r16, verdict task 7): the doc_ids that
+        # survive EVERY stage, for chaining the funnel into a
+        # downstream operator (subsample -> funnel -> DSIR-resample,
+        # scripts/probe_chain_sf10.py). Default False — both
+        # registered funnel rows keep their stage-count plans.
+        return flags.where(conds[-1]).select("doc_id")
 
     def _cnt(cond):
         return F.sum(F.when(cond, 1).otherwise(0)).cast("long")

@@ -175,9 +175,10 @@ def test_winnowed_spans_equal_spans_over_candidates(spark, tmp_path):
 
 def test_pii_probe_row_pinned(spark):
     """The planted '_probe_pii' docs carry known PII: 2 emails, 2
-    phone numbers, 5 IPv4s across 3 documents (root@10.1.1.5 is an
-    IP hit, NOT an email — the email TLD requires letters). A drift
-    here means one regex dialect changed behavior."""
+    phone numbers, 5 IPv4s, 2 SSNs, and 2 Luhn-valid cards across 5
+    documents (root@10.1.1.5 is an IP hit, NOT an email — the email
+    TLD requires letters). A drift here means one regex dialect
+    changed behavior."""
     rows = {
         r.source: r
         for r in SPARK_QUERIES["pii_scan_stats"](spark, SF_SMOKE).collect()
@@ -189,7 +190,7 @@ def test_pii_probe_row_pinned(spark):
         probe.emails,
         probe.phones,
         probe.ips,
-    ) == (3, 3, 2, 2, 5)
+    ) == (5, 5, 2, 2, 5)
     # the synthetic corpus itself is PII-free: every non-probe source
     # row must report zero matches
     for source, r in rows.items():
