@@ -374,3 +374,66 @@ def dsir_log_importance(
             F.round(F.sum(F.col("c") * F.col("w")), 4).alias("log2_w"),
         )
     )
+
+
+def domain_mixture_weights(
+    docs: DataFrame,
+    target: dict[str, float] | None = None,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Domain-mixture reweighting — the knob every LLM data recipe
+    turns (The Pile's per-set epochs, Gao et al. 2020 arXiv:2101.00027
+    table 1; LLaMA's per-source sampling proportions, Touvron et al.
+    2023 arXiv:2302.13971 table 1; DoReMi optimizes the same weights,
+    Xie et al. 2023 arXiv:2305.10429): given the corpus's NATURAL
+    per-domain token shares and a TARGET mixture, emit per-domain
+    sampling weights.
+
+    ``target``: mapping domain -> target share (need not be
+    normalized; it is here). ``None`` = uniform over the observed
+    domains — the flattening recipe.
+
+    Per domain: (n_docs, n_tokens, natural_share, target_share,
+    weight, budget_tokens) where ``weight = target_share /
+    natural_share`` is the sampling multiplier (== effective epochs
+    at a corpus-sized token budget: weight > 1 upsamples/repeats,
+    < 1 subsamples — The Pile's "epochs" column is exactly this
+    number) and ``budget_tokens = round(target_share * total)`` is
+    the domain's token allocation at that budget. One scan + one
+    tiny groupBy; the target map enters as a literal expression, so
+    the whole computation is codegen and SQL-replayable (shares and
+    weights rounded to 6dp on both engines)."""
+    per = (
+        docs.select(
+            F.col(group_col), F.size(tokenize(F.col(text_col))).alias("_n")
+        )
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_n").cast("long").alias("n_tokens"),
+        )
+    )
+    w_all = Window.partitionBy()
+    natural = F.col("n_tokens") / F.sum("n_tokens").over(w_all)
+    if target is None:
+        tgt = F.lit(1.0) / F.count(F.lit(1)).over(w_all)
+    else:
+        total_t = float(sum(target.values()))
+        expr = F.lit(0.0)
+        for k_dom, v in sorted(target.items()):
+            expr = F.when(F.col(group_col) == k_dom, F.lit(v / total_t)).otherwise(
+                expr
+            )
+        tgt = expr
+    return per.select(
+        F.col(group_col),
+        "n_docs",
+        "n_tokens",
+        F.round(natural, 6).alias("natural_share"),
+        F.round(tgt, 6).alias("target_share"),
+        F.round(tgt / natural, 6).alias("weight"),
+        F.round(tgt * F.sum("n_tokens").over(w_all)).cast("bigint").alias(
+            "budget_tokens"
+        ),
+    ).orderBy(group_col)

@@ -3362,6 +3362,98 @@ def stratified_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# X34 sequence packing (r16): concat-and-chunk the corpus into
+# 2048-token training sequences in content-addressed md5 order — the
+# shard-manifest plan every LLM loader materializes. The Spark side
+# runs the two-phase distributed prefix sum (operators/packing.py:
+# range-repartition + per-partition subtotals + partition-local
+# window — no single-task global window); the oracle replays the
+# identical global order with one SQL window, so the plan parity IS
+# the scale-safety proof: same answer, distributed scan. FULL oracle.
+# ---------------------------------------------------------------------------
+@query(
+    "packed_sequence_stats",
+    r"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split_regex(text, '\s+'),
+                                    x -> x <> '')) AS BIGINT) AS n_tokens,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS hv
+        FROM documents
+    ),
+    p AS (
+        SELECT doc_id, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (
+                   ORDER BY hv, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st
+        FROM t WHERE n_tokens > 0
+    ),
+    s AS (
+        SELECT st, st + n_tokens AS e,
+               CAST(floor(st / 2048) AS BIGINT) AS first_seq,
+               CAST(floor((st + n_tokens - 1) / 2048) AS BIGINT) AS last_seq
+        FROM p
+    ),
+    x AS (
+        SELECT unnest(generate_series(first_seq, last_seq)) AS seq_id,
+               st, e, first_seq = last_seq AS single
+        FROM s
+    )
+    SELECT seq_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN single THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_docs_full,
+           CAST(SUM(LEAST(e, (seq_id + 1) * 2048)
+                    - GREATEST(st, seq_id * 2048)) AS BIGINT) AS n_tokens
+    FROM x GROUP BY seq_id ORDER BY seq_id
+    """,
+)
+def packed_sequence_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import tokenize
+    from .operators.packing import packed_sequence_stats
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokenize(F.col("text"))).alias("n_tokens")
+    )
+    return packed_sequence_stats(docs, seq_len=2048)
+
+
+# ---------------------------------------------------------------------------
+# X35 domain-mixture reweighting (r16): natural per-source token
+# shares vs a target mixture (uniform here — the flattening recipe)
+# -> per-source sampling weight (== The Pile's "epochs" column) and
+# token allocation at a corpus-sized budget. Completes the mixing
+# story around source_mix_stats (shares) and dsir_resampled_docs
+# (within-source selection). FULL oracle — ratio math on two engines.
+# ---------------------------------------------------------------------------
+@query(
+    "domain_mixture_weights",
+    r"""
+    WITH t AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(list_filter(string_split_regex(text, '\s+'),
+                                      x -> x <> ''))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT SUM(n_tokens) AS tt, COUNT(*) AS ns FROM t)
+    SELECT source, n_docs, n_tokens,
+           ROUND(n_tokens * 1.0 / tt, 6) AS natural_share,
+           ROUND(1.0 / ns, 6) AS target_share,
+           ROUND((1.0 / ns) / (n_tokens * 1.0 / tt), 6) AS weight,
+           CAST(ROUND((1.0 / ns) * tt) AS BIGINT) AS budget_tokens
+    FROM t CROSS JOIN tot ORDER BY source
+    """,
+)
+def domain_mixture_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text_analysis import domain_mixture_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    return domain_mixture_weights(docs)
+
+
+# ---------------------------------------------------------------------------
 # Language-ID heuristic. The scoring is deterministic (stopword-
 # profile coverage argmax with first-profile tie-break), so the
 # oracle replays it exactly: same tokenizer, same profile literals,
@@ -5735,6 +5827,12 @@ _DRIVER_ORDER = [
     # -- r16 debut: the funnel with a SemDeDup stage (X32 × X23) —
     #    rows-only by nature (iterative quantizer) --
     "corpus_curation_funnel_semantic",
+    # -- r16 debuts: X34 sequence packing (two-phase distributed
+    #    prefix sum; the oracle's single SQL window replays the same
+    #    global order) and X35 domain-mixture reweighting — both
+    #    FULL oracles --
+    "packed_sequence_stats",
+    "domain_mixture_weights",
     # -- changed-code r14 rows: the funnel exact-relation pin (r15
     #    verdict task 2), the PII regex extension (task 6), and the
     #    decontamination work sharing X27's overlap scoring (task 5) --
@@ -5765,8 +5863,6 @@ _DRIVER_ORDER = [
     "fpgrowth_itemsets",
     "gn_quality_check",
     "graph_betweenness_sampled",
-    "graph_betweenness_top",
-    "graph_components",
     # ---- driver cap (50) falls here ----
 ]
 
@@ -5778,6 +5874,8 @@ _DRIVER_ORDER = [
 # in-window query + pytest that grades the changed code path.
 _EXCLUDED_R16 = [
     # name                      last green driver row
+    ("graph_betweenness_top", "r14; displaced by the two late-r16 debuts (packed_sequence_stats, domain_mixture_weights — never-rowed queries must debut in-window); graph.py untouched this round, r17-obligated first"),
+    ("graph_components", "r14; same displacement note as graph_betweenness_top"),
     ("graph_lpa_community_sizes", "r14"),
     ("jaccard_pairs_exact", "r14; the r16 similarity.py change (deduped avg_set in _guard_lsh_verify) is verify=True-LSH-path only — no call site in exact_jaccard_pairs, plan unchanged; graded in-window by minhash_lsh_pairs + the guard pytest"),
     ("kmeans_cluster_sizes", "r14"),
