@@ -3454,6 +3454,23 @@ def domain_mixture_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# X36 model-based quality filter (r16): the GPT-3 appendix-A recipe —
+# logistic regression on hashed unigram counts, weak-labelled target
+# slice ('src0', the DSIR target) vs rest, Pareto-noise keep rule
+# with the engine's md5 content-addressed draw. Rows-only by nature
+# (distributed L-BFGS float training — the fpgrowth/semantic_dedup
+# precedent); the discrimination + keep-rule arithmetic are
+# pytest-pinned instead (tests/test_quality_model.py).
+# ---------------------------------------------------------------------------
+@query("quality_filter_stats")
+def quality_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.quality_model import quality_classifier_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_classifier_stats(docs, target_value="src0")
+
+
+# ---------------------------------------------------------------------------
 # Language-ID heuristic. The scoring is deterministic (stopword-
 # profile coverage argmax with first-profile tie-break), so the
 # oracle replays it exactly: same tokenizer, same profile literals,
@@ -5833,6 +5850,9 @@ _DRIVER_ORDER = [
     #    FULL oracles --
     "packed_sequence_stats",
     "domain_mixture_weights",
+    # -- r16 debut: X36 model-based quality filter (rows-only by
+    #    nature — L-BFGS training; pytest-pinned discrimination) --
+    "quality_filter_stats",
     # -- changed-code r14 rows: the funnel exact-relation pin (r15
     #    verdict task 2), the PII regex extension (task 6), and the
     #    decontamination work sharing X27's overlap scoring (task 5) --
@@ -5862,7 +5882,6 @@ _DRIVER_ORDER = [
     "flagship_category_avg",
     "fpgrowth_itemsets",
     "gn_quality_check",
-    "graph_betweenness_sampled",
     # ---- driver cap (50) falls here ----
 ]
 
@@ -5874,7 +5893,8 @@ _DRIVER_ORDER = [
 # in-window query + pytest that grades the changed code path.
 _EXCLUDED_R16 = [
     # name                      last green driver row
-    ("graph_betweenness_top", "r14; displaced by the two late-r16 debuts (packed_sequence_stats, domain_mixture_weights — never-rowed queries must debut in-window); graph.py untouched this round, r17-obligated first"),
+    ("graph_betweenness_sampled", "r14; displaced by the three late-r16 debuts (packed_sequence_stats, domain_mixture_weights, quality_filter_stats — never-rowed queries must debut in-window); graph.py untouched this round, r17-obligated first"),
+    ("graph_betweenness_top", "r14; same displacement note as graph_betweenness_sampled"),
     ("graph_components", "r14; same displacement note as graph_betweenness_top"),
     ("graph_lpa_community_sizes", "r14"),
     ("jaccard_pairs_exact", "r14; the r16 similarity.py change (deduped avg_set in _guard_lsh_verify) is verify=True-LSH-path only — no call site in exact_jaccard_pairs, plan unchanged; graded in-window by minhash_lsh_pairs + the guard pytest"),
