@@ -437,3 +437,43 @@ def domain_mixture_weights(
             "budget_tokens"
         ),
     ).orderBy(group_col)
+
+
+def bpe_pair_counts(
+    docs: DataFrame,
+    k: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """BPE merge-candidate counts — iteration one of byte-pair-
+    encoding tokenizer training (Sennrich et al. 2016,
+    arXiv:1508.07909 §3.2): count adjacent character pairs across the
+    corpus and surface the top-k merge candidates. The tokenizer-
+    training front half of an LLM data pipeline, and the half that
+    must be distributed: the merge LOOP mutates a vocab-sized state
+    (driver-friendly), but the pair COUNTS scan the whole corpus.
+
+    The scale move is the paper's own: aggregate to DISTINCT words
+    with multiplicities first (corpus tokens >> distinct words — the
+    word-shaped zipf cut), then enumerate each distinct word's
+    adjacent pairs once and weight by its count. Enumeration is
+    explode(sequence(1, len-1)) + substr — pure codegen, rows linear
+    in total distinct-word characters. Ties in the top-k break by
+    pair string, so the result is deterministic and SQL-replayable
+    (FULL oracle)."""
+    wc = (
+        docs.select(
+            F.explode(tokenize(normalize(F.col(text_col)))).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.length("w") >= 2)
+    )
+    pairs = wc.select(
+        "w",
+        "c",
+        F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("_i"),
+    ).select(F.substr(F.col("w"), F.col("_i"), F.lit(2)).alias("pair"), "c")
+    agg = pairs.groupBy("pair").agg(F.sum("c").cast("long").alias("n"))
+    # deterministic top-k: sort + limit plans TakeOrderedAndProject —
+    # no global window, no single-partition stage
+    return agg.orderBy(F.col("n").desc(), "pair").limit(k)

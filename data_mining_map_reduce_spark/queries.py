@@ -3454,6 +3454,39 @@ def domain_mixture_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# X37 BPE merge-candidate counts (r16): iteration one of tokenizer
+# training (Sennrich et al. 2016) — adjacent character-pair counts,
+# aggregated over DISTINCT words weighted by multiplicity (the
+# paper's own zipf cut: corpus tokens >> distinct words), top-50
+# merge candidates with deterministic (count desc, pair) tie-break.
+# All codegen: explode(sequence) + substr; top-k plans
+# TakeOrderedAndProject, not a global window. FULL oracle.
+# ---------------------------------------------------------------------------
+@query(
+    "bpe_pair_counts",
+    r"""
+    WITH toks AS (
+        SELECT unnest(list_filter(
+            string_split_regex(
+                translate(lower(text), '([,.!?:;])', ''), '\s+'),
+            x -> x <> '')) AS w
+        FROM documents
+    ),
+    wc AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY w HAVING len(w) >= 2),
+    ppos AS (SELECT w, c, unnest(generate_series(1, len(w) - 1)) AS i FROM wc),
+    agg AS (SELECT substr(w, i, 2) AS pair, CAST(SUM(c) AS BIGINT) AS n
+            FROM ppos GROUP BY 1)
+    SELECT pair, n FROM agg ORDER BY n DESC, pair LIMIT 50
+    """,
+)
+def bpe_pair_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text_analysis import bpe_pair_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_pair_counts(docs, k=50)
+
+
+# ---------------------------------------------------------------------------
 # X36 model-based quality filter (r16): the GPT-3 appendix-A recipe —
 # logistic regression on hashed unigram counts, weak-labelled target
 # slice ('src0', the DSIR target) vs rest, Pareto-noise keep rule
@@ -5853,6 +5886,8 @@ _DRIVER_ORDER = [
     # -- r16 debut: X36 model-based quality filter (rows-only by
     #    nature — L-BFGS training; pytest-pinned discrimination) --
     "quality_filter_stats",
+    # -- r16 debut: X37 BPE merge-candidate counts (FULL oracle) --
+    "bpe_pair_counts",
     # -- changed-code r14 rows: the funnel exact-relation pin (r15
     #    verdict task 2), the PII regex extension (task 6), and the
     #    decontamination work sharing X27's overlap scoring (task 5) --
@@ -5881,7 +5916,6 @@ _DRIVER_ORDER = [
     "fingerprint_overlap_pairs",
     "flagship_category_avg",
     "fpgrowth_itemsets",
-    "gn_quality_check",
     # ---- driver cap (50) falls here ----
 ]
 
@@ -5893,7 +5927,8 @@ _DRIVER_ORDER = [
 # in-window query + pytest that grades the changed code path.
 _EXCLUDED_R16 = [
     # name                      last green driver row
-    ("graph_betweenness_sampled", "r14; displaced by the three late-r16 debuts (packed_sequence_stats, domain_mixture_weights, quality_filter_stats — never-rowed queries must debut in-window); graph.py untouched this round, r17-obligated first"),
+    ("gn_quality_check", "r14; displaced by the four late-r16 debuts (packed_sequence_stats, domain_mixture_weights, quality_filter_stats, bpe_pair_counts — never-rowed queries must debut in-window); graph.py untouched this round, r17-obligated first"),
+    ("graph_betweenness_sampled", "r14; same displacement note as gn_quality_check"),
     ("graph_betweenness_top", "r14; same displacement note as graph_betweenness_sampled"),
     ("graph_components", "r14; same displacement note as graph_betweenness_top"),
     ("graph_lpa_community_sizes", "r14"),

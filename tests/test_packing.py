@@ -159,3 +159,19 @@ def test_mixture_weights_explicit_target(spark):
     assert rows["s2"].target_share == 0.25
     assert rows["s1"].weight == pytest.approx(1.5, abs=1e-6)
     assert rows["s2"].weight == pytest.approx(0.5, abs=1e-6)
+
+
+def test_bpe_pair_counts_golden(spark):
+    """Hand-computed BPE pair counts: 'aab' x2 + 'ab' x1 + 'a' x1
+    (too short) -> aa:2, ab:3; multiplicity-weighted, one enumeration
+    per DISTINCT word."""
+    from data_mining_map_reduce_spark.operators.text_analysis import (
+        bpe_pair_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aab ab"), (2, "aab a"), (3, "xy")],
+        "doc_id long, text string",
+    )
+    got = [(r.pair, r.n) for r in bpe_pair_counts(docs, k=10).collect()]
+    assert got == [("ab", 3), ("aa", 2), ("xy", 1)]
