@@ -128,17 +128,21 @@ EXTENSION_ROWS: list[tuple[str, str, list[str], str]] = [
     ("X20", "As-of join", ["asof_last_purchase"], ""),
     ("X21", "Deterministic split", ["train_test_split_counts"], ""),
     ("X22", "Weighted stratum sampling", ["weighted_doc_sample"], ""),
-    ("X23", "Corpus curation funnel", ["corpus_curation_funnel"], "per-stage linear twins oracle-green at sf1"),
+    ("X23", "Corpus curation funnel", ["corpus_curation_funnel", "corpus_curation_funnel_semantic"], "per-stage linear twins oracle-green at sf1; r16: optional SemDeDup stage (X32 stacked)"),
     ("X24", "KMV sketch", ["kmv_distinct_users"], ""),
     ("X25", "Count-Min heavy hitters", ["cm_heavy_hitter_partkeys", "window_heavy_hitter_users"], ""),
     ("X26", "IVF-PQ ANN", ["ann_topk_ivfpq", "ann_recall_check"], ""),
-    ("X27", "Contamination detection", ["contamination_ngram_overlap"], ""),
+    ("X27", "Contamination detection + removal", ["contamination_ngram_overlap", "decontaminated_corpus_stats"], "r16: kept/dropped rollup + zero-residual re-scan, FULL oracle, planted probe pinned"),
     ("X28", "Repetition score", ["doc_repetition_scores"], ""),
     ("X29", "Mergeable quantile sketch", ["doc_length_percentiles_approx", "sketch_error_check"], ""),
     ("X30", "Exact-substring (8-gram span) dup discovery", ["duplicate_ngram_spans"], "r11: Lee-et-al-style span reach, all-codegen expansion"),
-    ("X31", "PII scan (email/phone/IPv4)", ["pii_scan_stats"], "r11: planted '_probe_pii' docs; Java-regex vs RE2 agreement pytest-pinned"),
+    ("X31", "PII scan (email/phone/IPv4/SSN/Luhn-card)", ["pii_scan_stats"], "r11: planted '_probe_pii' docs; Java-regex vs RE2 agreement pytest-pinned; r16: SSN + Luhn-checked card stages, probe counts pinned"),
     ("X32", "Semantic dedup (SemDeDup)", ["semantic_dedup_docs"], "r15: per-cluster pandas gram pairs + CC; refinement/recall pytests; sf1/sf10 receipts"),
-    ("X33", "DSIR importance weights", ["doc_dsir_weights"], "r15: smoothed unigram likelihood ratio vs target slice, FULL oracle; hand-computed + discrimination pytests"),
+    ("X33", "DSIR importance weights + resampling", ["doc_dsir_weights", "dsir_resampled_docs"], "r15: smoothed unigram likelihood ratio vs target slice, FULL oracle; hand-computed + discrimination pytests; r16: log-domain A-ES resample completes the paper's deliverable"),
+    ("X34", "Sequence packing", ["packed_sequence_stats"], "r16: concat-and-chunk shard manifest, two-phase distributed prefix sum (zero SinglePartition), FULL oracle + layout-invariance pytest"),
+    ("X35", "Domain-mixture reweighting", ["domain_mixture_weights"], "r16: natural vs target token shares -> sampling weights (The Pile's epochs), FULL oracle"),
+    ("X36", "Model-based quality filter", ["quality_filter_stats"], "r16: GPT-3 appendix-A LR on HashingTF features, balanced weights, deterministic md5 Pareto keep rule; discrimination + keep-rule pytests"),
+    ("X37", "BPE merge-candidate counts", ["bpe_pair_counts"], "r16: Sennrich iteration-one pair counts over distinct words, FULL oracle"),
 ]
 
 
