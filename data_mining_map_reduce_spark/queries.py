@@ -4721,6 +4721,119 @@ def dedup_canonical_docs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# X16 completion (r16): QUALITY-AWARE canonical selection. The
+# min-id canonical is the oracle-friendly convention; what a real
+# pipeline keeps from each duplicate cluster is its BEST member —
+# here the longest document (n_tokens desc, doc_id tie-break: more
+# content survives, deterministic). Same LSH edges + CC as
+# dedup_canonical_docs_lsh, plus one window argmax per component —
+# all replayed in SQL, FULL oracle.
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_keep_best_docs",
+    f"""
+    WITH h AS (
+        SELECT doc_id, translate(lower(text), '([,.!?:;])', '') AS norm
+        FROM documents
+    ),
+    g AS (SELECT norm, MIN(doc_id) AS canonical_id FROM h GROUP BY norm),
+    exact_edges AS (
+        SELECT h.doc_id AS src, g.canonical_id AS dst
+        FROM h JOIN g USING (norm) WHERE h.doc_id <> g.canonical_id
+    ),
+    {{mh_ctes}},
+    undirected AS (
+        SELECT src, dst FROM exact_edges
+        UNION SELECT dst, src FROM exact_edges
+        UNION SELECT a AS src, b AS dst FROM mh_pairs
+        UNION SELECT b AS src, a AS dst FROM mh_pairs
+    ),
+    {{cc_ctes}},
+    q AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split_regex(
+                   translate(lower(text), '([,.!?:;])', ''), '\\s+'),
+                   x -> x <> '')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    m AS (
+        SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS grp
+        FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    ),
+    best AS (
+        SELECT grp, doc_id AS best_id FROM (
+            SELECT m.grp, m.doc_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY m.grp
+                       ORDER BY q.n_tokens DESC, m.doc_id) AS rn
+            FROM m JOIN q USING (doc_id)
+        ) WHERE rn = 1
+    )
+    SELECT m.doc_id, b.best_id,
+           m.doc_id = b.best_id AS is_kept
+    FROM m JOIN best b ON b.grp = m.grp
+    ORDER BY m.doc_id
+    """.format(
+        mh_ctes=_minhash_pairs_ctes(
+            f"SELECT doc_id AS k, unnest(s) AS i FROM ({_DOC_SHINGLES_SQL})",
+            num_hashes=64,
+            bands=32,
+            threshold=0.5,
+        ),
+        cc_ctes=_cc_pointer_jump_ctes(),
+    ),
+)
+def dedup_keep_best_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import normalize, tokenize
+    from .operators.dedup import doc_shingles, exact_duplicate_groups
+    from .operators.graph import connected_components
+    from .operators.similarity import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = exact_duplicate_groups(docs)
+    exact_edges = exact.where(F.col("doc_id") != F.col("canonical_id")).select(
+        F.col("doc_id").alias("src"), F.col("canonical_id").alias("dst")
+    )
+    near_edges = minhash_lsh_pairs(
+        doc_shingles(docs), "doc_id", "shingles",
+        threshold=0.5, num_hashes=64, bands=32,
+        max_bucket=None,  # oracle fidelity (see minhash_lsh_pairs_q)
+    ).select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    comp = connected_components(exact_edges.unionByName(near_edges))
+    mapped = (
+        docs.select(
+            "doc_id",
+            F.size(tokenize(normalize(F.col("text")))).cast("long").alias(
+                "n_tokens"
+            ),
+        )
+        .join(comp, F.col("doc_id") == F.col("id"), "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("grp"),
+            "n_tokens",
+        )
+    )
+    w = Window.partitionBy("grp").orderBy(
+        F.col("n_tokens").desc(), F.col("doc_id")
+    )
+    best = (
+        mapped.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("grp", F.col("doc_id").alias("best_id"))
+    )
+    return (
+        mapped.join(best, "grp")
+        .select(
+            "doc_id",
+            "best_id",
+            (F.col("doc_id") == F.col("best_id")).alias("is_kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Training-data pipeline: deterministic hash-based train/test split.
 # Assignment is a pure function of the key — affine hash mod 100
 # (the F7 universal-hash family over an integer key, so the exact
@@ -5888,6 +6001,9 @@ _DRIVER_ORDER = [
     "quality_filter_stats",
     # -- r16 debut: X37 BPE merge-candidate counts (FULL oracle) --
     "bpe_pair_counts",
+    # -- r16 debut: quality-aware canonical selection (X16
+    #    completion, FULL oracle) --
+    "dedup_keep_best_docs",
     # -- changed-code r14 rows: the funnel exact-relation pin (r15
     #    verdict task 2), the PII regex extension (task 6), and the
     #    decontamination work sharing X27's overlap scoring (task 5) --
@@ -5915,7 +6031,6 @@ _DRIVER_ORDER = [
     "exact_dup_doc_groups",
     "fingerprint_overlap_pairs",
     "flagship_category_avg",
-    "fpgrowth_itemsets",
     # ---- driver cap (50) falls here ----
 ]
 
@@ -5927,7 +6042,8 @@ _DRIVER_ORDER = [
 # in-window query + pytest that grades the changed code path.
 _EXCLUDED_R16 = [
     # name                      last green driver row
-    ("gn_quality_check", "r14; displaced by the four late-r16 debuts (packed_sequence_stats, domain_mixture_weights, quality_filter_stats, bpe_pair_counts — never-rowed queries must debut in-window); graph.py untouched this round, r17-obligated first"),
+    ("fpgrowth_itemsets", "r14; displaced by the five late-r16 debuts (packed_sequence_stats, domain_mixture_weights, quality_filter_stats, bpe_pair_counts, dedup_keep_best_docs — never-rowed queries must debut in-window); itemsets.py untouched this round and the SON==FPGrowth sf1 bit-parity pytest still grades it; r17-obligated first"),
+    ("gn_quality_check", "r14; displaced by the late-r16 debuts (see fpgrowth_itemsets note); graph.py untouched this round, r17-obligated first"),
     ("graph_betweenness_sampled", "r14; same displacement note as gn_quality_check"),
     ("graph_betweenness_top", "r14; same displacement note as graph_betweenness_sampled"),
     ("graph_components", "r14; same displacement note as graph_betweenness_top"),

@@ -121,7 +121,7 @@ EXTENSION_ROWS: list[tuple[str, str, list[str], str]] = [
     ("X13", "User CF + LSH prefilter", ["cf_user_predictions", "cf_user_predictions_lsh"], ""),
     ("X14", "Content-based rec", ["content_based_scores"], ""),
     ("X15", "Multimodal columns", ["media_feature_rollup", "media_frame_sample"], "real PPM/BMP/PNG/GIF/baseline-JPEG image + WAV PCM audio decode (GIF/JPEG/WAV r11)"),
-    ("X16", "Dedup pipeline (CC canonical)", ["dedup_canonical_docs", "dedup_canonical_docs_lsh"], ""),
+    ("X16", "Dedup pipeline (CC canonical)", ["dedup_canonical_docs", "dedup_canonical_docs_lsh", "dedup_keep_best_docs"], "r16: quality-aware keep-best canonical (window argmax per cluster, FULL oracle)"),
     ("X17", "Streaming dedup", [], "pytest cross-batch drop + parity"),
     ("X18", "Prefix-filtered exact set join", ["jaccard_pairs_exact", "near_dup_docs_exact"], "Hypothesis fuzz"),
     ("X19", "Skew/layout utils", ["partition_layout_stats"], "zero-Exchange plan pytest"),

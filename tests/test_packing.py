@@ -175,3 +175,39 @@ def test_bpe_pair_counts_golden(spark):
     )
     got = [(r.pair, r.n) for r in bpe_pair_counts(docs, k=10).collect()]
     assert got == [("ab", 3), ("aa", 2), ("xy", 1)]
+
+
+def test_dedup_keep_best_semantics(spark):
+    """Keep-best canonical: within every duplicate group the kept doc
+    has the max token count (doc_id tie-break), and exactly one doc
+    per group is kept."""
+    from data_mining_map_reduce_spark.queries import SPARK_QUERIES
+
+    rows = SPARK_QUERIES["dedup_keep_best_docs"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    by_best: dict = {}
+    for r in rows:
+        by_best.setdefault(r.best_id, []).append(r)
+    for best_id, grp in by_best.items():
+        kept = [r for r in grp if r.is_kept]
+        assert len(kept) == 1 and kept[0].doc_id == best_id
+    # the kept doc really is the longest: re-derive token counts
+    from pyspark.sql import functions as F2
+
+    from data_mining_map_reduce_spark.functions.text import (
+        normalize,
+        tokenize,
+    )
+    from data_mining_map_reduce_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    ntok = {
+        r.doc_id: r.n
+        for r in docs.select(
+            "doc_id", F2.size(tokenize(normalize(F2.col("text")))).alias("n")
+        ).collect()
+    }
+    for best_id, grp in by_best.items():
+        mx = max((ntok[r.doc_id], -r.doc_id) for r in grp)
+        assert (ntok[best_id], -best_id) == mx
