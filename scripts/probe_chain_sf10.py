@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """The realistic end-to-end curation chain, measured at scale
-(r15 verdict task 7): subsample -> curation funnel -> DSIR
-importance resample.
+(r15 verdict task 7, extended r16 with the packing tail): subsample
+-> curation funnel -> DSIR importance resample -> sequence packing.
 
 A 100 TB training-data pipeline in its real order:
 
@@ -114,6 +114,19 @@ def main() -> int:
     # vacuous when k >= pool (the sampler keeps everything)
     if pool_n > FINAL_K:
         assert sel_mean > pool_mean, "resample failed to shift toward target"
+
+    # -- stage 4: pack the selected subset into training sequences ------
+    from data_mining_map_reduce_spark.operators.packing import (
+        packed_sequence_stats,
+    )
+
+    t0 = time.time()
+    sel = spark.createDataFrame(rows).select("doc_id", "n_tokens")
+    seqs = packed_sequence_stats(sel, seq_len=2048).collect()
+    out["pack_sec"] = round(time.time() - t0, 1)
+    out["n_sequences"] = len(seqs)
+    out["packed_tokens"] = int(sum(r.n_tokens for r in seqs))
+    assert out["packed_tokens"] == sum(r.n_tokens for r in rows)
 
     path = os.path.join(
         os.path.dirname(__file__), "..", "scale_artifacts", "chain_sf10.json"
