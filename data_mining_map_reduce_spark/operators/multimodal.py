@@ -48,7 +48,7 @@ from typing import Callable, Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -1039,3 +1039,151 @@ def media_summary(media: DataFrame) -> DataFrame:
         )
         .orderBy("modality")
     )
+
+
+# ---------------------------------------------------------------------------
+# X38 perceptual media dedup (r16): dHash + Hamming-banded pairing.
+# ---------------------------------------------------------------------------
+
+PHASH_SCHEMA = "media_id long, modality string, phash long, decoded boolean"
+
+
+def dhash64(payload: bytes) -> int:
+    """64-bit difference hash (dHash, the classic perceptual image
+    fingerprint): decode → luma → 9×8 box-average downsample → one
+    bit per horizontally adjacent cell pair (left > right). Small
+    pixel noise, re-encoding, and resizing flip few cells, so
+    near-identical images land within a small Hamming radius — the
+    image-side analogue of SimHash on text. Raises if the payload is
+    not a decodable image (callers route the fallback)."""
+    import numpy as np
+
+    w, h, rgb = decode_image(payload)
+    a = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3).astype(np.float64)
+    # ITU-R BT.601 luma
+    luma = a[:, :, 0] * 0.299 + a[:, :, 1] * 0.587 + a[:, :, 2] * 0.114
+    # 9x8 box-average via split indices (handles w < 9 / h < 8 by
+    # repeating edge pixels — tiny images still hash)
+    ys = np.linspace(0, h, 9)[:-1].astype(int) if h >= 8 else np.zeros(8, int)
+    xs = np.linspace(0, w, 10)[:-1].astype(int) if w >= 9 else np.zeros(9, int)
+    ye = np.append(ys[1:], h) if h >= 8 else np.full(8, h)
+    xe = np.append(xs[1:], w) if w >= 9 else np.full(9, w)
+    grid = np.empty((8, 9))
+    for r in range(8):
+        for c in range(9):
+            block = luma[ys[r]:max(ye[r], ys[r] + 1), xs[c]:max(xe[c], xs[c] + 1)]
+            grid[r, c] = block.mean()
+    bits = (grid[:, :-1] > grid[:, 1:]).flatten()
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    # two's-complement into a signed 64-bit long (Spark LongType)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def perceptual_hashes(media: DataFrame) -> DataFrame:
+    """Arrow-batched perceptual hashing over binary payloads →
+    (media_id, modality, phash, decoded). Decodable images get the
+    real dHash; everything else falls back to an exact content hash
+    (md5 low 64 bits — detects byte-identical duplicates only) with
+    ``decoded = False`` so downstream pairing never mixes the two
+    hash spaces."""
+    import hashlib
+
+    def one(p) -> tuple[int, bool]:
+        if p is not None:
+            try:
+                return dhash64(bytes(p)), True
+            except (ValueError, NotImplementedError):
+                pass
+        raw = hashlib.md5(bytes(p or b"")).digest()[:8]
+        v = int.from_bytes(raw, "big")
+        return (v - (1 << 64) if v >= (1 << 63) else v), False
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hv, dec = zip(*(one(p) for p in pdf["payload"])) if len(pdf) else ((), ())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": pdf["modality"],
+                    "phash": pd.Series(hv, dtype="int64"),
+                    "decoded": pd.Series(dec, dtype="bool"),
+                }
+            )
+
+    return media.select("media_id", "modality", "payload").mapInPandas(
+        run, schema=PHASH_SCHEMA
+    )
+
+
+def media_near_dup_pairs(
+    media: DataFrame,
+    bands: int = 8,
+    hamming_max: int = 6,
+) -> DataFrame:
+    """Perceptual near-dup media pairs: Manku-style s-subset banding
+    over the 64-bit dHash (the simhash_near_dup_pairs scheme — see
+    operators/dedup.py:296 for the pigeonhole recall-1.0 argument and
+    the s-subset key-width math), verify popcount ≤ ``hamming_max``.
+    Fallback-hashed payloads (undecodable → exact md5 space) pair
+    only at Hamming 0, i.e. byte-identical content — the ``decoded``
+    flag joins as part of the band key so the two hash spaces never
+    cross. Returns (a, b, hamming, decoded).
+
+    Scale shape: the phash relation is one long per item (pinned
+    eagerly — it feeds both join sides through a 28-key explode);
+    candidates are band-bucketed, the verify is codegen popcount —
+    never an all-pairs join."""
+    import itertools as _it
+
+    bits = 64 // bands
+    m = bands - hamming_max
+    if m <= 0:
+        raise ValueError(
+            f"hamming_max={hamming_max} must be < bands={bands} for recall 1.0"
+        )
+    s = min(m, 2)
+    combos = list(_it.combinations(range(bands), s))
+
+    def _bval(i: int) -> Column:
+        return F.shiftright("phash", i * bits).bitwiseAND(F.lit((1 << bits) - 1))
+
+    keys = []
+    for cid, combo in enumerate(combos):
+        k: Column = F.lit(cid).cast("long")
+        for i in combo:
+            k = F.shiftleft(k, bits).bitwiseOR(_bval(i))
+        keys.append(k)
+
+    fp = perceptual_hashes(media).localCheckpoint(eager=True)
+    banded = fp.select(
+        "media_id",
+        "phash",
+        "decoded",
+        F.explode(F.array(*keys)).alias("_bkey"),
+    )
+    lhs = banded.select(
+        F.col("media_id").alias("a"),
+        F.col("phash").alias("_ha"),
+        "decoded",
+        "_bkey",
+    )
+    rhs = banded.select(
+        F.col("media_id").alias("b"),
+        F.col("phash").alias("_hb"),
+        "decoded",
+        "_bkey",
+    )
+    from ..functions.hashing import hamming64
+
+    verified = (
+        lhs.join(rhs, ["_bkey", "decoded"])
+        .where(F.col("a") < F.col("b"))
+        .select(
+            "a", "b", hamming64(F.col("_ha"), F.col("_hb")).alias("hamming"),
+            "decoded",
+        )
+    )
+    radius = F.when(F.col("decoded"), F.lit(hamming_max)).otherwise(F.lit(0))
+    return verified.where(F.col("hamming") <= radius).distinct()

@@ -4223,6 +4223,74 @@ def media_feature_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# X38 perceptual media dedup (r16): dHash over the REAL pure-Python
+# image decoders + Manku-banded Hamming pairing (the simhash scheme
+# on the image side). Planted probes drive the full path: image A, a
+# pixel-perturbed near-dup A' (dHash Hamming 2 — pinned at build
+# time, never by running the decoder in the oracle), and a far image
+# C (inverted gradient, Hamming 64 from both). Corpus text payloads
+# don't decode → the exact md5-fallback space, where byte-identical
+# texts pair at Hamming 0 (validated against exact_duplicate_groups
+# by pytest). Rows-only by nature (the decoder is not
+# SQL-expressible); tests/test_multimodal.py pins the planted pairs
+# and the fallback-equals-exact-dup property.
+# ---------------------------------------------------------------------------
+def _demo_png_variants() -> tuple[bytes, bytes]:
+    """(near-dup of _DEMO_PNG_PAYLOAD, far image): A' bumps a 2x2-ish
+    block (+120 luma on rows 5:7 x cols 8:10 — flips exactly 2 dHash
+    comparisons); C inverts the gradient (flips all 64)."""
+    import numpy as np
+
+    from .operators.multimodal import encode_png
+
+    w, h = 16, 12
+    x = np.arange(w)[None, :]
+    y = np.arange(h)[:, None]
+    px = np.stack(
+        [(x * 31 + y * 17) % 256, (x * 13 + y * 7) % 256, (x * 5 + y * 3) % 256],
+        axis=-1,
+    ).astype(np.uint8)
+    near = px.astype(int)
+    near[5:7, 8:10, :] = np.clip(near[5:7, 8:10, :] + 120, 0, 255)
+    far = (255 - px).astype(np.uint8)
+    return (
+        encode_png(w, h, near.astype(np.uint8).tobytes(), [0] * h),
+        encode_png(w, h, far.tobytes(), [0] * h),
+    )
+
+
+@query("media_phash_pairs")
+def media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import media_near_dup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    near_payload, far_payload = _demo_png_variants()
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.col("source").alias("modality"),
+        F.encode("text", "utf-8").alias("payload"),
+    ).unionByName(
+        spark.createDataFrame(
+            [
+                (-11, "_probe_img_a", bytearray(_DEMO_PNG_PAYLOAD)),
+                (-12, "_probe_img_near", bytearray(near_payload)),
+                (-13, "_probe_img_far", bytearray(far_payload)),
+                # byte-identical UNDECODABLE payloads: the md5
+                # fallback space must pair them at Hamming 0 (the
+                # corpus itself has no byte-identical raw texts —
+                # its planted dups differ pre-normalization)
+                (-14, "_probe_blob_dup", bytearray(b"opaque-blob-payload")),
+                (-15, "_probe_blob_dup", bytearray(b"opaque-blob-payload")),
+            ],
+            "media_id long, modality string, payload binary",
+        )
+    )
+    return media_near_dup_pairs(media, bands=8, hamming_max=6).orderBy(
+        "a", "b"
+    )
+
+
 # End-to-end dedup pipeline: exact-hash groups ∪ near-dup (exact
 # Jaccard >= 0.5) pairs → connected components → one canonical doc
 # (min doc_id) per duplicate cluster; every doc mapped, singletons to
@@ -6004,6 +6072,10 @@ _DRIVER_ORDER = [
     # -- r16 debut: quality-aware canonical selection (X16
     #    completion, FULL oracle) --
     "dedup_keep_best_docs",
+    # -- r16 debut: X38 perceptual media dedup (rows-only by nature —
+    #    the image decoder is not SQL-expressible; planted probes +
+    #    fallback-equals-exact-dup pytests) --
+    "media_phash_pairs",
     # -- changed-code r14 rows: the funnel exact-relation pin (r15
     #    verdict task 2), the PII regex extension (task 6), and the
     #    decontamination work sharing X27's overlap scoring (task 5) --
@@ -6030,7 +6102,6 @@ _DRIVER_ORDER = [
     "event_value_tier_counts",
     "exact_dup_doc_groups",
     "fingerprint_overlap_pairs",
-    "flagship_category_avg",
     # ---- driver cap (50) falls here ----
 ]
 
@@ -6042,6 +6113,7 @@ _DRIVER_ORDER = [
 # in-window query + pytest that grades the changed code path.
 _EXCLUDED_R16 = [
     # name                      last green driver row
+    ("flagship_category_avg", "r14; displaced by the late-r16 debuts (see fpgrowth_itemsets note); ALSO graded every round by the driver's entry() smoke, which runs exactly this query at sf0.001"),
     ("fpgrowth_itemsets", "r14; displaced by the five late-r16 debuts (packed_sequence_stats, domain_mixture_weights, quality_filter_stats, bpe_pair_counts, dedup_keep_best_docs — never-rowed queries must debut in-window); itemsets.py untouched this round and the SON==FPGrowth sf1 bit-parity pytest still grades it; r17-obligated first"),
     ("gn_quality_check", "r14; displaced by the late-r16 debuts (see fpgrowth_itemsets note); graph.py untouched this round, r17-obligated first"),
     ("graph_betweenness_sampled", "r14; same displacement note as gn_quality_check"),

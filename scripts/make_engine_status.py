@@ -143,6 +143,7 @@ EXTENSION_ROWS: list[tuple[str, str, list[str], str]] = [
     ("X35", "Domain-mixture reweighting", ["domain_mixture_weights"], "r16: natural vs target token shares -> sampling weights (The Pile's epochs), FULL oracle"),
     ("X36", "Model-based quality filter", ["quality_filter_stats"], "r16: GPT-3 appendix-A LR on HashingTF features, balanced weights, deterministic md5 Pareto keep rule; discrimination + keep-rule pytests"),
     ("X37", "BPE merge-candidate counts", ["bpe_pair_counts"], "r16: Sennrich iteration-one pair counts over distinct words, FULL oracle"),
+    ("X38", "Perceptual media dedup", ["media_phash_pairs"], "r16: dHash over the real decoders + Manku Hamming banding; planted-pair + fallback pytests"),
 ]
 
 

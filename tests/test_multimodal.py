@@ -839,3 +839,60 @@ def test_default_features_never_crashes_on_corrupt_media():
             broken[i] ^= int(rng.randint(1, 256))
             feats = _default_features(bytes(broken))
             assert len(feats) == FEATURE_DIM
+
+
+# ---------------------------------------------------------------------------
+# X38 perceptual media dedup (r16)
+# ---------------------------------------------------------------------------
+
+
+def test_dhash_properties():
+    """dHash invariants: self-distance 0; the planted near-dup
+    perturbation flips exactly 2 bits; the inverted gradient flips
+    all 64 (the gradient's comparisons all reverse)."""
+    from data_mining_map_reduce_spark.operators.multimodal import dhash64
+    from data_mining_map_reduce_spark.queries import (
+        _DEMO_PNG_PAYLOAD,
+        _demo_png_variants,
+    )
+
+    near, far = _demo_png_variants()
+    ha, hn, hf = dhash64(_DEMO_PNG_PAYLOAD), dhash64(near), dhash64(far)
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(ha, ha) == 0
+    assert ham(ha, hn) == 2
+    assert ham(ha, hf) == 64
+    assert ham(hn, hf) >= 60
+
+
+def test_media_phash_pairs_planted(spark):
+    """The registered query finds the planted (A, A') image pair via
+    the REAL decoder path at Hamming 2, never pairs the far image,
+    and its fallback-space pairs (undecodable text payloads) are
+    exactly the byte-identical exact-duplicate pairs."""
+    from itertools import combinations
+
+    from data_mining_map_reduce_spark.queries import SPARK_QUERIES
+    from data_mining_map_reduce_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = SPARK_QUERIES["media_phash_pairs"](spark, sf).collect()
+    decoded = {(r.a, r.b): r.hamming for r in rows if r.decoded}
+    assert decoded == {(-12, -11): 2}  # pair ids ordered a < b
+    fallback = {(r.a, r.b): r.hamming for r in rows if not r.decoded}
+    # the fallback (md5) space pairs byte-identical payloads only:
+    # the planted blob twins at Hamming 0, plus any corpus docs with
+    # identical RAW text bytes (there are none — planted dups differ
+    # pre-normalization; derived, not assumed)
+    docs = load_table(spark, sf, "documents").select("doc_id", "text").collect()
+    by_text: dict = {}
+    for r in docs:
+        by_text.setdefault(r.text, []).append(r.doc_id)
+    want = {(-15, -14): 0}
+    for ids in by_text.values():
+        for a, b in combinations(sorted(ids), 2):
+            want[(a, b)] = 0
+    assert fallback == want
