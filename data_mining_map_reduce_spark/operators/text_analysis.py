@@ -403,7 +403,15 @@ def domain_mixture_weights(
     the domain's token allocation at that budget. One scan + one
     tiny groupBy; the target map enters as a literal expression, so
     the whole computation is codegen and SQL-replayable (shares and
-    weights rounded to 6dp on both engines)."""
+    weights rounded to 6dp on both engines).
+
+    A domain whose documents all tokenize to zero tokens has
+    ``natural_share = 0``; its ``weight`` is NULL (``try_divide`` —
+    the sampling multiplier is undefined, there is nothing to
+    upsample) rather than an ANSI DIVIDE_BY_ZERO failure, and the
+    domain still gets its row. DuckDB's float ``x / 0`` is already
+    NULL, so the oracle matches without a guard (r16 ADVICE item 1).
+    """
     per = (
         docs.select(
             F.col(group_col), F.size(tokenize(F.col(text_col))).alias("_n")
@@ -415,7 +423,7 @@ def domain_mixture_weights(
         )
     )
     w_all = Window.partitionBy()
-    natural = F.col("n_tokens") / F.sum("n_tokens").over(w_all)
+    natural = F.try_divide(F.col("n_tokens"), F.sum("n_tokens").over(w_all))
     if target is None:
         tgt = F.lit(1.0) / F.count(F.lit(1)).over(w_all)
     else:
@@ -432,7 +440,7 @@ def domain_mixture_weights(
         "n_tokens",
         F.round(natural, 6).alias("natural_share"),
         F.round(tgt, 6).alias("target_share"),
-        F.round(tgt / natural, 6).alias("weight"),
+        F.round(F.try_divide(tgt, natural), 6).alias("weight"),
         F.round(tgt * F.sum("n_tokens").over(w_all)).cast("bigint").alias(
             "budget_tokens"
         ),

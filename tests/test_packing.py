@@ -161,6 +161,23 @@ def test_mixture_weights_explicit_target(spark):
     assert rows["s2"].weight == pytest.approx(0.5, abs=1e-6)
 
 
+def test_mixture_weights_zero_token_domain(spark):
+    """A domain whose docs all tokenize to zero tokens must still get
+    its row (weight NULL via try_divide), not blow up the whole query
+    with DIVIDE_BY_ZERO under the ANSI session (r16 ADVICE item 1)."""
+    docs = spark.createDataFrame(
+        [(1, "a b c", "s1"), (2, "", "empty"), (3, "   ", "empty")],
+        "doc_id long, text string, source string",
+    )
+    rows = {r.source: r for r in domain_mixture_weights(docs).collect()}
+    assert set(rows) == {"s1", "empty"}
+    e = rows["empty"]
+    assert (e.n_docs, e.n_tokens, e.natural_share) == (2, 0, 0.0)
+    assert e.weight is None  # undefined multiplier, reported not raised
+    assert e.target_share == 0.5
+    assert rows["s1"].weight == pytest.approx(0.5, abs=1e-6)
+
+
 def test_bpe_pair_counts_golden(spark):
     """Hand-computed BPE pair counts: 'aab' x2 + 'ab' x1 + 'a' x1
     (too short) -> aa:2, ab:3; multiplicity-weighted, one enumeration
