@@ -60,6 +60,18 @@ def packed_doc_spans(
     Zero-token documents are excluded — they contribute nothing to
     the stream (same contract as doc_lm_perplexity's >= 1-token
     rule).
+
+    Eager-action note (the _guard_lsh_verify convention): building
+    this DataFrame runs TWO driver jobs before the caller's own
+    action — the eager localCheckpoint that materializes the
+    range-partitioned relation, then the per-partition subtotal
+    collect (bounded: one row per partition). The checkpoint pins
+    the partition layout so the subtotal job and the final plan read
+    the SAME placement — without it, a nondeterministic upstream
+    (rand/sample/nondeterministic source) could land rows in
+    different range partitions across the two executions and yield
+    silently wrong offsets (r16 ADVICE item 2; cf. the
+    media_near_dup_pairs pin).
     """
     tok = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
     base = (
@@ -70,6 +82,7 @@ def packed_doc_spans(
         )
         .where(F.col("n_tokens") > 0)
         .repartitionByRange(parts, "_hv", "_id")
+        .localCheckpoint(eager=True)
     )
     pid = F.spark_partition_id()
     w_local = (

@@ -111,6 +111,30 @@ def test_packing_layout_invariant(spark):
     #                          prefix-sum partition count are all invisible
 
 
+def test_packing_nondeterministic_upstream(spark):
+    """The eager localCheckpoint pins the range partitioning, so a
+    nondeterministic upstream (rand-derived repartition) cannot place
+    rows differently between the subtotal job and the final job
+    (r16 ADVICE item 2). The offsets must be internally consistent:
+    exactly the prefix sums of the hash order, no gaps, no overlaps."""
+    rows = [(i, (i * 7) % 15 + 1) for i in range(50)]
+    docs = (
+        spark.createDataFrame(rows, "doc_id long, n_tokens long")
+        .repartition(11, F.floor(F.rand() * 8))
+    )
+    spans = sorted(
+        packed_doc_spans(docs, seq_len=16, parts=5).collect(),
+        key=lambda r: r.start,
+    )
+    acc = 0
+    want = dict(rows)
+    for s in spans:
+        assert s.start == acc  # contiguous: no gap, no overlap
+        assert s.n_tokens == want[s.doc_id]
+        acc += s.n_tokens
+    assert acc == sum(n for _, n in rows)
+
+
 def test_doc_longer_than_sequence_spans_many(spark):
     docs = spark.createDataFrame([(1, 100)], "doc_id long, n_tokens long")
     s = packed_doc_spans(docs, seq_len=10).first()
