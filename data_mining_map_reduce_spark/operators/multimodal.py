@@ -1084,25 +1084,36 @@ def dhash64(payload: bytes) -> int:
 def perceptual_hashes(media: DataFrame) -> DataFrame:
     """Arrow-batched perceptual hashing over binary payloads →
     (media_id, modality, phash, decoded). Decodable images get the
-    real dHash; everything else falls back to an exact content hash
-    (md5 low 64 bits — detects byte-identical duplicates only) with
-    ``decoded = False`` so downstream pairing never mixes the two
-    hash spaces."""
+    real dHash; undecodable payloads fall back to an exact content
+    hash (md5 low 64 bits — detects byte-identical duplicates only)
+    with ``decoded = False`` so downstream pairing never mixes the
+    two hash spaces. A NULL payload hashes a per-``media_id``
+    sentinel, NOT md5(b'') — two rows with missing content are not
+    byte-identical duplicates, so NULLs never pair with each other
+    (r16 ADVICE item 3)."""
     import hashlib
 
-    def one(p) -> tuple[int, bool]:
+    def one(mid, p) -> tuple[int, bool]:
         if p is not None:
             try:
                 return dhash64(bytes(p)), True
             except (ValueError, NotImplementedError):
                 pass
-        raw = hashlib.md5(bytes(p or b"")).digest()[:8]
+        raw = (
+            hashlib.md5(b"\x00null-payload:%d" % int(mid)).digest()[:8]
+            if p is None
+            else hashlib.md5(bytes(p)).digest()[:8]
+        )
         v = int.from_bytes(raw, "big")
         return (v - (1 << 64) if v >= (1 << 63) else v), False
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            hv, dec = zip(*(one(p) for p in pdf["payload"])) if len(pdf) else ((), ())
+            hv, dec = (
+                zip(*(one(m, p) for m, p in zip(pdf["media_id"], pdf["payload"])))
+                if len(pdf)
+                else ((), ())
+            )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

@@ -896,3 +896,30 @@ def test_media_phash_pairs_planted(spark):
         for a, b in combinations(sorted(ids), 2):
             want[(a, b)] = 0
     assert fallback == want
+
+
+def test_null_payloads_never_pair(spark):
+    """Two NULL payloads hash per-media_id sentinels, so 'missing
+    content' never reports as 'identical content' (r16 ADVICE item
+    3); a NULL also never pairs with real content, and each NULL row
+    still gets a phash row with decoded=False."""
+    from data_mining_map_reduce_spark.operators.multimodal import (
+        media_near_dup_pairs,
+        perceptual_hashes,
+    )
+
+    media = spark.createDataFrame(
+        [
+            (1, "image", None),
+            (2, "image", None),
+            (3, "image", b"same-bytes"),
+            (4, "image", b"same-bytes"),
+        ],
+        "media_id long, modality string, payload binary",
+    )
+    fp = {r.media_id: r for r in perceptual_hashes(media).collect()}
+    assert len(fp) == 4 and not any(r.decoded for r in fp.values())
+    assert fp[1].phash != fp[2].phash  # per-id sentinels differ
+    assert fp[3].phash == fp[4].phash  # real identical bytes still collide
+    pairs = {(r.a, r.b) for r in media_near_dup_pairs(media).collect()}
+    assert pairs == {(3, 4)}
