@@ -60,7 +60,19 @@ def quality_classifier_scores(
     a logistic regression on hashed unigram counts, weak-labelled by
     ``group_col == target_value``. ``keep`` = score > 1 - x where
     x ~ Pareto(``pareto_alpha``) via the md5 inverse-CDF draw (GPT-3
-    appendix A used alpha = 9)."""
+    appendix A used alpha = 9).
+
+    Eager-action note (the _guard_lsh_verify convention): building
+    this DataFrame runs driver actions before the caller's own — the
+    class-count aggregate below (one row) and the L-BFGS ``fit``
+    (its own distributed jobs; driver state = one ``num_features``
+    coefficient vector). Both are bounded at any corpus size: the
+    agg returns two scalars and the fit's driver footprint is the
+    vector, never the data. The classifier intentionally trains and
+    scores on the SAME rows — the GPT-3 recipe scores the full
+    corpus with a weak-labelled model; generalization is pinned by
+    the held-out discrimination pytest, not by a train/test split
+    here."""
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.feature import HashingTF
 
