@@ -1,0 +1,193 @@
+"""X37 complete: byte-pair-encoding tokenizer training + encoding
+(Sennrich et al. 2016, arXiv:1508.07909 §3.2 — the algorithm every
+modern LLM tokenizer descends from; GPT-2's byte-level BPE and
+SentencePiece's BPE mode are the same loop over different initial
+alphabets).
+
+r16 shipped iteration one (``bpe_pair_counts`` — the merge-candidate
+scan); this module closes the loop: LEARN a merge list, ENCODE with
+it, and feed real learned-tokenizer token counts to downstream
+consumers (X34 sequence packing, token budgets).
+
+Scale design — the paper's own decomposition, made Spark-first:
+
+- The only corpus-sized stage is the word-count collapse (one scan,
+  one groupBy: corpus tokens >> distinct words — the zipf cut
+  ``bpe_pair_counts`` already used). Everything after operates on
+  the DISTINCT-WORD relation, which is vocabulary-bound: its size
+  grows with vocabulary, not corpus (31 words at sf0.01, ~10-100 M
+  at web scale — still executor-trivial).
+- Each merge iteration is one distributed pair-count + argmax
+  (driver receives ONE row) + one codegen merge-apply over the word
+  relation, re-pinned with an eager localCheckpoint so lineage never
+  deepens. Driver state = the merge list (``n_merges`` tuples).
+- The merge APPLICATION is a whitespace-encoded left fold
+  (``F.aggregate`` — JVM codegen, no UDF): symbols are joined with
+  single spaces, and folding symbol ``x`` onto accumulator ``acc``
+  concatenates WITHOUT the space exactly when ``acc`` ends with the
+  merge's left symbol and ``x`` is its right — the greedy
+  left-to-right, non-overlapping application Sennrich's reference
+  regex performs. The identical fold runs in DuckDB's
+  ``list_reduce``, so the whole training loop is FULL-oracle
+  replayable as an iterated CTE chain (see queries.py).
+- Encoding applies the learned merges in rank order as ONE composed
+  column expression (merge k can only create symbols from merges
+  < k, so sequential rank-order application equals the
+  priority-queue encode) — zero extra jobs, zero driver state at
+  encode time.
+
+Deltas from the paper, pinned for oracle determinism: no ``</w>``
+end-of-word marker (the engine's tokenizer already separates words;
+``bpe_pair_counts`` set this convention in r16), and argmax ties
+break by (count desc, left, right) — binary collation on both
+engines — instead of Python dict order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import normalize, tokenize
+
+__all__ = [
+    "bpe_word_counts",
+    "bpe_learn",
+    "apply_merges",
+    "bpe_token_counts",
+]
+
+
+def bpe_word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The corpus→vocabulary collapse (the one corpus-sized stage):
+    (w, c, syms) — distinct normalized words, occurrence counts, and
+    the initial character-symbol array. Same normalize+tokenize
+    contract as ``bpe_pair_counts`` (lower + strip punctuation,
+    whitespace split)."""
+    wc = (
+        docs.select(F.explode(tokenize(normalize(F.col(text_col)))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    syms = F.transform(
+        F.sequence(F.lit(1), F.length("w")),
+        lambda i: F.substr(F.col("w"), i, F.lit(1)),
+    )
+    return wc.select("w", "c", syms.alias("syms"))
+
+
+def _fold_merge(syms: Column, left: str, right: str) -> Column:
+    """Greedy left-to-right application of one merge (left, right) to
+    a symbol array — the whitespace-encoded fold described in the
+    module docstring. Pure codegen (aggregate + concat + split);
+    symbols never contain spaces (whitespace-tokenized input), so the
+    space-joined accumulator encoding is lossless."""
+    tail = F.slice(syms, 2, F.size(syms) - 1)
+    init = F.element_at(syms, 1)
+    folded = F.aggregate(
+        tail,
+        init,
+        lambda acc, x: F.when(
+            (x == F.lit(right))
+            & ((acc == F.lit(left)) | acc.endswith(" " + left)),
+            F.concat(acc, x),
+        ).otherwise(F.concat(acc, F.lit(" "), x)),
+    )
+    return F.split(folded, " ")
+
+
+def apply_merges(
+    syms: Column, merges: list[tuple[str, str]]
+) -> Column:
+    """BPE-encode a symbol array with a learned merge list: apply
+    each merge in rank order as one composed expression. Equivalent
+    to the priority-queue encode — merge k's output symbol cannot
+    appear before step k, so earlier merges are never re-enabled by
+    later ones — with zero extra jobs."""
+    out = syms
+    for left, right in merges:
+        out = _fold_merge(out, left, right)
+    return out
+
+
+def bpe_learn(
+    docs: DataFrame,
+    n_merges: int = 16,
+    text_col: str = "text",
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """Train a BPE merge list on the corpus (Sennrich §3.2's learner,
+    distributed): returns (merges, words) where ``merges`` is
+    [(step, left, right, pair_count), ...] in learned order and
+    ``words`` is the final vocabulary relation (w, c, syms) with all
+    merges applied — the encode table ``bpe_token_counts`` joins
+    against.
+
+    Pair counts follow the reference implementation: adjacent symbol
+    pairs enumerated per DISTINCT word, overlapping occurrences
+    counted, weighted by word multiplicity. Stops early if no pair
+    remains (every word a single symbol).
+
+    Eager-action note (the _guard_lsh_verify convention): this runs
+    2·``n_merges`` + 1 driver actions at call time — per iteration
+    one single-row argmax collect and one eager localCheckpoint of
+    the vocabulary-bound word relation (plus the initial pin). Every
+    action is vocabulary-sized, never corpus-sized; driver state is
+    the merge list alone."""
+    words = bpe_word_counts(docs, text_col=text_col).localCheckpoint(eager=True)
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(n_merges):
+        pair = F.zip_with(
+            F.slice("syms", 1, F.size("syms") - 1),
+            F.slice("syms", 2, F.size("syms") - 1),
+            lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+        )
+        best = (
+            words.where(F.size("syms") >= 2)
+            .select("c", F.explode(pair).alias("p"))
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("c").alias("n"))
+            .orderBy(F.col("n").desc(), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        l, r, n = best[0]["l"], best[0]["r"], int(best[0]["n"])
+        merges.append((step, l, r, n))
+        words = words.withColumn(
+            "syms", _fold_merge(F.col("syms"), l, r)
+        ).localCheckpoint(eager=True)
+    return merges, words
+
+
+def bpe_token_counts(
+    docs: DataFrame,
+    words: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document LEARNED-tokenizer token counts: (id, n_tokens_ws,
+    n_tokens_bpe). Encodes via the vocabulary relation, not per-doc
+    folding — each doc explodes to its words, joins the (broadcast,
+    vocabulary-bound) encode table, and sums symbol counts; word
+    occurrences not in ``words`` (impossible when trained on the same
+    corpus) would count their character length via the coalesce
+    fallback. This is the 100 TB shape: the merge folds run once per
+    DISTINCT word, never per occurrence."""
+    enc = F.broadcast(
+        words.select("w", F.size("syms").cast("long").alias("_n_bpe"))
+    )
+    tok = docs.select(
+        F.col(id_col),
+        F.explode(tokenize(normalize(F.col(text_col)))).alias("w"),
+    )
+    return (
+        tok.join(enc, "w", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens_ws"),
+            F.sum(F.coalesce("_n_bpe", F.length("w").cast("long"))).alias(
+                "n_tokens_bpe"
+            ),
+        )
+    )
