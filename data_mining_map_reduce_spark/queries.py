@@ -95,39 +95,46 @@ def flagship_category_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# A1: global count (reference Assignment1/task1.py:22)
-# ---------------------------------------------------------------------------
-@query("count_global", "SELECT COUNT(*) AS n FROM lineitem")
-def count_global(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return R.count_rows(load_table(spark, sf_dir, "lineitem"))
-
-
-# ---------------------------------------------------------------------------
-# A2+F3: count per extracted year (reference Assignment1/task1.py:18,25)
+# A1 + A2 + A3 (+F3) in one multi-metric row (r16 verdict task 8:
+# roster consolidation — the former count_global / count_by_year /
+# distinct_users trivia counters, r15-green since their debut, merged
+# into one oracle row with identical operator evidence). Each metric
+# is still computed by its own relational helper (count_rows /
+# count_by / distinct_count — reference Assignment1/task1.py:18-29),
+# then union'd into (metric, k, n); the year-keyed metric carries its
+# key in k, the global metrics carry NULL.
 # ---------------------------------------------------------------------------
 @query(
-    "count_by_year",
+    "basic_count_stats",
     """
-    SELECT CAST(year(o_orderdate) AS INTEGER) AS yr, COUNT(*) AS n
-    FROM orders GROUP BY yr ORDER BY yr
+    SELECT 'count_by_year' AS metric, CAST(year(o_orderdate) AS INTEGER) AS k,
+           COUNT(*) AS n
+    FROM orders GROUP BY 2
+    UNION ALL
+    SELECT 'count_global', NULL, COUNT(*) FROM lineitem
+    UNION ALL
+    SELECT 'distinct_users', NULL, COUNT(DISTINCT o_custkey) FROM orders
+    ORDER BY metric, k
     """,
 )
-def count_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+def basic_count_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
-    return (
-        R.count_by(orders.select(F.year("o_orderdate").alias("yr")), "yr")
-        .orderBy("yr")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    null_k = F.lit(None).cast("int")
+    by_year = R.count_by(
+        orders.select(F.year("o_orderdate").alias("yr")), "yr"
+    ).select(
+        F.lit("count_by_year").alias("metric"),
+        F.col("yr").cast("int").alias("k"),
+        "n",
     )
-
-
-# ---------------------------------------------------------------------------
-# A3: exact distinct count (reference Assignment1/task1.py:29)
-# ---------------------------------------------------------------------------
-@query("distinct_users", "SELECT COUNT(DISTINCT o_custkey) AS n_users FROM orders")
-def distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return R.distinct_count(
-        load_table(spark, sf_dir, "orders"), "o_custkey", alias="n_users"
+    glob = R.count_rows(lineitem).select(
+        F.lit("count_global").alias("metric"), null_k.alias("k"), "n"
     )
+    dist = R.distinct_count(orders, "o_custkey", alias="n").select(
+        F.lit("distinct_users").alias("metric"), null_k.alias("k"), "n"
+    )
+    return by_year.unionByName(glob).unionByName(dist).orderBy("metric", "k")
 
 
 # ---------------------------------------------------------------------------
@@ -1106,56 +1113,51 @@ def reservoir_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# ST4 exact twin: per-window exact distinct users (SQL-expressible →
-# full oracle); the approx variant below mirrors the reference's
-# per-window FM emission (Assignment6/task2.py:91).
+# ST4, both halves in one row (r16 verdict task 8: the former
+# window_distinct_users_exact/_approx twins merged, identical
+# operator evidence): per-window EXACT distinct users (windowed
+# countDistinct) joined with the per-window Flajolet-Martin estimate
+# — the reference's ACTUAL A6-task2 emission shape (one (time,
+# truth, estimate) row per window, Assignment6/task2.py:87-91).
+# FULL oracle: exact half is plain SQL; the md5-derived FM family
+# replays per window in DuckDB (the global HLL++ twin
+# `approx_distinct_users` stays as the engine-native alternative,
+# rows-only by nature). Per-window accuracy also pytest-asserted.
 # ---------------------------------------------------------------------------
 @query(
-    "window_distinct_users_exact",
-    """
-    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
-           COUNT(DISTINCT user_id) AS n_users
-    FROM events GROUP BY window_start ORDER BY window_start
+    "window_distinct_users",
+    f"""
+    WITH e AS (
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM events GROUP BY window_start
+    ),
+    a AS (
+        SELECT * FROM ({_fm_oracle_sql(
+            '''SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+                      user_id AS u FROM events''',
+            group_col="window_start",
+            alias="n_users_approx",
+        )})
+    )
+    SELECT e.window_start, e.n_users, a.n_users_approx
+    FROM e JOIN a USING (window_start) ORDER BY window_start
     """,
 )
-def window_distinct_users_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events")
-    return (
-        events.groupBy(F.window("ts", "1 hour").alias("w"))
-        .agg(F.countDistinct("user_id").alias("n_users"))
-        .select(F.col("w.start").alias("window_start"), "n_users")
-        .orderBy("window_start")
-    )
-
-
-# ---------------------------------------------------------------------------
-# ST4: per-window approximate distinct — per-window Flajolet-Martin,
-# the reference's ACTUAL A6-task2 emission shape (one FM estimate per
-# window, Assignment6/task2.py:87-91). FULL oracle: the md5-derived
-# FM family replays per window in DuckDB (the global HLL++ twin
-# `approx_distinct_users` stays as the engine-native alternative,
-# rows-only by nature). Per-window accuracy vs the exact twin
-# pytest-asserted.
-# ---------------------------------------------------------------------------
-@query(
-    "window_distinct_users_approx",
-    _fm_oracle_sql(
-        """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
-                  user_id AS u FROM events""",
-        group_col="window_start",
-        alias="n_users_approx",
-    ),
-)
-def window_distinct_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+def window_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.sketches import fm_distinct_estimate_by
 
     events = load_table(spark, sf_dir, "events")
-    win = events.select(
-        F.window("ts", "1 hour").alias("w"), "user_id"
-    ).select(F.col("w.start").alias("window_start"), "user_id")
-    return fm_distinct_estimate_by(
+    win = events.select(F.window("ts", "1 hour").alias("w"), "user_id").select(
+        F.col("w.start").alias("window_start"), "user_id"
+    )
+    exact = win.groupBy("window_start").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+    approx = fm_distinct_estimate_by(
         win, "user_id", ["window_start"], alias="n_users_approx"
-    ).orderBy("window_start")
+    )
+    return exact.join(approx, "window_start").orderBy("window_start")
 
 
 # ---------------------------------------------------------------------------
@@ -3484,6 +3486,167 @@ def bpe_pair_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bpe_pair_counts(docs, k=50)
+
+
+# ---------------------------------------------------------------------------
+# X37 complete (r17): the BPE merge LOOP + encoder (Sennrich 2016
+# §3.2 — operators/bpe.py). The whole training loop is FULL-oracle
+# replayable: each Spark iteration (pair-count → deterministic
+# argmax → greedy merge fold) maps to one CTE triple (p{k}, m{k},
+# w{k+1}), with the merge application as the identical
+# whitespace-encoded left fold on both engines (F.aggregate vs
+# DuckDB list_reduce). _BPE_N_MERGES pins the loop depth so the
+# generated chain and the Spark driver loop agree.
+# ---------------------------------------------------------------------------
+_BPE_N_MERGES = 16
+
+_BPE_TOKS_SQL = r"""SELECT doc_id,
+               unnest(list_filter(string_split_regex(
+                   translate(lower(text), '([,.!?:;])', ''), '\s+'),
+                   x -> x <> '')) AS w
+        FROM documents"""
+
+
+def _bpe_cte_chain(n_merges: int) -> str:
+    """The iterated-CTE replay of bpe_learn: w0 is the corpus→vocab
+    collapse; each step k derives overlapping adjacent-pair counts
+    (p{k}), the deterministic argmax (m{k}), and the merged
+    vocabulary (w{k+1}) via the same greedy left-to-right fold the
+    Spark side runs in F.aggregate. Every CTE is MATERIALIZED (the
+    pointer-jump precedent): each level references w{k} twice, so
+    DuckDB's default inlining would expand 2^n copies of the scan."""
+    ctes = [
+        f"""w0 AS MATERIALIZED (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS c,
+               list_transform(generate_series(1, len(w)),
+                              i -> substr(w, i, 1)) AS syms
+        FROM ({_BPE_TOKS_SQL})
+        GROUP BY w
+    )"""
+    ]
+    for k in range(n_merges):
+        ctes.append(
+            f"""p{k} AS MATERIALIZED (
+        SELECT syms[i] AS l, syms[i + 1] AS r, CAST(SUM(c) AS BIGINT) AS n
+        FROM (SELECT c, syms, unnest(generate_series(1, len(syms) - 1)) AS i
+              FROM w{k} WHERE len(syms) >= 2)
+        GROUP BY 1, 2
+    ), m{k} AS MATERIALIZED (
+        SELECT {k} AS step, l, r, n FROM p{k} ORDER BY n DESC, l, r LIMIT 1
+    ), w{k + 1} AS MATERIALIZED (
+        SELECT w, c, string_split(list_reduce(syms, (acc, x) ->
+            CASE WHEN x = m{k}.r
+                      AND (acc = m{k}.l OR ends_with(acc, ' ' || m{k}.l))
+                 THEN acc || x ELSE acc || ' ' || x END), ' ') AS syms
+        FROM w{k}, m{k}
+    )"""
+        )
+    return "WITH " + ",\n    ".join(ctes)
+
+
+@query(
+    "bpe_learned_merges",
+    _bpe_cte_chain(_BPE_N_MERGES)
+    + "\n    SELECT step, l, r, n FROM ("
+    + " UNION ALL ".join(
+        f"SELECT * FROM m{k}" for k in range(_BPE_N_MERGES)
+    )
+    + ") ORDER BY step",
+)
+def bpe_learned_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained merge list itself: (step, l, r, n) in learned
+    order. Runs the distributed merge loop at construction (eager
+    actions — see bpe_learn's docstring); the result relation is
+    driver state re-lifted into a DataFrame, bounded at
+    _BPE_N_MERGES rows."""
+    from .operators.bpe import bpe_learn
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges, _ = bpe_learn(docs, n_merges=_BPE_N_MERGES)
+    return spark.createDataFrame(
+        merges, "step int, l string, r string, n long"
+    ).orderBy("step")
+
+
+@query(
+    "bpe_token_counts",
+    _bpe_cte_chain(_BPE_N_MERGES)
+    + f"""
+    SELECT d.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens_ws,
+           CAST(SUM(COALESCE(len(v.syms), len(d.w))) AS BIGINT)
+               AS n_tokens_bpe
+    FROM ({_BPE_TOKS_SQL}) d
+    LEFT JOIN w{_BPE_N_MERGES} v USING (w)
+    GROUP BY d.doc_id ORDER BY d.doc_id""",
+)
+def bpe_token_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned-tokenizer token counts per document — what X34's
+    packing manifests and token budgets should run on instead of
+    whitespace counts. The encode table (vocabulary-bound) joins
+    broadcast against the per-occurrence explode; the merge folds
+    run once per DISTINCT word."""
+    from .operators.bpe import bpe_learn, bpe_token_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    _, words = bpe_learn(docs, n_merges=_BPE_N_MERGES)
+    return bpe_token_counts(docs, words).orderBy("doc_id")
+
+
+@query(
+    "packed_sequence_stats_bpe",
+    _bpe_cte_chain(_BPE_N_MERGES)
+    + f""",
+    t AS (
+        SELECT d.doc_id,
+               CAST(SUM(len(v.syms)) AS BIGINT) AS n_tokens,
+               CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS hv
+        FROM ({_BPE_TOKS_SQL}) d
+        JOIN w{_BPE_N_MERGES} v USING (w)
+        GROUP BY d.doc_id
+    ),
+    p AS (
+        SELECT doc_id, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (
+                   ORDER BY hv, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st
+        FROM t WHERE n_tokens > 0
+    ),
+    s AS (
+        SELECT st, st + n_tokens AS e,
+               CAST(floor(st / 2048) AS BIGINT) AS first_seq,
+               CAST(floor((st + n_tokens - 1) / 2048) AS BIGINT) AS last_seq
+        FROM p
+    ),
+    x AS (
+        SELECT unnest(generate_series(first_seq, last_seq)) AS seq_id,
+               st, e, first_seq = last_seq AS single
+        FROM s
+    )
+    SELECT seq_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN single THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_docs_full,
+           CAST(SUM(LEAST(e, (seq_id + 1) * 2048)
+                    - GREATEST(st, seq_id * 2048)) AS BIGINT) AS n_tokens
+    FROM x GROUP BY seq_id ORDER BY seq_id""",
+)
+def packed_sequence_stats_bpe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X34 × X37: the packing plan fed by LEARNED-tokenizer counts —
+    the train-vocab → encode → pack chain a real pipeline ships
+    (whitespace-token packing was the r16 placeholder). Same
+    two-phase distributed prefix sum; only the token relation
+    changes."""
+    from .operators.bpe import bpe_learn, bpe_token_counts
+    from .operators.packing import packed_sequence_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    _, words = bpe_learn(docs, n_merges=_BPE_N_MERGES)
+    counts = bpe_token_counts(docs, words).select(
+        "doc_id", F.col("n_tokens_bpe").alias("n_tokens")
+    )
+    return packed_sequence_stats(counts, seq_len=2048)
 
 
 # ---------------------------------------------------------------------------

@@ -42,10 +42,10 @@ SURVEY_ROWS: list[tuple[str, str, list[str], str]] = [
     ("S10", "Single-node no-Spark path", ["solo_flagship_parity"], "solo.py (r11): pyarrow+numpy twin, pytest parity vs Spark flagship"),
     ("S11", "ORC + gzipped-JSONL sources (r15)", [], "pytest round-trips: ORC pushdown plan-asserted; one task per .gz shard pinned"),
     ("P1", "Field projection", ["flagship_category_avg"], ""),
-    ("P2", "Equality filter", ["count_by_year"], ""),
+    ("P2", "Equality filter", ["basic_count_stats"], ""),
     ("P3", "Null filter", ["join_filter_brand_counts"], ""),
     ("P4", "Threshold filter on aggregate", ["cooccurrence_pairs"], ""),
-    ("P5", "Distinct / dropDuplicates", ["distinct_users"], ""),
+    ("P5", "Distinct / dropDuplicates", ["basic_count_stats"], ""),
     ("P6", "Membership vs broadcast list", ["word_count_top20"], ""),
     ("J1", "Left outer equi-join", ["join_filter_brand_counts"], ""),
     ("J2", "Broadcast hash join", ["flagship_category_avg"], "plan-asserted (test_plans)"),
@@ -54,9 +54,9 @@ SURVEY_ROWS: list[tuple[str, str, list[str], str]] = [
     ("J5", "Broadcast NL join vs centroids", ["kmeans_wcss_check"], "pytest"),
     ("J6", "Unordered-pair dedup (a<b)", ["minhash_lsh_pairs", "jaccard_pairs_exact"], ""),
     ("J+", "Range join (engine extra)", ["event_value_tier_counts"], "BNLJ plan-asserted"),
-    ("A1", "Global count", ["count_global"], ""),
-    ("A2", "Count by key", ["count_by_year"], ""),
-    ("A3", "Distinct count", ["distinct_users"], ""),
+    ("A1", "Global count", ["basic_count_stats"], ""),
+    ("A2", "Count by key", ["basic_count_stats"], ""),
+    ("A3", "Distinct count", ["basic_count_stats"], ""),
     ("A4", "Sum+count → average", ["flagship_category_avg", "avg_price_by_priority"], ""),
     ("A5", "collect_set baskets", ["baskets_by_customer"], ""),
     ("A6", "collect_list", ["order_item_lists"], ""),
@@ -89,7 +89,7 @@ SURVEY_ROWS: list[tuple[str, str, list[str], str]] = [
     ("ST1", "Micro-batch trigger", [], "pytest test_streaming"),
     ("ST2", "Sliding/tumbling/session windows", ["window_tumbling_hourly", "window_sliding_hourly", "session_windows_per_user"], ""),
     ("ST3", "Watermark / late data", [], "pytest cross-batch drop"),
-    ("ST4", "Per-window distinct estimate", ["window_distinct_users_exact", "window_distinct_users_approx"], ""),
+    ("ST4", "Per-window distinct estimate", ["window_distinct_users"], ""),
     ("ST5", "foreachBatch sink", [], "pytest"),
     ("ST6", "Reservoir sample", ["reservoir_sample_events"], ""),
     ("ST7", "BFR chunked rounds", ["bfr_round_stats"], "pinned 4-round counts pytest"),

@@ -294,7 +294,7 @@ def test_no_rowwise_python_or_cartesian_anywhere_fast_subset(spark, sf_dir):
     from data_mining_map_reduce_spark.queries import SPARK_QUERIES
 
     fast = [
-        "flagship_category_avg", "count_by_year", "join_filter_brand_counts",
+        "flagship_category_avg", "basic_count_stats", "join_filter_brand_counts",
         "top_customers_per_segment", "event_rollup_multigrain", "revenue_cube",
         "word_count_top20", "tfidf_top_terms", "doc_lm_perplexity",
         "source_token_kl", "doc_dsir_weights", "stratified_doc_sample",
