@@ -2480,6 +2480,7 @@ def _corpus_funnel_impl(
     lsh: bool,
     docs: DataFrame | None = None,
     semantic: float | None = None,
+    quality_model: float | None = None,
     survivors: bool = False,
 ) -> DataFrame:
     # ``docs`` (r15): the funnel over an injected document set instead
@@ -2562,6 +2563,25 @@ def _corpus_funnel_impl(
     )
     names = ["raw", "exact_dedup", "near_dedup", "quality", "lang_en"]
     conds = [k1, k2, k3, k4]
+    if quality_model is not None:
+        # X36 × X23 (r17, verdict task 4): model-based quality
+        # stacked after the heuristic stages — real pipelines run
+        # heuristic quality -> model-based quality -> (semantic)
+        # dedup. ``quality_model`` is the Pareto alpha of the GPT-3
+        # keep rule. The classifier trains on the FULL corpus (the
+        # recipe's weak-label contract, see quality_model.py — runs
+        # its bounded eager fit at construction) and the stage keeps
+        # survivors whose md5-Pareto draw clears their score. With
+        # the None default this branch is never entered and every
+        # existing funnel plan is untouched.
+        from .operators.quality_model import quality_classifier_scores
+
+        mq = quality_classifier_scores(
+            docs, target_value="src0", pareto_alpha=quality_model
+        ).select("doc_id", F.col("keep").alias("_mq"))
+        flags = flags.join(mq, "doc_id", "left")
+        conds.append(conds[-1] & F.coalesce(F.col("_mq"), F.lit(False)))
+        names.append("model_quality")
     if semantic is not None:
         # X32 × X23 (r16): stack embedding-level SemDeDup AFTER the
         # text stages — real pipelines dedup semantically on what
@@ -2575,7 +2595,10 @@ def _corpus_funnel_impl(
         from .operators.ann import semantic_dedup
 
         flags = flags.localCheckpoint(eager=False)
-        surv = flags.where(k4).select("doc_id")
+        # chains off whatever stage precedes it (lang_en, or
+        # model_quality when that stage is stacked); conds[-1] IS k4
+        # when quality_model is None, so the plans are unchanged
+        surv = flags.where(conds[-1]).select("doc_id")
         emb = (
             load_table(spark, sf_dir, "embeddings")
             .join(surv, F.col("vec_id") == F.col("doc_id"))
@@ -2589,7 +2612,7 @@ def _corpus_funnel_impl(
         # a survivor without an embedding row is not evaluable by the
         # semantic stage — kept (coalesce TRUE), mirroring how the
         # text stages keep docs too short to shingle
-        conds.append(k4 & F.coalesce(F.col("_sem"), F.lit(True)))
+        conds.append(conds[-1] & F.coalesce(F.col("_sem"), F.lit(True)))
         names.append("semantic_dedup")
 
     if survivors:
@@ -2661,6 +2684,20 @@ def corpus_curation_funnel_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("corpus_curation_funnel_semantic")
 def corpus_curation_funnel_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _corpus_funnel_impl(spark, sf_dir, lsh=True, semantic=0.4)
+
+
+# X36 × X23 (r17, verdict task 4): the funnel with the GPT-3
+# model-based quality filter stacked after the heuristic stages —
+# LSH near-dup path, then logistic-regression scores + md5-Pareto
+# keep rule (alpha = 9, the paper's value) on the lang_en survivors.
+# Rows-only by nature (iterative L-BFGS training — the
+# quality_filter_stats precedent); stage arithmetic pinned by pytest
+# (first five stages IDENTICAL to corpus_curation_funnel_lsh,
+# monotone throughout, stage counts pinned at sf0.01) and the keep
+# rule itself is pytest-pinned in tests/test_quality_model.py.
+@query("corpus_curation_funnel_modelq")
+def corpus_curation_funnel_modelq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _corpus_funnel_impl(spark, sf_dir, lsh=True, quality_model=9.0)
 
 
 # ---------------------------------------------------------------------------

@@ -252,6 +252,40 @@ def test_corpus_curation_funnel_semantic_stage(spark):
     ]
 
 
+def test_corpus_curation_funnel_modelq_stage(spark):
+    """X36 × X23 (r17): the funnel with the GPT-3 model-based quality
+    filter stacked after the heuristic stages. The first five stages
+    must be IDENTICAL to the text-only LSH funnel (the stage is
+    purely additive), the new stage must keep the funnel monotone and
+    non-degenerate, and the full stage counts are pinned at sf0.01
+    (deterministic: md5 hash families, seeded L-BFGS, md5-Pareto
+    draw)."""
+    from data_mining_map_reduce_spark.queries import (
+        _corpus_funnel_impl,
+        corpus_curation_funnel_modelq,
+    )
+
+    sf01 = "/root/testdata/sf0.01"
+    mq = corpus_curation_funnel_modelq(spark, sf01).collect()
+    assert [r.stage for r in mq] == [
+        "raw", "exact_dedup", "near_dedup", "quality", "lang_en",
+        "model_quality",
+    ]
+    assert [r.stage_idx for r in mq] == [0, 1, 2, 3, 4, 5]
+    base = _corpus_funnel_impl(spark, sf01, lsh=True).collect()
+    for b, s in zip(base, mq[:5]):
+        assert (b.n_docs, b.n_tokens) == (s.n_docs, s.n_tokens)
+    for prev, cur in zip(mq, mq[1:]):
+        assert cur.n_docs <= prev.n_docs
+        assert cur.n_tokens <= prev.n_tokens
+    # pinned counts (sf0.01): alpha=9 Pareto keep rule retains 21 of
+    # the 401 lang_en survivors — the recipe's aggressive cut
+    assert [(r.n_docs, r.n_tokens) for r in mq] == [
+        (500, 27165), (500, 27165), (476, 25901),
+        (426, 24522), (401, 23776), (21, 1468),
+    ]
+
+
 def test_corpus_curation_funnel_lsh_refines_exact(spark, sf_dir):
     """The LSH funnel twin (r10 — added after the sf10 probe measured
     the exact variant exhausting local disk at 500 k docs) drops a
