@@ -48,7 +48,7 @@ from typing import Callable, Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -1198,3 +1198,58 @@ def media_near_dup_pairs(
     )
     radius = F.when(F.col("decoded"), F.lit(hamming_max)).otherwise(F.lit(0))
     return verified.where(F.col("hamming") <= radius).distinct()
+
+
+def media_dedup_canonical(
+    media: DataFrame,
+    bands: int = 8,
+    hamming_max: int = 6,
+) -> DataFrame:
+    """X38 completion (r17, mirroring X16's dedup_keep_best_docs):
+    perceptual near-dup pairs → connected components → ONE canonical
+    item per perceptual cluster, keep = largest payload (most bytes —
+    the highest-fidelity copy of a re-encoded/resized family), ties
+    to the smallest media_id. Transitive closure matters: A≈A' and
+    A'≈A'' must collapse to one survivor even when A, A'' drift past
+    the pairing radius. Fallback-space (undecodable) clusters contain
+    only byte-identical content by construction (see
+    media_near_dup_pairs), so their keep rule degenerates to the
+    exact-dup canonical. Every item gets a row; singletons keep
+    themselves. Returns (media_id, best_id, is_kept, n_bytes).
+
+    Scale shape: pairs are band-bucketed (never all-pairs), the
+    component relation is edge-bounded min-label propagation
+    (graph.py:106), and the keep-best argmax is one window
+    partitioned by cluster id — the dedup_keep_best_docs plan on the
+    media axis."""
+    from .graph import connected_components
+
+    pairs = media_near_dup_pairs(media, bands=bands, hamming_max=hamming_max)
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    comp = connected_components(edges)
+    sized = media.select(
+        "media_id",
+        F.coalesce(F.length("payload"), F.lit(0)).cast("long").alias("n_bytes"),
+    )
+    mapped = (
+        sized.join(comp, sized.media_id == comp.id, "left")
+        .select(
+            "media_id",
+            F.coalesce("component", "media_id").alias("_grp"),
+            "n_bytes",
+        )
+    )
+    w = Window.partitionBy("_grp").orderBy(
+        F.col("n_bytes").desc(), F.col("media_id")
+    )
+    best = (
+        mapped.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("_grp", F.col("media_id").alias("best_id"))
+    )
+    return mapped.join(best, "_grp").select(
+        "media_id",
+        "best_id",
+        (F.col("media_id") == F.col("best_id")).alias("is_kept"),
+        "n_bytes",
+    )

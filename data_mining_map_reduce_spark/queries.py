@@ -4460,13 +4460,14 @@ def _demo_png_variants() -> tuple[bytes, bytes]:
     )
 
 
-@query("media_phash_pairs")
-def media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.multimodal import media_near_dup_pairs
-
+def _media_with_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared X38 media relation: corpus texts as undecodable
+    binary payloads plus the planted image probes (A, its pixel-
+    perturbed near-dup, a far image, and a byte-identical blob twin
+    pair for the md5 fallback space)."""
     docs = load_table(spark, sf_dir, "documents")
     near_payload, far_payload = _demo_png_variants()
-    media = docs.select(
+    return docs.select(
         F.col("doc_id").alias("media_id"),
         F.col("source").alias("modality"),
         F.encode("text", "utf-8").alias("payload"),
@@ -4486,8 +4487,31 @@ def media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "media_id long, modality string, payload binary",
         )
     )
+
+
+@query("media_phash_pairs")
+def media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import media_near_dup_pairs
+
+    media = _media_with_probes(spark, sf_dir)
     return media_near_dup_pairs(media, bands=8, hamming_max=6).orderBy(
         "a", "b"
+    )
+
+
+# X38 completion (r17, verdict task 5): pairs → connected components
+# → keep-best canonical per perceptual cluster (largest payload, ties
+# to smallest id) — dedup_keep_best_docs on the media axis. Rows-only
+# by nature (the image decoder is not SQL-expressible); the planted-
+# cluster collapse, fallback-space purity, and keep rule are
+# pytest-pinned (tests/test_multimodal.py).
+@query("media_dedup_canonical")
+def media_dedup_canonical_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import media_dedup_canonical
+
+    media = _media_with_probes(spark, sf_dir)
+    return media_dedup_canonical(media, bands=8, hamming_max=6).orderBy(
+        "media_id"
     )
 
 

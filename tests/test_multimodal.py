@@ -898,6 +898,85 @@ def test_media_phash_pairs_planted(spark):
     assert fallback == want
 
 
+def test_media_dedup_canonical_planted_cluster(spark):
+    """X38 completion: A, A', A'' (two distinct 2-bit perturbations
+    of the same gradient) collapse to ONE canonical via connected
+    components — transitive closure through the pair graph — with
+    keep = largest payload, ties to smallest id; the far image and a
+    NULL-payload row stay kept singletons."""
+    import numpy as np
+
+    from data_mining_map_reduce_spark.operators.multimodal import (
+        encode_png,
+        media_dedup_canonical,
+    )
+    from data_mining_map_reduce_spark.queries import (
+        _DEMO_PNG_PAYLOAD,
+        _demo_png_variants,
+    )
+
+    near, far = _demo_png_variants()
+    w, h = 16, 12
+    x = np.arange(w)[None, :]
+    y = np.arange(h)[:, None]
+    px = np.stack(
+        [(x * 31 + y * 17) % 256, (x * 13 + y * 7) % 256, (x * 5 + y * 3) % 256],
+        axis=-1,
+    ).astype(int)
+    px[9:11, 2:4, :] = np.clip(px[9:11, 2:4, :] + 120, 0, 255)
+    third = encode_png(w, h, px.astype(np.uint8).tobytes(), [0] * h)
+
+    media = spark.createDataFrame(
+        [
+            (1, "img", bytearray(_DEMO_PNG_PAYLOAD)),
+            (2, "img", bytearray(near)),
+            (3, "img", bytearray(third)),
+            (4, "img", bytearray(far)),
+            (5, "img", None),
+        ],
+        "media_id long, modality string, payload binary",
+    )
+    rows = {r.media_id: r for r in media_dedup_canonical(media).collect()}
+    assert len(rows) == 5
+    fam = [rows[1], rows[2], rows[3]]
+    assert len({r.best_id for r in fam}) == 1  # one canonical for the family
+    assert sum(r.is_kept for r in fam) == 1
+    sizes = {m: len(p) for m, p in [(1, _DEMO_PNG_PAYLOAD), (2, near), (3, third)]}
+    want_best = min(sizes, key=lambda m: (-sizes[m], m))
+    assert fam[0].best_id == want_best
+    assert rows[4].is_kept and rows[4].best_id == 4  # far image untouched
+    assert rows[5].is_kept and rows[5].best_id == 5 and rows[5].n_bytes == 0
+
+
+def test_media_dedup_canonical_query(spark):
+    """The registered query at sf0.001: the (A, A') probe pair keeps
+    exactly one (the larger payload), the blob twins collapse to the
+    smaller id at equal size, and every corpus text row (no
+    byte-identical raw texts in testdata) is a kept singleton."""
+    from data_mining_map_reduce_spark.queries import (
+        _DEMO_PNG_PAYLOAD,
+        _demo_png_variants,
+        SPARK_QUERIES,
+    )
+
+    rows = {
+        r.media_id: r
+        for r in SPARK_QUERIES["media_dedup_canonical"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    near, _ = _demo_png_variants()
+    sizes = {-11: len(_DEMO_PNG_PAYLOAD), -12: len(near)}
+    want_best = min(sizes, key=lambda m: (-sizes[m], m))
+    assert rows[-11].best_id == rows[-12].best_id == want_best
+    assert sum(rows[m].is_kept for m in (-11, -12)) == 1
+    assert rows[-13].is_kept and rows[-13].best_id == -13
+    assert rows[-14].best_id == rows[-15].best_id == -15  # tie → smaller id
+    assert rows[-15].is_kept and not rows[-14].is_kept
+    corpus = [r for m, r in rows.items() if m >= 0]
+    assert corpus and all(r.is_kept and r.best_id == r.media_id for r in corpus)
+
+
 def test_null_payloads_never_pair(spark):
     """Two NULL payloads hash per-media_id sentinels, so 'missing
     content' never reports as 'identical content' (r16 ADVICE item
