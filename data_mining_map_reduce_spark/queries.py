@@ -6238,152 +6238,105 @@ def winnow_candidate_docs(
 # round_open.sh), which hard-fails once the newest artifact round
 # reaches _WINDOW_ROUND until the window is rebalanced and this pin
 # bumped — so the pin cannot silently go stale either.
-_WINDOW_ROUND = 16
+_WINDOW_ROUND = 17
 
 _DRIVER_ORDER = [
-    # -- the 12 obligated leads: r13-green rows at the staleness limit
-    #    (age 2 at r15 close; make_driver_order computes the same set) --
-    "sketch_error_check",
-    "solo_flagship_parity",
-    "source_mix_stats",
-    "suffstats_by_label",
-    "tfidf_top_terms",
-    "top_users_by_orders",
-    "weighted_doc_sample",
-    "window_distinct_users_approx",
-    "window_distinct_users_exact",
-    "window_sliding_hourly",
-    "window_tumbling_hourly",
-    "word_count_top20",
-    # -- r15-cohort amortization picks (>= 6 needed: the 50-row r15
-    #    cohort may leave at most AMORTIZE_OUTSIDE_MAX=44 outside).
-    #    All seven double as r16 changed-code coverage:
-    #    minhash/near-dup/canonical re-grade the _guard_lsh_verify
-    #    avg_set fix (deduped per-key set sizes, r15 ADVICE item 2);
-    #    the funnel row re-grades the exact-relation pin + semantic=
-    #    arg; semantic_dedup_docs re-grades the lazy `assigned`
-    #    checkpoint (ADVICE item 4); doc_dsir_weights re-grades the
-    #    DSIR refactor shared with the resampling debut;
-    #    pii_scan_stats re-grades the SSN + Luhn-card extension --
-    "minhash_lsh_pairs",
-    "near_dup_docs_lsh",
-    "dedup_canonical_docs_lsh",
-    "corpus_curation_funnel_lsh",
-    "semantic_dedup_docs",
-    "doc_dsir_weights",
-    "pii_scan_stats",
-    # -- r16 debuts (a never-rowed query must be in-window its first
-    #    round): DSIR importance resampling (completes X33 with the
-    #    X22 A-ES sampler in log space — FULL oracle) --
-    "dsir_resampled_docs",
-    # -- r16 debut: benchmark decontamination (removal half of X27,
-    #    kept/dropped rollup + zero-residual re-scan — FULL oracle) --
-    "decontaminated_corpus_stats",
-    # -- r16 debut: the funnel with a SemDeDup stage (X32 × X23) —
-    #    rows-only by nature (iterative quantizer) --
-    "corpus_curation_funnel_semantic",
-    # -- r16 debuts: X34 sequence packing (two-phase distributed
-    #    prefix sum; the oracle's single SQL window replays the same
-    #    global order) and X35 domain-mixture reweighting — both
-    #    FULL oracles --
-    "packed_sequence_stats",
+    # -- the 22 obligated leads: r14-green rows at the staleness limit
+    #    (age 2 at r16 close; scripts/make_driver_order.py computes
+    #    the same set mechanically) --
+    "flagship_category_avg",
+    "fpgrowth_itemsets",
+    "gn_quality_check",
+    "graph_betweenness_sampled",
+    "graph_betweenness_top",
+    "graph_components",
+    "graph_lpa_community_sizes",
+    "jaccard_pairs_exact",
+    "kmeans_cluster_sizes",
+    "kmeans_cluster_sizes_dist",
+    "language_id_docs",
+    "near_dup_docs_exact",
+    "priority_token_counts",
+    "simhash_doc_pairs",
+    "son_itemsets",
+    "source_token_kl",
+    "stratified_doc_sample",
+    "token_counts_docs",
+    "top_customers_per_segment",
+    "train_test_split_counts",
+    "union_filtered_event_counts",
+    "window_heavy_hitter_users",
+    # -- changed-code r16-green rows (re-grade this round's fixes):
+    #    domain_mixture_weights re-grades the try_divide zero-token
+    #    guard (r16 ADVICE item 1); packed_sequence_stats re-grades
+    #    the eager localCheckpoint partition pin (item 2);
+    #    media_phash_pairs re-grades the per-id NULL-payload sentinel
+    #    (item 3) + the shared probe-media builder refactor;
+    #    corpus_curation_funnel_semantic re-grades the funnel's
+    #    conds[-1] chaining refactor (identity when quality_model is
+    #    None, but the code path changed) --
     "domain_mixture_weights",
-    # -- r16 debut: X36 model-based quality filter (rows-only by
-    #    nature — L-BFGS training; pytest-pinned discrimination) --
-    "quality_filter_stats",
-    # -- r16 debut: X37 BPE merge-candidate counts (FULL oracle) --
-    "bpe_pair_counts",
-    # -- r16 debut: quality-aware canonical selection (X16
-    #    completion, FULL oracle) --
-    "dedup_keep_best_docs",
-    # -- r16 debut: X38 perceptual media dedup (rows-only by nature —
-    #    the image decoder is not SQL-expressible; planted probes +
-    #    fallback-equals-exact-dup pytests) --
+    "packed_sequence_stats",
     "media_phash_pairs",
-    # -- changed-code r14 rows: the funnel exact-relation pin (r15
-    #    verdict task 2), the PII regex extension (task 6), and the
-    #    decontamination work sharing X27's overlap scoring (task 5) --
-    "corpus_curation_funnel",
-    "pii_redact_stats",
-    "contamination_ngram_overlap",
-    # -- oldest-first fill: r14-green rows (age 2 at r16 close) --
-    "ann_topk_ivfpq",
-    "ann_topk_lsh",
-    "approx_distinct_users",
-    "baskets_by_customer",
-    "bfr_round_stats",
-    "cm_heavy_hitter_partkeys",
-    "dedup_canonical_docs",
-    "dict_encode_brands",
-    "dict_encode_partkeys_big",
-    "doc_fingerprint_stats",
-    "doc_length_percentiles",
-    "doc_length_percentiles_approx",
-    "doc_lm_perplexity",
-    "doc_quality_stats",
-    "duplicate_ngram_spans",
-    "duplicate_ngram_spans_winnowed",
-    "event_value_tier_counts",
-    "exact_dup_doc_groups",
-    "fingerprint_overlap_pairs",
+    "corpus_curation_funnel_semantic",
+    # -- r17 debuts (a never-rowed query must be in-window its first
+    #    round): the completed BPE chain (X37 merge loop + encoder +
+    #    the X34 packing twin on learned-tokenizer counts — all three
+    #    FULL oracles via the iterated list_reduce CTE chain) --
+    "bpe_learned_merges",
+    "bpe_token_counts",
+    "packed_sequence_stats_bpe",
+    # -- r17 debuts: the consolidated rows (verdict task 8 — same
+    #    operator evidence, fewer rows; both FULL oracles) --
+    "basic_count_stats",
+    "window_distinct_users",
+    # -- r17 debut: the funnel with the X36 model-based quality stage
+    #    (rows-only by nature — iterative L-BFGS; stage counts pinned
+    #    at sf0.01 by pytest) --
+    "corpus_curation_funnel_modelq",
+    # -- r17 debut: X38 completion — canonical media dedup (rows-only
+    #    by nature — the image decoder is not SQL-expressible;
+    #    planted-cluster + tie-rule pytests) --
+    "media_dedup_canonical",
+    # -- oldest-first fill: r15-green rows (age 2 at r17 close) --
+    "ann_recall_check",
+    "ann_topk_exact",
+    "ann_topk_ivf",
+    "asof_last_purchase",
+    "avg_price_by_priority",
+    "betweenness_mass_check",
+    "bloom_probe_custkeys",
+    "cf_item_similarities",
+    "cf_predictions",
+    "cf_user_predictions",
+    "cf_user_predictions_lsh",
+    "content_based_scores",
+    "cooccurrence_pairs",
+    "cooccurrence_pairs_lsh",
+    "corr_qty_price_by_flag",
+    # -- r16-cohort amortization picks (keep that cohort's outside
+    #    count at the AMORTIZE_OUTSIDE_MAX=44 bound) --
+    "window_tumbling_hourly",
+    "window_sliding_hourly",
     # ---- driver cap (50) falls here ----
 ]
 
-# Queries excluded from the r16 driver window: 13 r14-green rows and
-# 43 r15-green rows (ages 2 and 1 at r16 close — both inside the
-# staleness invariant; the r14 residue is obligated first in the r17
-# window by make_driver_order). Rows whose SOURCE module changed this
-# round without an in-window slot carry a per-row note naming the
-# in-window query + pytest that grades the changed code path.
-_EXCLUDED_R16 = [
+# Queries excluded from the r17 driver window: 25 r15-green rows and
+# 44 r16-green rows (ages 2 and 1 at r17 close — both inside the
+# staleness invariant; the r15 residue is obligated first in the r18
+# window by make_driver_order, and the r16 cohort sits exactly at the
+# AMORTIZE_OUTSIDE_MAX=44 bound). Rows whose SOURCE module changed
+# this round without an in-window slot carry a per-row note naming
+# the in-window query + pytest that grades the changed code path.
+_EXCLUDED_R17 = [
     # name                      last green driver row
-    ("flagship_category_avg", "r14; displaced by the late-r16 debuts (see fpgrowth_itemsets note); ALSO graded every round by the driver's entry() smoke, which runs exactly this query at sf0.001"),
-    ("fpgrowth_itemsets", "r14; displaced by the five late-r16 debuts (packed_sequence_stats, domain_mixture_weights, quality_filter_stats, bpe_pair_counts, dedup_keep_best_docs — never-rowed queries must debut in-window); itemsets.py untouched this round and the SON==FPGrowth sf1 bit-parity pytest still grades it; r17-obligated first"),
-    ("gn_quality_check", "r14; displaced by the late-r16 debuts (see fpgrowth_itemsets note); graph.py untouched this round, r17-obligated first"),
-    ("graph_betweenness_sampled", "r14; same displacement note as gn_quality_check"),
-    ("graph_betweenness_top", "r14; same displacement note as graph_betweenness_sampled"),
-    ("graph_components", "r14; same displacement note as graph_betweenness_top"),
-    ("graph_lpa_community_sizes", "r14"),
-    ("jaccard_pairs_exact", "r14; the r16 similarity.py change (deduped avg_set in _guard_lsh_verify) is verify=True-LSH-path only — no call site in exact_jaccard_pairs, plan unchanged; graded in-window by minhash_lsh_pairs + the guard pytest"),
-    ("kmeans_cluster_sizes", "r14"),
-    ("kmeans_cluster_sizes_dist", "r14"),
-    ("language_id_docs", "r14"),
-    ("near_dup_docs_exact", "r14; the r16 similarity.py change (deduped avg_set in _guard_lsh_verify) is verify=True-LSH-path only — no call site in exact_jaccard_pairs, plan unchanged; the guard fix is graded in-window by minhash_lsh_pairs/near_dup_docs_lsh + the guard pytest"),
-    ("priority_token_counts", "r14"),
-    ("simhash_doc_pairs", "r14"),
-    ("son_itemsets", "r14"),
-    ("source_token_kl", "r14"),
-    ("stratified_doc_sample", "r14"),
-    ("token_counts_docs", "r14"),
-    ("top_customers_per_segment", "r14"),
-    ("train_test_split_counts", "r14"),
-    ("union_filtered_event_counts", "r14"),
-    ("window_heavy_hitter_users", "r14"),
-    ("ann_recall_check", "r15; r16 ann.py change is the lazy localCheckpoint on SemDeDup's `assigned` relation — semantic_* path only (no shared helper touched), graded in-window by semantic_dedup_docs + the refinement pytests"),
-    ("ann_topk_exact", "r15; same note as ann_recall_check"),
-    ("ann_topk_ivf", "r15; same note as ann_recall_check"),
-    ("asof_last_purchase", "r15"),
-    ("avg_price_by_priority", "r15"),
-    ("betweenness_mass_check", "r15"),
-    ("bloom_probe_custkeys", "r15"),
-    ("cf_item_similarities", "r15"),
-    ("cf_predictions", "r15"),
-    ("cf_user_predictions", "r15"),
-    ("cf_user_predictions_lsh", "r15; verify=False minhash consumer — the r16 _guard_lsh_verify avg_set fix never executes on this path (guard returns before any estimate when verify is off); graded in-window by minhash_lsh_pairs"),
-    ("content_based_scores", "r15"),
-    ("cooccurrence_pairs", "r15"),
-    ("cooccurrence_pairs_lsh", "r15; verify=False minhash consumer (band-bucket pre-cut only) — the r16 guard avg_set fix never executes on this path; graded in-window by minhash_lsh_pairs"),
-    ("corr_qty_price_by_flag", "r15"),
-    ("count_by_year", "r15"),
-    ("count_global", "r15"),
     ("customers_in_both_statuses", "r15"),
     ("customers_never_final", "r15"),
-    ("distinct_users", "r15"),
     ("doc_repetition_scores", "r15"),
     ("embedding_pair_distances", "r15"),
     ("event_props_extract", "r15"),
     ("event_rollup_multigrain", "r15"),
-    ("fm_distinct_users", "r15"),
+    ("fm_distinct_users", "r15; sketches.py untouched this round — the FM family is graded in-window by window_distinct_users (debut), whose oracle replays the identical per-window FM estimator"),
     ("frequent_items", "r15"),
     ("frequent_pairs", "r15"),
     ("girvan_newman_communities", "r15"),
@@ -6393,17 +6346,59 @@ _EXCLUDED_R16 = [
     ("kmeans_wcss_check", "r15"),
     ("kmv_distinct_users", "r15"),
     ("largest_baskets", "r15"),
-    ("media_feature_rollup", "r15"),
-    ("media_frame_sample", "r15"),
+    ("media_feature_rollup", "r15; the r17 multimodal.py change (NULL-payload sentinel + media_dedup_canonical) is phash-path only — extract_features untouched; graded in-window by media_phash_pairs + media_dedup_canonical"),
+    ("media_frame_sample", "r15; same note as media_feature_rollup"),
     ("order_item_lists", "r15"),
     ("partition_layout_stats", "r15"),
     ("pivot_status_by_priority", "r15"),
-    ("reservoir_sample_events", "r15; the r16 reservoir.py change is ADDITIVE (new weighted_sample_log2; no existing function touched) — the module is graded in-window by weighted_doc_sample (obligated) and the dsir_resampled_docs debut"),
+    ("reservoir_sample_events", "r15"),
     ("revenue_cube", "r15"),
     ("rollup_revenue", "r15"),
     ("session_windows_per_user", "r15"),
+    ("sketch_error_check", "r16"),
+    ("solo_flagship_parity", "r16"),
+    ("source_mix_stats", "r16"),
+    ("suffstats_by_label", "r16"),
+    ("tfidf_top_terms", "r16; text_analysis.py's r17 change is the domain_mixture_weights try_divide guard — no shared helper touched; graded in-window by domain_mixture_weights"),
+    ("top_users_by_orders", "r16"),
+    ("weighted_doc_sample", "r16"),
+    ("word_count_top20", "r16"),
+    ("minhash_lsh_pairs", "r16"),
+    ("near_dup_docs_lsh", "r16"),
+    ("dedup_canonical_docs_lsh", "r16"),
+    ("corpus_curation_funnel_lsh", "r16; the r17 _corpus_funnel_impl change adds the quality_model= branch behind a None default and rewrites the semantic chain to conds[-1] (== k4 when both are None — same expression object, plan unchanged); the changed paths are graded in-window by corpus_curation_funnel_modelq (debut) and corpus_curation_funnel_semantic, plus the first-five-stage identity pytests"),
+    ("semantic_dedup_docs", "r16"),
+    ("doc_dsir_weights", "r16"),
+    ("pii_scan_stats", "r16"),
+    ("dsir_resampled_docs", "r16"),
+    ("decontaminated_corpus_stats", "r16"),
+    ("quality_filter_stats", "r16; quality_model.py's r17 change is docstring-only (eager-action note); the module is also graded in-window by corpus_curation_funnel_modelq (debut), which runs the same classifier + keep rule"),
+    ("bpe_pair_counts", "r16; text_analysis.py change is the try_divide guard (see tfidf_top_terms note); the BPE family is graded in-window by the three bpe_* debuts"),
+    ("dedup_keep_best_docs", "r16"),
+    ("corpus_curation_funnel", "r16; same note as corpus_curation_funnel_lsh"),
+    ("pii_redact_stats", "r16"),
+    ("contamination_ngram_overlap", "r16"),
+    ("ann_topk_ivfpq", "r16"),
+    ("ann_topk_lsh", "r16"),
+    ("approx_distinct_users", "r16"),
+    ("baskets_by_customer", "r16"),
+    ("bfr_round_stats", "r16"),
+    ("cm_heavy_hitter_partkeys", "r16"),
+    ("dedup_canonical_docs", "r16"),
+    ("dict_encode_brands", "r16"),
+    ("dict_encode_partkeys_big", "r16"),
+    ("doc_fingerprint_stats", "r16"),
+    ("doc_length_percentiles", "r16"),
+    ("doc_length_percentiles_approx", "r16"),
+    ("doc_lm_perplexity", "r16"),
+    ("doc_quality_stats", "r16"),
+    ("duplicate_ngram_spans", "r16"),
+    ("duplicate_ngram_spans_winnowed", "r16"),
+    ("event_value_tier_counts", "r16"),
+    ("exact_dup_doc_groups", "r16"),
+    ("fingerprint_overlap_pairs", "r16"),
 ]
-_DRIVER_ORDER += [name for name, _ in _EXCLUDED_R16]
+_DRIVER_ORDER += [name for name, _ in _EXCLUDED_R17]
 
 
 _V = TypeVar("_V")

@@ -128,7 +128,7 @@ EXTENSION_ROWS: list[tuple[str, str, list[str], str]] = [
     ("X20", "As-of join", ["asof_last_purchase"], ""),
     ("X21", "Deterministic split", ["train_test_split_counts"], ""),
     ("X22", "Weighted stratum sampling", ["weighted_doc_sample"], ""),
-    ("X23", "Corpus curation funnel", ["corpus_curation_funnel", "corpus_curation_funnel_semantic"], "per-stage linear twins oracle-green at sf1; r16: optional SemDeDup stage (X32 stacked)"),
+    ("X23", "Corpus curation funnel", ["corpus_curation_funnel", "corpus_curation_funnel_semantic", "corpus_curation_funnel_modelq"], "per-stage linear twins oracle-green at sf1; r16: optional SemDeDup stage (X32 stacked); r17: optional model-based quality stage (X36 stacked)"),
     ("X24", "KMV sketch", ["kmv_distinct_users"], ""),
     ("X25", "Count-Min heavy hitters", ["cm_heavy_hitter_partkeys", "window_heavy_hitter_users"], ""),
     ("X26", "IVF-PQ ANN", ["ann_topk_ivfpq", "ann_recall_check"], ""),
@@ -139,11 +139,11 @@ EXTENSION_ROWS: list[tuple[str, str, list[str], str]] = [
     ("X31", "PII scan (email/phone/IPv4/SSN/Luhn-card)", ["pii_scan_stats"], "r11: planted '_probe_pii' docs; Java-regex vs RE2 agreement pytest-pinned; r16: SSN + Luhn-checked card stages, probe counts pinned"),
     ("X32", "Semantic dedup (SemDeDup)", ["semantic_dedup_docs"], "r15: per-cluster pandas gram pairs + CC; refinement/recall pytests; sf1/sf10 receipts"),
     ("X33", "DSIR importance weights + resampling", ["doc_dsir_weights", "dsir_resampled_docs"], "r15: smoothed unigram likelihood ratio vs target slice, FULL oracle; hand-computed + discrimination pytests; r16: log-domain A-ES resample completes the paper's deliverable"),
-    ("X34", "Sequence packing", ["packed_sequence_stats"], "r16: concat-and-chunk shard manifest, two-phase distributed prefix sum (zero SinglePartition), FULL oracle + layout-invariance pytest"),
+    ("X34", "Sequence packing", ["packed_sequence_stats", "packed_sequence_stats_bpe"], "r16: concat-and-chunk shard manifest, two-phase distributed prefix sum (zero SinglePartition), FULL oracle + layout-invariance pytest; r17: learned-BPE-count twin"),
     ("X35", "Domain-mixture reweighting", ["domain_mixture_weights"], "r16: natural vs target token shares -> sampling weights (The Pile's epochs), FULL oracle"),
     ("X36", "Model-based quality filter", ["quality_filter_stats"], "r16: GPT-3 appendix-A LR on HashingTF features, balanced weights, deterministic md5 Pareto keep rule; discrimination + keep-rule pytests"),
-    ("X37", "BPE merge-candidate counts", ["bpe_pair_counts"], "r16: Sennrich iteration-one pair counts over distinct words, FULL oracle"),
-    ("X38", "Perceptual media dedup", ["media_phash_pairs"], "r16: dHash over the real decoders + Manku Hamming banding; planted-pair + fallback pytests"),
+    ("X37", "BPE tokenizer (pair counts + merge loop + encoder)", ["bpe_pair_counts", "bpe_learned_merges", "bpe_token_counts"], "r16: Sennrich iteration-one pair counts; r17: full merge loop + rank-order encoder, FULL oracles via iterated list_reduce CTE chain + pure-Python-reference parity pytests"),
+    ("X38", "Perceptual media dedup", ["media_phash_pairs", "media_dedup_canonical"], "r16: dHash over the real decoders + Manku Hamming banding; planted-pair + fallback pytests; r17: pairs -> CC -> keep-best canonical per perceptual cluster"),
 ]
 
 
