@@ -87,6 +87,41 @@ def _cpu_delta(c0: float | None, c1: float | None) -> float | None:
     return d if d >= 0 else None
 
 
+def _anchor_query(spark, sf_dir: str):
+    """Calibration anchor (r16 verdict task 2): a CODE-FROZEN copy of
+    the flagship plan, deliberately NOT imported from the registry so
+    no engine change can ever move it — its round-over-round ratio
+    measures the BOX, not the code. Six same-code r16 officials
+    spanned 310-359 s (±8%) purely on box drift; scripts/bench_drift
+    divides every query's wall ratio by the anchor's before flagging,
+    so uniform environmental drift normalizes out and a real plan
+    regression still shows. The anchor's plan shape matches the
+    session warmup (the registry flagship), so its samples are
+    steady-state codegen, not first-compile noise."""
+    from pyspark.sql import functions as F
+
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_partkey", "l_extendedprice"
+    )
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey", "p_type"
+    )
+    return (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .select(
+            F.explode(F.split("p_type", " ")).alias("category"),
+            "l_extendedprice",
+        )
+        .groupBy("category")
+        .agg(
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy(F.col("avg_price").desc(), F.col("category").asc())
+        .limit(10)
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -102,6 +137,23 @@ def main() -> None:
         SPARK_QUERIES["flagship_category_avg"](spark, sf_dir).collect()
     except Exception:
         pass
+
+    # anchor samples (open / middle / close — see _anchor_query);
+    # sidecar-only, never part of "queries" or the total
+    anchor_walls: list[float] = []
+    anchor_cpus: list[float | None] = []
+
+    def _run_anchor(s) -> None:
+        t0 = time.perf_counter()
+        c0 = _tree_cpu_sec()
+        try:
+            _anchor_query(s, sf_dir).collect()
+            anchor_walls.append(round(time.perf_counter() - t0, 4))
+            anchor_cpus.append(_cpu_delta(c0, _tree_cpu_sec()))
+        except Exception as exc:  # noqa: BLE001 — anchor must not kill the run
+            print(f"[bench] anchor run failed: {exc}", file=sys.stderr)
+
+    _run_anchor(spark)  # session open
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
@@ -128,7 +180,10 @@ def main() -> None:
     # + warmup time is NOT counted against any query.
     restart_every = int(os.environ.get("SPARK_GRAFT_BENCH_RESTART", "16"))
     since_restart = 0
-    for name, fn in sorted(SPARK_QUERIES.items()):
+    anchor_mid_at = len(SPARK_QUERIES) // 2
+    for qi, (name, fn) in enumerate(sorted(SPARK_QUERIES.items())):
+        if qi == anchor_mid_at:
+            _run_anchor(spark)  # session middle
         if since_restart >= restart_every:
             since_restart = 0
             session_idx += 1
@@ -276,6 +331,10 @@ def main() -> None:
                 file=sys.stderr,
             )
 
+    _run_anchor(spark)  # session close
+    if anchor_walls:
+        print(f"[bench] anchor samples={anchor_walls}", file=sys.stderr)
+
     # Spread for the official artifact (r11 verdict ask 6): BENCH_NOTES
     # twice needed matched-session re-runs to separate box drift from
     # code because the JSON carried only the point estimate. The
@@ -339,6 +398,10 @@ def main() -> None:
                     "cpu_sec": cpu_samples,
                     "positions": positions,
                     "errors": errors,
+                    # open/middle/close walls of the code-frozen
+                    # calibration plan (_anchor_query) — the box-drift
+                    # denominator scripts/bench_drift.py normalizes by
+                    "anchor": {"samples": anchor_walls, "cpu_sec": anchor_cpus},
                 },
                 fh,
                 indent=1,

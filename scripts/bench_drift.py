@@ -18,6 +18,14 @@ placeholders the collector writes for unusable readings (a dead
 worker mid-query takes its utime out of the live tree). Queries with
 no usable cpu sample on either side degrade to wall-only and say so.
 
+r17 (r16 verdict task 2): all ratios are ANCHOR-NORMALIZED when both
+sidecars carry the code-frozen calibration anchor (bench.py
+_anchor_query, run at session open/middle/close of every official):
+each wall/cpu ratio is divided by the anchor's before thresholding,
+so uniform box drift — six same-code r16 officials spanned 310-359 s
+— produces zero flags while a single-query regression still fires.
+Pre-registered bands should likewise be stated anchor-normalized.
+
 Usage:
     python scripts/bench_drift.py                # HEAD sidecar vs working tree
     python scripts/bench_drift.py OLD.json NEW.json
@@ -55,7 +63,27 @@ def _median(xs: list) -> float | None:
     return round(statistics.median(xs), 3) if xs else None
 
 
-def _session_note(old: dict, new: dict, q: str, w0: float) -> str | None:
+def _anchor_ratios(old: dict, new: dict) -> tuple[float | None, float | None]:
+    """(wall_ratio, cpu_ratio) of the code-frozen calibration anchor
+    (bench.py _anchor_query, r16 verdict task 2): the box-drift
+    denominator. The anchor's code cannot move between rounds, so its
+    ratio IS the environmental drift; classify() divides every
+    query's ratios by it before thresholding, which turns a uniform
+    1.3x box slowdown into zero flags while a single-query plan
+    regression still stands out. (None, None) when either sidecar
+    predates the anchor — classification then degrades to raw ratios
+    exactly as before."""
+    ao, an = old.get("anchor") or {}, new.get("anchor") or {}
+    w0, w1 = _median(ao.get("samples", [])), _median(an.get("samples", []))
+    c0, c1 = _median(ao.get("cpu_sec", [])), _median(an.get("cpu_sec", []))
+    wall = (w1 / w0) if (w0 and w1) else None
+    cpu = (c1 / c0) if (c0 and c1) else None
+    return wall, cpu
+
+
+def _session_note(
+    old: dict, new: dict, q: str, w0: float, a_wall: float | None = None
+) -> str | None:
     """r14 verdict task 4: auto-adjudicate a flag against the
     sidecar's per-sample [session, position] records. If the query's
     NON-early samples (position > EARLY_POS in their session) have a
@@ -75,7 +103,9 @@ def _session_note(old: dict, new: dict, q: str, w0: float) -> str | None:
         return None  # no early sample — position explains nothing
     if late:
         lm = _median(late)
-        if lm is not None and lm / w0 < WALL_UP:
+        # anchor-normalize the late-sample test too, else a box-
+        # inflated round could never clear its own JIT flags
+        if lm is not None and lm / w0 / (a_wall or 1.0) < WALL_UP:
             return (
                 f"CLEARED: non-early samples median {lm} within "
                 f"{int((WALL_UP - 1) * 100)}% of baseline; inflated "
@@ -91,9 +121,12 @@ def _session_note(old: dict, new: dict, q: str, w0: float) -> str | None:
 
 
 def classify(old: dict, new: dict) -> list[dict]:
-    """Rows for every query present in both sidecars whose wall
-    median moved >= 30% in either direction (and >= MIN_SEC on the
-    larger side). Pure function — pytest targets this."""
+    """Rows for every query present in both sidecars whose
+    ANCHOR-NORMALIZED wall median moved >= 30% in either direction
+    (and >= MIN_SEC raw on the larger side). When either sidecar
+    lacks the anchor, ratios stay raw (pre-r17 behavior). Pure
+    function — pytest targets this."""
+    a_wall, a_cpu = _anchor_ratios(old, new)
     rows = []
     for q in sorted(set(old.get("samples", {})) & set(new.get("samples", {}))):
         w0 = _median(old["samples"][q])
@@ -101,6 +134,8 @@ def classify(old: dict, new: dict) -> list[dict]:
         if not w0 or not w1 or max(w0, w1) < MIN_SEC:
             continue
         ratio = w1 / w0
+        if a_wall:
+            ratio = ratio / a_wall
         if 1 / WALL_UP < ratio < WALL_UP:
             continue
         c0 = _median(old.get("cpu_sec", {}).get(q, []))
@@ -111,6 +146,8 @@ def classify(old: dict, new: dict) -> list[dict]:
         cpu_ratio = (
             (c1 / c0) if (c0 is not None and c1 is not None and c0 > 0) else None
         )
+        if cpu_ratio is not None and a_cpu:
+            cpu_ratio = cpu_ratio / a_cpu
         if ratio < 1:
             verdict = "IMPROVED"
         elif cpu_ratio is None:
@@ -123,7 +160,7 @@ def classify(old: dict, new: dict) -> list[dict]:
             verdict = "MIXED"
         note = None
         if verdict in ("REGRESSION", "MIXED", "WALL-ONLY (no usable cpu sample)"):
-            note = _session_note(old, new, q, w0)
+            note = _session_note(old, new, q, w0, a_wall)
             if note and note.startswith("CLEARED"):
                 verdict = f"SESSION-POS ({verdict})"
         rows.append(
@@ -156,6 +193,15 @@ def main(argv: list[str]) -> int:
             ).stdout
         )
         new = json.loads((repo / "BENCH_SPREAD.json").read_text())
+    a_wall, a_cpu = _anchor_ratios(old, new)
+    if a_wall:
+        print(
+            f"anchor (box drift): wall x{a_wall:.3f}"
+            + (f", cpu x{a_cpu:.3f}" if a_cpu else "")
+            + " — all ratios below are anchor-normalized"
+        )
+    else:
+        print("anchor absent in one sidecar — raw (unnormalized) ratios")
     rows = classify(old, new)
     if not rows:
         # threshold text derived from the constant (ADVICE r14: the

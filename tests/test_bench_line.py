@@ -203,6 +203,42 @@ def _load_bd():
     return bd
 
 
+def test_bench_drift_anchor_normalizes_uniform_box_drift():
+    """r16 verdict task 2: a UNIFORM 1.3x inflation of every query
+    AND the code-frozen anchor produces ZERO flags (the anchor ratio
+    divides the drift out); the same inflation without anchor data
+    still flags (pre-r17 raw behavior); and a real 2x single-query
+    regression on a 1.3x-drifted box is still caught, with the box's
+    other queries staying clean."""
+    bd = _load_bd()
+    old = {
+        "samples": {"a": [10.0, 10.1], "b": [5.0], "c": [8.0]},
+        "cpu_sec": {"a": [50.0, 50.5], "b": [25.0], "c": [40.0]},
+        "anchor": {"samples": [2.0, 2.1, 2.0], "cpu_sec": [9.0, 9.1, 9.0]},
+    }
+    uniform = {
+        "samples": {q: [w * 1.3 for w in ws] for q, ws in old["samples"].items()},
+        "cpu_sec": {q: [c * 1.3 for c in cs] for q, cs in old["cpu_sec"].items()},
+        "anchor": {
+            "samples": [w * 1.3 for w in old["anchor"]["samples"]],
+            "cpu_sec": [c * 1.3 for c in old["anchor"]["cpu_sec"]],
+        },
+    }
+    assert bd.classify(old, uniform) == []  # box drift: zero flags
+
+    no_anchor_new = {k: v for k, v in uniform.items() if k != "anchor"}
+    raw = {r["query"]: r["verdict"] for r in bd.classify(old, no_anchor_new)}
+    assert raw  # without the anchor the same drift still flags (raw)
+
+    regressed = {
+        "samples": dict(uniform["samples"], a=[w * 2 for w in uniform["samples"]["a"]]),
+        "cpu_sec": dict(uniform["cpu_sec"], a=[c * 2 for c in uniform["cpu_sec"]["a"]]),
+        "anchor": uniform["anchor"],
+    }
+    rows = {r["query"]: r["verdict"] for r in bd.classify(old, regressed)}
+    assert rows == {"a": "REGRESSION"}  # the real mover, nothing else
+
+
 def test_bench_drift_session_position_clears_jit_flags():
     """r14 verdict task 4: a mover whose inflated samples all ran at
     session positions <= EARLY_POS, with the NON-early samples back at
