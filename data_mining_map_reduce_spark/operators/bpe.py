@@ -45,6 +45,8 @@ engines — instead of Python dict order.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -56,6 +58,58 @@ __all__ = [
     "apply_merges",
     "bpe_token_counts",
 ]
+
+# Local fast path for the merge loop (r17 optimization round): below
+# this many DISTINCT words the whole learn loop runs on the driver
+# over the collected vocabulary — the kmeans local_elems_cap / CC
+# union-find pattern. BPE is EXACT integer arithmetic with a pinned
+# (count desc, l, r) tie-break and a string-exact merge fold, so the
+# local loop is bit-identical to the distributed one (unlike the
+# float-kmeans parity, which is only ulp-close) — pytest-pinned in
+# tests/test_bpe.py. Per distributed iteration the engine pays one
+# argmax job (~0.3 s of scheduler/AQE latency at bench scale for
+# microseconds of math); 16 merges × 3 registered consumers was
+# ~10 s of pure job latency. Above the cap — the 100 TB shape, where
+# the vocabulary is 10-100 M words — the distributed per-iteration
+# loop runs unchanged. 0 disables the local path.
+BPE_LOCAL_WORDS_CAP = 2_000_000
+
+
+def _local_bpe_learn(
+    rows: list, n_merges: int
+) -> tuple[list[tuple[int, str, str, int]], list[tuple[str, int, list[str]]]]:
+    """Driver-side replica of the distributed merge loop — EXACTLY
+    the same algorithm: overlapping adjacent pairs per distinct word
+    weighted by multiplicity (integer sums), argmax with
+    (count desc, left, right) tie-break (Python code-point order ==
+    Spark/DuckDB binary UTF-8 order), and the same greedy
+    left-to-right non-overlapping merge application as ``_fold_merge``
+    (merge when the accumulator's LAST symbol equals ``left`` and the
+    next symbol equals ``right``)."""
+    words: list[tuple[str, int, list[str]]] = [
+        (r["w"], int(r["c"]), list(r["syms"])) for r in rows
+    ]
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for _w, c, syms in words:
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + c
+        if not counts:
+            break
+        (left, right), n = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((step, left, right, n))
+        for i, (w, c, syms) in enumerate(words):
+            out = [syms[0]]
+            for x in syms[1:]:
+                if x == right and out[-1] == left:
+                    out[-1] = out[-1] + x
+                else:
+                    out.append(x)
+            words[i] = (w, c, out)
+    return merges, words
 
 
 def bpe_word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -127,13 +181,35 @@ def bpe_learn(
     counted, weighted by word multiplicity. Stops early if no pair
     remains (every word a single symbol).
 
-    Eager-action note (the _guard_lsh_verify convention): this runs
-    2·``n_merges`` + 1 driver actions at call time — per iteration
-    one single-row argmax collect and one eager localCheckpoint of
-    the vocabulary-bound word relation (plus the initial pin). Every
-    action is vocabulary-sized, never corpus-sized; driver state is
-    the merge list alone."""
-    words = bpe_word_counts(docs, text_col=text_col).localCheckpoint(eager=True)
+    Eager-action note (the _guard_lsh_verify convention): building
+    runs driver actions at call time. Below ``BPE_LOCAL_WORDS_CAP``
+    distinct words (env ``SPARK_GRAFT_BPE_LOCAL_WORDS``; the 100 TB
+    path is the distributed loop) the loop runs on the driver over
+    the collected vocabulary — 2 bounded jobs total (count + collect)
+    instead of one argmax job per merge, bit-identical output (see
+    ``_local_bpe_learn``). On the distributed path this runs
+    ``n_merges`` single-row argmax collects; the word-relation
+    checkpoints are LAZY (r17 optimization, guide §1.2 "remove
+    unnecessary passes"): each iteration's argmax is the action that
+    materializes that iteration's checkpoint blocks, so the loop pays
+    one job per merge instead of two, with each checkpoint
+    materialized exactly once (deterministic relation) before
+    anything else reads it. Every action is vocabulary-sized, never
+    corpus-sized; driver state is the merge list (plus, on the local
+    path only, the guarded vocabulary block)."""
+    spark = docs.sparkSession
+    words = bpe_word_counts(docs, text_col=text_col).localCheckpoint(eager=False)
+    cap = int(
+        os.environ.get("SPARK_GRAFT_BPE_LOCAL_WORDS", str(BPE_LOCAL_WORDS_CAP))
+    )
+    # count() materializes the lazy checkpoint, so the collect below
+    # (and, on the distributed path, the first argmax) reads blocks
+    if cap and words.count() <= cap:
+        merges, final = _local_bpe_learn(words.collect(), n_merges)
+        out = spark.createDataFrame(
+            final, "w string, c long, syms array<string>"
+        )
+        return merges, out
     merges: list[tuple[int, str, str, int]] = []
     for step in range(n_merges):
         pair = F.zip_with(
@@ -156,7 +232,7 @@ def bpe_learn(
         merges.append((step, l, r, n))
         words = words.withColumn(
             "syms", _fold_merge(F.col("syms"), l, r)
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
     return merges, words
 
 

@@ -5615,10 +5615,24 @@ def doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     # runs interpreted, and Catalyst's project-collapse/filter-pushdown
     # clones it into every referencing expression (4 evaluations/row
     # measured 22 s at sf0.1); the exploded form builds each doc's
-    # grams ONCE and aggregates with map-side partials (~2 s) — the
-    # same rewrite that fixed MinHash/SimHash signatures.
-    grams = word_ngrams(tokenize(normalize(F.col("text"))), 3)
-    ex = docs.select("doc_id", F.explode(grams).alias("_g"))
+    # grams ONCE and aggregates with map-side partials — the same
+    # rewrite that fixed MinHash/SimHash signatures.
+    # The token array gets its own stacked projection (the
+    # doc_shingles idiom, guide §1.2 "per-task work"): inlined, the
+    # regex split is re-evaluated inside the n-gram HOF's per-element
+    # lambda — O(tokens²) regex work per doc, measured 7.9 s at sf0.1
+    # where this form runs ~1 s. CollapseProject keeps the alias
+    # intact because it is non-cheap and referenced more than once.
+    # explode_outer + null filter, not plain explode (the
+    # doc_shingle_pairs trap): InferFiltersFromGenerate would push a
+    # size()>0 predicate below the token Project, re-inlining the
+    # whole expression into a per-row Filter.
+    toks = docs.select(
+        "doc_id", tokenize(normalize(F.col("text"))).alias("_toks")
+    )
+    ex = toks.select(
+        "doc_id", F.explode_outer(word_ngrams(F.col("_toks"), 3)).alias("_g")
+    ).where(F.col("_g").isNotNull())
     return (
         ex.groupBy("doc_id")
         .agg(

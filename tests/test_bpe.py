@@ -151,6 +151,24 @@ def test_bpe_learn_exhaustion_stops_early(spark):
     assert all(len(r.syms) == 1 for r in words.collect())
 
 
+def test_bpe_local_distributed_parity(spark, monkeypatch):
+    """The r17 local fast path (BPE_LOCAL_WORDS_CAP) must be
+    BIT-IDENTICAL to the distributed per-iteration loop — BPE is
+    exact integer arithmetic with a pinned tie-break, so this is
+    equality, not tolerance (unlike the kmeans local/distributed
+    parity)."""
+    from data_mining_map_reduce_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    m_local, w_local = bpe_learn(docs, n_merges=16)
+    monkeypatch.setenv("SPARK_GRAFT_BPE_LOCAL_WORDS", "0")
+    m_dist, w_dist = bpe_learn(docs, n_merges=16)
+    assert m_local == m_dist
+    vl = {r.w: (r.c, list(r.syms)) for r in w_local.collect()}
+    vd = {r.w: (r.c, list(r.syms)) for r in w_dist.collect()}
+    assert vl == vd
+
+
 def test_greedy_left_to_right_overlap(spark):
     """'aaaa' under merge (a, a) must become [aa, aa] — greedy
     non-overlapping application, the Sennrich regex semantics."""
