@@ -55,8 +55,24 @@ def assign_clusters(
     )
 
 
+# Per-iteration reduce strategy for the distributed Lloyd pass (r17
+# optimization round): the mapInPandas partials are one (count,
+# sum-vector) row per cluster per PARTITION — bounded by the partition
+# count, not the data. Below this many input partitions the loop
+# collects them and reduces on the driver (one single-stage job per
+# iteration: no shuffle, no AQE re-planning — measured 2 jobs -> 1 job
+# and ~0.3 s/iteration less at bench scale; Lloyd pays it up to 100x).
+# Above the cap — the 100 TB shape, where a scan is ~800 k partitions
+# and the collected partials would be GBs — the groupBy reduce runs
+# unchanged. Driver state on the local-reduce path is <= cap * k
+# rows (~17 MB of doubles at the default, k=8, d=64). Env-overridable;
+# 0 disables the driver reduce.
+KMEANS_DRIVER_REDUCE_PARTS = 4096
+
+
 def _assign_mean_pass(
-    pts: DataFrame, vec_col: str, centroids: list[list[float]], k: int, dim: int
+    pts: DataFrame, vec_col: str, centroids: list[list[float]], k: int, dim: int,
+    driver_reduce: bool = False,
 ) -> dict[int, list[float]]:
     """One distributed Lloyd pass — nearest-centroid assignment AND
     per-cluster mean — as a single Arrow-vectorized scan.
@@ -88,25 +104,51 @@ def _assign_mean_pass(
     C = np.asarray(centroids, dtype=float)
 
     def part(batches):
+        import numpy as np  # noqa: F811 — executor-side import parity
         import pandas as pd
 
+        # accumulate across the task's batches so the output is one
+        # row per cluster per PARTITION, not per Arrow batch — fewer
+        # rows into the reduce, identical sums (same in-task order)
+        acc_n = np.zeros(k, dtype=np.int64)
+        acc_s = np.zeros((k, dim), dtype=float)
         for pdf in batches:
             _, X = _batch_vectors(pdf, vec_col, dim)
             if not len(X):
                 continue
             a = _argmin_sq_l2(X, C)
-            rows = []
             for c in range(k):
                 m = a == c
                 if m.any():
-                    rows.append(
-                        (c, int(m.sum()), X[m].sum(axis=0).tolist())
-                    )
-            yield pd.DataFrame(rows, columns=["cluster", "cnt", "sums"])
+                    acc_n[c] += int(m.sum())
+                    acc_s[c] += X[m].sum(axis=0)
+        rows = [
+            (c, int(acc_n[c]), acc_s[c].tolist())
+            for c in range(k)
+            if acc_n[c] > 0
+        ]
+        yield pd.DataFrame(rows, columns=["cluster", "cnt", "sums"])
 
     partials = pts.mapInPandas(
         part, "cluster int, cnt long, sums array<double>"
     )
+    if driver_reduce:
+        # partition-bounded partials (see KMEANS_DRIVER_REDUCE_PARTS):
+        # one single-stage job, reduce the few rows in numpy. Only
+        # float summation ORDER differs from the groupBy path — the
+        # same tolerance the local/distributed parity test grants.
+        n_acc: dict[int, int] = {}
+        s_acc: dict[int, "np.ndarray"] = {}
+        for r in partials.collect():
+            c = r["cluster"]
+            v = np.asarray(r["sums"], dtype=float)
+            if c in n_acc:
+                n_acc[c] += r["cnt"]
+                s_acc[c] = s_acc[c] + v
+            else:
+                n_acc[c] = r["cnt"]
+                s_acc[c] = v
+        return {c: (s_acc[c] / n_acc[c]).tolist() for c in n_acc}
     agg = (
         partials.groupBy("cluster")
         .agg(
@@ -325,10 +367,27 @@ def kmeans(
         X = np.array([r[0] for r in loop_pts.collect()], dtype=float)
         centroids, iterations = _local_lloyd(X, centroids, k, max_iter, tol)
     else:
+        import os
+
+        # partition-bounded driver reduce for the per-iteration means
+        # (see KMEANS_DRIVER_REDUCE_PARTS): one job per Lloyd round
+        # instead of an AQE-split shuffle + collect; the 100 TB shape
+        # (scan partitions above the cap) keeps the groupBy reduce
+        reduce_cap = int(
+            os.environ.get(
+                "SPARK_GRAFT_KMEANS_REDUCE_PARTS",
+                str(KMEANS_DRIVER_REDUCE_PARTS),
+            )
+        )
+        driver_reduce = (
+            reduce_cap > 0 and loop_pts.rdd.getNumPartitions() <= reduce_cap
+        )
         iterations = 0
         for _ in range(max_iter):
             iterations += 1
-            means = _assign_mean_pass(loop_pts, vec_col, centroids, k, dim)
+            means = _assign_mean_pass(
+                loop_pts, vec_col, centroids, k, dim, driver_reduce=driver_reduce
+            )
             new_centroids = [means.get(i, centroids[i]) for i in range(k)]
             move = max(
                 math.dist(a, b) for a, b in zip(centroids, new_centroids)

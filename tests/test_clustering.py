@@ -196,6 +196,30 @@ def test_kmeans_local_path_matches_distributed(spark, points):
     assert agreement > 0.99, f"agreement {agreement:.3f}"
 
 
+def test_kmeans_driver_reduce_matches_groupby(spark, points, monkeypatch):
+    """The r17 partition-bounded driver reduce for the distributed
+    Lloyd pass must land on the same solution as the groupBy reduce —
+    identical per-partition partials, only the final float merge
+    order differs."""
+    import numpy as np
+
+    dr_stats: dict = {}
+    gb_stats: dict = {}
+    a_dr, c_dr = kmeans(
+        points, "vec", k=4, seed=7, local_elems_cap=0, stats_out=dr_stats
+    )
+    monkeypatch.setenv("SPARK_GRAFT_KMEANS_REDUCE_PARTS", "0")
+    a_gb, c_gb = kmeans(
+        points, "vec", k=4, seed=7, local_elems_cap=0, stats_out=gb_stats
+    )
+    assert dr_stats["path"] == "distributed" == gb_stats["path"]
+    assert dr_stats["iterations"] == gb_stats["iterations"]
+    np.testing.assert_allclose(np.array(c_dr), np.array(c_gb), rtol=1e-9)
+    got_dr = {r.id: r.cluster for r in a_dr.select("id", "cluster").collect()}
+    got_gb = {r.id: r.cluster for r in a_gb.select("id", "cluster").collect()}
+    assert got_dr == got_gb
+
+
 def test_kmeans_init_survives_duplicated_corpus(spark):
     """ADVICE r6: a corpus whose hash-smallest init window is swamped
     by duplicates of a few hot vectors must fall back to a distinct
