@@ -575,7 +575,16 @@ def semantic_near_dup_pairs(
     """
     from .clustering import kmeans
 
-    pts = emb.select(F.col(id_col).alias("_id"), _as_double_vec(vec_col).alias("_v"))
+    # Slim (id, vec) pin (r17): this relation feeds the k-sizing
+    # count, the quantizer's own persist, and the multi-probe
+    # assignment — for callers whose emb lineage is non-trivial (the
+    # curation funnel's survivor join) each action re-executed the
+    # whole upstream. The count below doubles as the materializing
+    # action; both columns are read by every consumer, so the RDD
+    # pin loses no pruning (the r12 slim-vs-fat rule).
+    pts = emb.select(
+        F.col(id_col).alias("_id"), _as_double_vec(vec_col).alias("_v")
+    ).localCheckpoint(eager=False)
     if k is None:
         n = pts.count()
         k = max(8, -(-n // target_cluster_size))

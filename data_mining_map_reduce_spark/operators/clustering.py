@@ -312,20 +312,27 @@ def kmeans(
     # is the classic iterate-on-cached-projection pattern; spill-safe
     # since only vec_col is kept).
     loop_pts = points.select(vec_col).persist()
-    first = loop_pts.first()
-    if first is None:
-        loop_pts.unpersist()
-        raise ValueError("kmeans on empty DataFrame")
-    dim = len(first[0])
-
+    # The init collect doubles as the emptiness probe and the
+    # dimensionality probe (r17: the separate first() job, and — when
+    # the bounded window wasn't full — the count() job, were one full
+    # upstream execution each for callers whose points lineage is
+    # non-trivial; guide §1.2, don't compute things twice).
+    init_limit = max(init_cap, k)
     init_rows = (
         loop_pts.withColumn(
             "_h", F.xxhash64(F.col(vec_col).cast("array<string>"), F.lit(seed))
         )
         .orderBy("_h")
-        .limit(max(init_cap, k))
+        .limit(init_limit)
         .collect()
     )
+    if not init_rows:
+        loop_pts.unpersist()
+        raise ValueError("kmeans on empty DataFrame")
+    dim = len(init_rows[0][0])
+    # a non-full window means we saw EVERY row (must be read before
+    # the distinct fallback below swaps init_rows for distinct rows)
+    known_n = len(init_rows) if len(init_rows) < init_limit else None
     if len({tuple(r[0]) for r in init_rows}) < k:
         # The hash-smallest window can be swamped by duplicates of a
         # few hot vectors even when the full data has >= k distinct
@@ -359,8 +366,15 @@ def kmeans(
     path = "distributed"
     # count() only when a local cap is in play — with local_elems_cap=0
     # the distributed path needs no row count, so don't pay the job
-    # (ADVICE r7). `and` short-circuits before the count.
-    if local_elems_cap and loop_pts.count() * dim <= local_elems_cap:
+    # (ADVICE r7). `and` short-circuits before the count. When the
+    # bounded init window came back non-full, its length IS the row
+    # count — no count job at all (r17).
+    n_rows = (
+        known_n
+        if known_n is not None
+        else (loop_pts.count() if local_elems_cap else 0)
+    )
+    if local_elems_cap and n_rows * dim <= local_elems_cap:
         import numpy as np
 
         path = "local"
@@ -556,13 +570,23 @@ def bfr(
         ).localCheckpoint(eager=True)
         assignments.append(ds_assign)
 
-        # merge chunk stats into DS summaries
-        chunk_stats = sufficient_stats(
-            in_ds.withColumn(
-                "cluster", F.element_at(mapping, F.col("_best") + 1)
+        # merge chunk stats into DS summaries; leftovers ride the same
+        # aggregation as the -1 group (r17: their row count was a
+        # separate filter+count job per round — one grouped scan of
+        # the cached chunk returns DS stats AND n_leftover together,
+        # identical per-group sums)
+        all_stats = sufficient_stats(
+            with_dist.withColumn(
+                "cluster",
+                F.when(
+                    F.element_at("_md", F.col("_best") + 1) < threshold,
+                    F.element_at(mapping, F.col("_best") + 1),
+                ).otherwise(F.lit(-1)),
             ),
             vec_col,
         ).collect()
+        n_left = next((int(r.n) for r in all_stats if r.cluster == -1), 0)
+        chunk_stats = [r for r in all_stats if r.cluster != -1]
         for r in chunk_stats:
             n = r.n
             mean, std = list(r.mean), list(r.std)
@@ -577,7 +601,6 @@ def bfr(
         leftovers = with_dist.where(
             ~(F.element_at("_md", F.col("_best") + 1) < threshold)
         ).select(id_col, vec_col)
-        n_left = leftovers.count()
         if n_left > 0:
             # RS: tag as outliers unless enough mass to form CS —
             # simplified CS handling: leftovers with >= 2*k points get
