@@ -74,11 +74,18 @@ def doc_quality_stats(
 ) -> DataFrame:
     """Per-doc quality signals for corpus filtering: token count,
     mean token length, stopword ratio, distinct-token ratio. One
-    codegen projection — array aggregates, no shuffle."""
-    toks = tokenize(normalize(F.col(text_col)))
+    scan, no shuffle; the token array gets its own stacked projection
+    (r17, the doc_shingles idiom) — the four signal expressions
+    reference it seven times and the HOF aggregates run interpreted,
+    so an inlined tokenize would re-run the regex split per
+    reference. Same rows, same values."""
+    toks = F.col("_toks")
     n_tok = F.size(toks)
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
-    return docs.select(
+    toksed = docs.select(
+        F.col(id_col), tokenize(normalize(F.col(text_col))).alias("_toks")
+    )
+    return toksed.select(
         F.col(id_col),
         n_tok.alias("n_tokens"),
         F.round(
@@ -138,11 +145,23 @@ def language_pred_exprs(text_col) -> "tuple":
     """(pred_lang, best_score) COLUMN expressions over a text column —
     exposed separately so composed pipelines (corpus_curation_funnel)
     can evaluate the classifier inside an existing projection instead
-    of paying a second scan + join of the documents table."""
-    from pyspark.sql import Column
+    of paying a second scan + join of the documents table.
 
+    Prefer ``language_pred_exprs_from_tokens`` over an already-
+    tokenized column when composing with other token consumers: the
+    HOF scoring tree runs interpreted, and every reference to an
+    inlined ``tokenize(normalize(text))`` re-runs the regex split —
+    a token COLUMN is a cheap bound reference (r17, the doc_shingles
+    stacked-projection idiom)."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
-    toks = tokenize(normalize(c))
+    return language_pred_exprs_from_tokens(tokenize(normalize(c)))
+
+
+def language_pred_exprs_from_tokens(toks) -> "tuple":
+    """``language_pred_exprs`` over an existing token-array column or
+    expression — identical scoring (profile-coverage argmax,
+    first-profile tie-break)."""
+    toks = F.col(toks) if isinstance(toks, str) else toks
     n_tok = F.greatest(F.size(toks), F.lit(1)).cast("double")
 
     def _in_profile(profile):
@@ -168,10 +187,16 @@ def language_id(
 ) -> DataFrame:
     """Heuristic language ID: the language whose stopword profile
     covers the largest fraction of the doc's tokens ('und' for
-    unknown when nothing matches). Pure codegen scoring — the
-    standard cheap first-pass filter in corpus pipelines."""
-    pred, best_score = language_pred_exprs(text_col)
-    return docs.select(
+    unknown when nothing matches). The token array gets its own
+    stacked projection (r17): the scoring tree references it ~25
+    times and runs interpreted, so an inlined tokenize would re-run
+    the regex split per reference; as a column it is a cheap bound
+    reference. Same rows, same scores."""
+    toksed = docs.select(
+        F.col(id_col), tokenize(normalize(F.col(text_col))).alias("_toks")
+    )
+    pred, best_score = language_pred_exprs_from_tokens("_toks")
+    return toksed.select(
         F.col(id_col),
         pred.alias("pred_lang"),
         F.round(best_score, 6).alias("score"),

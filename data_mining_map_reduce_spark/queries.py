@@ -2494,7 +2494,6 @@ def _corpus_funnel_impl(
     from .functions.text import normalize, tokenize
     from .operators.dedup import doc_shingle_pairs, doc_shingles, exact_duplicate_groups
     from .operators.similarity import exact_jaccard_pairs, minhash_lsh_pairs
-    from .operators.text_analysis import language_pred_exprs
 
     if docs is None:
         docs = load_table(spark, sf_dir, "documents")
@@ -2538,17 +2537,28 @@ def _corpus_funnel_impl(
     # funnel; this form plans 7, and only the dedup branches re-read).
     # Threshold expressions mirror doc_quality_stats/language_id
     # exactly (same rounding before compare — the oracle contract).
-    toks = tokenize(normalize(F.col("text")))
+    # The normalized token array gets its own stacked projection
+    # (r17, the doc_shingles idiom): the quality + language
+    # expressions reference it ~25 times and run interpreted, so an
+    # inlined tokenize re-ran the regex split per reference per row.
+    toks = F.col("_toks")
     n_tok = F.size(toks)
     distinct_ratio = F.round(
         F.size(F.array_distinct(toks))
         / F.greatest(n_tok, F.lit(1)).cast("double"),
         6,
     )
-    pred_lang, _score = language_pred_exprs("text")
+    from .operators.text_analysis import language_pred_exprs_from_tokens
+
+    pred_lang, _score = language_pred_exprs_from_tokens(toks)
+    # (import here keeps the funnel's lazy-import convention)
     per_doc = docs.select(
         "doc_id",
         F.size(tokenize(F.col("text"))).alias("n_ws_tokens"),
+        tokenize(normalize(F.col("text"))).alias("_toks"),
+    ).select(
+        "doc_id",
+        "n_ws_tokens",
         ((n_tok >= 20) & (distinct_ratio >= 0.3)).alias("_q_ok"),
         (pred_lang == "en").alias("_en"),
     )
