@@ -1560,7 +1560,12 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = _cooccurrence_edges(spark, sf_dir, tau=3)
+    # slim (src, dst) pin (r17): the three-way self-join references
+    # the co-occurrence edge build three times and Catalyst executes
+    # it once per reference (no cross-alias ReusedExchange —
+    # plan-verified); the lazy checkpoint computes it once and the
+    # caller's action materializes it.
+    edges = _cooccurrence_edges(spark, sf_dir, tau=3).localCheckpoint(eager=False)
     e1 = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     e2 = edges.select(F.col("src").alias("b"), F.col("dst").alias("c"))
     e3 = edges.select(F.col("src").alias("a"), F.col("dst").alias("c"))
