@@ -410,7 +410,7 @@ def main() -> None:
         print(f"[bench] sidecar write failed: {exc}", file=sys.stderr)
     print("[bench] full detail: " + json.dumps({"queries": timings, "errors": errors}),
           file=sys.stderr)
-    print(render_line(timings, errors, sf, samples))
+    print(render_line(timings, errors, sf, samples, anchor=anchor_walls))
     try:
         spark.stop()
     except Exception:
@@ -425,8 +425,17 @@ def render_line(
     spread_top: int | None = None,
     budget: int | None = None,
     spread_min_sec: float | None = None,
+    anchor: list[float] | None = None,
 ) -> str:
     """Render the single driver-facing JSON line.
+
+    "anchor" (r18, VERDICT task 8) carries the code-frozen calibration
+    plan's [open, middle, close] walls (1-decimal) IN the line —
+    additions-only, ~30 bytes — so a burst-contended official is
+    self-evident in the driver's artifact (the r17 official carried a
+    63.7 s ann_recall sample with nothing in the line to flag it; the
+    anchor reached only the sidecar). Never enters "queries" or the
+    total; the fold cascade already guarantees the byte budget.
 
     The driver captures only the LAST ~2000 bytes of stdout; a line
     longer than that loses its head (r3: "parsed": null), so the line
@@ -493,6 +502,8 @@ def render_line(
             "sf": sf,
             "queries": qdict,
         }
+        if anchor:
+            out["anchor"] = [_num(x) for x in anchor]
         if spread:
             # positional keys (see docstring); a name that fell out of
             # qdict (tiny-budget fold paths) keeps its full name so the

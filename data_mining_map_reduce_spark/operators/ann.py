@@ -31,6 +31,39 @@ def _as_double_vec(col: str) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 
 
+def _norm_vec(col: Column) -> Column:
+    """L2-normalize; all-zero vectors map to all-zero (not NaN)."""
+    n = F.sqrt(F.aggregate(col, F.lit(0.0), lambda a, x: a + x * x))
+    return F.transform(col, lambda x: F.when(n > 0, x / n).otherwise(F.lit(0.0)))
+
+
+def ivf_train_sample(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_cap: int = 4096,
+) -> np.ndarray:
+    """The IVF/IVF-PQ quantizer training sample: the ``train_cap``
+    hash-smallest L2-normalized vectors by id (TakeOrderedAndProject —
+    a seeded uniform pseudo-random subset, layout-independent and
+    content-deterministic), sorted so the driver-side Lloyd sees a
+    canonical row order. Shared helper (r18): ``ivf_topk`` and
+    ``ivfpq_topk`` compute the IDENTICAL sample — an A/B caller that
+    runs both (ann_recall_check) passes one sample to both via their
+    ``train=`` parameter instead of paying the collect job (and the
+    full upstream scan it implies) once per method."""
+    base = emb.select(F.col(id_col), _norm_vec(_as_double_vec(vec_col)).alias("_nv"))
+    from ..functions.hashing import md5_hash60
+
+    sample_rows = (
+        base.select("_nv", md5_hash60(F.col(id_col)).alias("_ord"))
+        .orderBy("_ord")
+        .limit(train_cap)
+        .collect()
+    )
+    return np.array(sorted(r[0] for r in sample_rows))
+
+
 def _lit_vec(values) -> Column:
     return F.array(*[F.lit(float(v)) for v in values])
 
@@ -310,6 +343,7 @@ def ivf_topk(
     seed: int = 7,
     train_cap: int = 4096,
     kmeans_max_iter: int = 8,
+    train: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF approximate top-k cosine neighbors — the coarse-quantizer
     alternative to hyperplane LSH:
@@ -340,23 +374,19 @@ def ivf_topk(
     assignment is metric-consistent with the final scoring. List
     sizes are skew-prone (real clusters are uneven) — AQE skew-join
     handles the join; recall vs the exact path is pytest-asserted.
+
+    ``train``: a precomputed :func:`ivf_train_sample` (same emb /
+    id_col / vec_col / train_cap by contract — values, not just
+    shape). A/B callers that train several quantizers off one corpus
+    (ann_recall_check) share one collect; None (the default) keeps
+    the self-contained single-method behavior, bit-identical either
+    way since the sample is content-deterministic.
     """
-    def norm(col: Column) -> Column:
-        n = F.sqrt(F.aggregate(col, F.lit(0.0), lambda a, x: a + x * x))
-        return F.transform(col, lambda x: F.when(n > 0, x / n).otherwise(F.lit(0.0)))
-
     base = emb.select(
-        F.col(id_col), norm(_as_double_vec(vec_col)).alias("_nv")
+        F.col(id_col), _norm_vec(_as_double_vec(vec_col)).alias("_nv")
     )
-    from ..functions.hashing import md5_hash60
-
-    sample_rows = (
-        base.select("_nv", md5_hash60(F.col(id_col)).alias("_ord"))
-        .orderBy("_ord")
-        .limit(train_cap)
-        .collect()
-    )
-    train = np.array(sorted(r[0] for r in sample_rows))
+    if train is None:
+        train = ivf_train_sample(emb, id_col, vec_col, train_cap)
     centroids = _lloyd_np(train, n_list, seed, kmeans_max_iter)
 
     # Index build stays on the declarative assign_clusters: the r13
@@ -399,7 +429,7 @@ def ivf_topk(
     pr = (
         probes.select(
             F.col(id_col).alias("probe_id"),
-            norm(_as_double_vec(vec_col)).alias("_pv"),
+            _norm_vec(_as_double_vec(vec_col)).alias("_pv"),
         )
         .crossJoin(F.broadcast(cents_row))
         .select(
@@ -409,8 +439,15 @@ def ivf_topk(
     w = Window.partitionBy("probe_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
     )
+    # Broadcast the probe side (r18, guide §3.1): it is |probes| ×
+    # n_probe rows by construction (this operator's contract is FEW
+    # probes — cosine_topk's max_probes envelope), while the unhinted
+    # plan sort-merge-joined, shuffling the ENTIRE indexed corpus by
+    # _list — a key with only n_list (16) distinct values, i.e. a
+    # worst-case skew shuffle at any real scale. With the hint the
+    # corpus never shuffles for the search join.
     return (
-        pr.join(cands, "_list")
+        F.broadcast(pr).join(cands, "_list")
         .where(F.col("neighbor_id") != F.col("probe_id"))
         .select(
             "probe_id",
@@ -755,6 +792,7 @@ def ivfpq_topk(
     seed: int = 7,
     train_cap: int = 4096,
     kmeans_max_iter: int = 8,
+    train: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF-PQ approximate top-k cosine neighbors — the
     memory-compressed tier above :func:`ivf_topk` (faiss IVFPQ shape,
@@ -783,21 +821,13 @@ def ivfpq_topk(
     exact path is pytest-asserted on a planted-cluster corpus.
     Rows-only as a driver query: codes depend on iterative float
     training, like IVF/k-means.
+
+    ``train``: a precomputed :func:`ivf_train_sample` — same contract
+    as :func:`ivf_topk`.
     """
-    def norm(col: Column) -> Column:
-        n = F.sqrt(F.aggregate(col, F.lit(0.0), lambda a, x: a + x * x))
-        return F.transform(col, lambda x: F.when(n > 0, x / n).otherwise(F.lit(0.0)))
-
-    base = emb.select(F.col(id_col), norm(_as_double_vec(vec_col)).alias("_nv"))
-    from ..functions.hashing import md5_hash60
-
-    sample_rows = (
-        base.select("_nv", md5_hash60(F.col(id_col)).alias("_ord"))
-        .orderBy("_ord")
-        .limit(train_cap)
-        .collect()
-    )
-    train = np.array(sorted(r[0] for r in sample_rows))
+    base = emb.select(F.col(id_col), _norm_vec(_as_double_vec(vec_col)).alias("_nv"))
+    if train is None:
+        train = ivf_train_sample(emb, id_col, vec_col, train_cap)
     d = train.shape[1]
     sd = d // m_sub
     coarse = _lloyd_np(train, n_list, seed, kmeans_max_iter)
@@ -845,7 +875,7 @@ def ivfpq_topk(
     pr = (
         probes.select(
             F.col(id_col).alias("probe_id"),
-            norm(_as_double_vec(vec_col)).alias("_pv"),
+            _norm_vec(_as_double_vec(vec_col)).alias("_pv"),
         )
         .crossJoin(F.broadcast(cents_row))
         .crossJoin(F.broadcast(cb_row))
@@ -866,8 +896,13 @@ def ivfpq_topk(
     w_est = Window.partitionBy("probe_id").orderBy(
         F.col("_est").desc(), F.col("neighbor_id").asc()
     )
+    # Broadcast the probe side — same rationale as ivf_topk's search
+    # join (|probes| × n_probe rows vs the full coded corpus on a
+    # n_list-valued key); the unhinted ivfpq plan happened to pick the
+    # broadcast at bench scale, but that is a size ESTIMATE decision
+    # that can flip to a corpus shuffle at real scale — pin it.
     shortlist = (
-        pr.join(cands, "_list")
+        F.broadcast(pr).join(cands, "_list")
         .where(F.col("neighbor_id") != F.col("probe_id"))
         .withColumn("_est", est)
         .withColumn("_erk", F.row_number().over(w_est))

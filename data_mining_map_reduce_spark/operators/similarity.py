@@ -59,6 +59,7 @@ LSH_VERIFY_DEFAULT_BUDGET_BYTES = 64 << 30
 def _guard_lsh_verify(
     banded: DataFrame, exploded: DataFrame, threshold: float, bands: int,
     rows_per_band: int, max_bucket: int | None,
+    bucket_sizes: DataFrame | None = None,
 ) -> None:
     budget = int(
         os.environ.get(
@@ -70,14 +71,26 @@ def _guard_lsh_verify(
         return
     # Candidate mass = sum over (post-cap) buckets of B*(B-1)/2 — the
     # pre-distinct collision rows, a cheap upper bound on what the
-    # verify join shuffles (dedup only shrinks it). One aggregate over
-    # keys*bands rows; with materialize=True this job doubles as the
-    # signature checkpoint's materializing action, so the main query
-    # reuses the blocks it pays for.
+    # verify join shuffles (dedup only shrinks it). With a hot-bucket
+    # cap the caller already grouped the banded relation into
+    # ``bucket_sizes`` — filtering THAT to the surviving buckets is
+    # row-for-row the post-cap bucket histogram (the cap join keeps
+    # exactly _bsz rows per surviving bucket), so the mass estimate
+    # reuses it instead of re-grouping the capped banded relation — a
+    # whole keys×bands aggregation dropped from the guard (r18,
+    # VERDICT task 4). Without a cap, one aggregate over banded as
+    # before. This collect runs FIRST on purpose: it materializes the
+    # lazy exploded/sig/bucket_sizes checkpoints, so the second
+    # estimate and the main query read blocks. (A single crossJoined
+    # collect of both estimates was measured WORSE: its two leaf
+    # stages race on the lazy exploded checkpoint and double-compute
+    # it — build wall 3.2 → 6.0 s at sf0.1.)
+    if bucket_sizes is not None and max_bucket is not None:
+        hist = bucket_sizes.where(F.col("_bsz") <= max_bucket)
+    else:
+        hist = banded.groupBy("_bucket").agg(F.count(F.lit(1)).alias("_bsz"))
     mass_row = (
-        banded.groupBy("_bucket")
-        .agg(F.count(F.lit(1)).alias("_bsz"))
-        .agg(
+        hist.agg(
             F.coalesce(
                 F.sum(F.col("_bsz") * (F.col("_bsz") - 1) / 2), F.lit(0.0)
             ).alias("_pairs")
@@ -89,7 +102,8 @@ def _guard_lsh_verify(
     # distinct items per key — the raw occurrence count would inflate
     # the estimate on duplicate-heavy baskets and refuse near-budget
     # runs that actually fit. xxhash64 folds the pair for one HLL
-    # (collisions are irrelevant at estimate precision).
+    # (collisions are irrelevant at estimate precision). Reads the
+    # exploded checkpoint's blocks (materialized by the collect above).
     stats = exploded.agg(
         F.approx_count_distinct(F.xxhash64("_k", "_h60")).alias("_pairs_d"),
         F.approx_count_distinct("_k").alias("_keys"),
@@ -244,12 +258,22 @@ def exact_jaccard_pairs(
     prefix_len = F.col("_sz") - F.ceil(
         F.round(F.lit(threshold) * F.col("_sz"), 6)
     ) + 1
+    # Slim (4-long-column) pin (r18, VERDICT task 2): the collision
+    # self-join references `prefix` TWICE, and Catalyst plans — and
+    # EXECUTES — the whole prefix build (dfreq aggregate + rarity
+    # Window + sizes join) once per side; the r18 funnel before-plan
+    # shows two Window nodes and duplicated dfreq/sizes aggregates
+    # (plans/r18/corpus_curation_funnel_before.txt). Both consumers
+    # read every column, so the RDD pin loses no pruning (the r12
+    # slim-vs-fat rule). eager=False: the first action materializes
+    # it; plan-only callers stay job-free.
     prefix = (
         base.join(dfreq, "_i")
         .withColumn("_rn", F.row_number().over(rarity))
         .join(sizes, "_k")  # per-key rows — unbroadcastable at scale; AQE decides
         .where(F.col("_rn") <= prefix_len)
         .select("_k", "_i", "_sz", "_rn")
+        .localCheckpoint(eager=False)
     )
     # Length filter (Bayardo/Chaudhuri): J(A,B) >= t forces
     # min(|A|,|B|) >= t * max(|A|,|B|); dropping size-incompatible
@@ -312,7 +336,16 @@ def exact_jaccard_pairs(
         )
         .select(key_a, key_b)
     )
-    sets = base.groupBy("_k").agg(F.sort_array(F.collect_list("_i")).alias("_set"))
+    # Same r18 pin for the verify sets: referenced by BOTH sides of
+    # the verify join (each was executing the collect_list aggregate
+    # — the ObjectHashAggregate pair in the funnel before-plan). Fat
+    # array rows, but both consumers read every column — the exact
+    # argument that justifies the minhash items_sets pin.
+    sets = (
+        base.groupBy("_k")
+        .agg(F.sort_array(F.collect_list("_i")).alias("_set"))
+        .localCheckpoint(eager=False)
+    )
     sets_a = sets.select(F.col("_k").alias(key_a), F.col("_set").alias("_ia"))
     sets_b = sets.select(F.col("_k").alias(key_b), F.col("_set").alias("_ib"))
     # Two stacked projections so the intersect is evaluated ONCE per
@@ -496,12 +529,19 @@ def minhash_lsh_pairs(
         ).alias("_bucket"),
     )
 
+    bucket_sizes = None
     if max_bucket is not None:
         # Cap pathological buckets: a bucket with B keys yields B^2/2
         # candidate rows; beyond max_bucket the bucket carries almost
         # no signal (everything collides) and only destroys the
         # shuffle. Window-free count+join keeps it scalable.
         bucket_sizes = banded.groupBy("_bucket").agg(F.count(F.lit(1)).alias("_bsz"))
+        if verify and materialize:
+            # two consumers (the cap join here and the guard's mass
+            # estimate below) — pinned so the histogram is grouped
+            # once; slim (bucket struct + one long). The guard's
+            # collect doubles as the materializing action.
+            bucket_sizes = bucket_sizes.localCheckpoint(eager=False)
         banded = banded.join(
             bucket_sizes.where(F.col("_bsz") <= max_bucket).select("_bucket"),
             "_bucket",
@@ -522,7 +562,10 @@ def minhash_lsh_pairs(
     # join is wired up — the sf10-measured scale wall (see
     # _guard_lsh_verify). verify=False callers skip it: their output
     # carries no arrays and their consumers re-exactify downstream.
-    _guard_lsh_verify(banded, exploded, threshold, bands, rows_per_band, max_bucket)
+    _guard_lsh_verify(
+        banded, exploded, threshold, bands, rows_per_band, max_bucket,
+        bucket_sizes=bucket_sizes,
+    )
 
     items_sets = exploded.groupBy("_k").agg(F.collect_set("_h60").alias("_items"))
     if materialize:

@@ -128,6 +128,33 @@ def test_integral_timings_render_compactly():
     assert '"r":7.2' in line
 
 
+def test_anchor_in_line_and_budget_survives(  # r18, VERDICT task 8
+):
+    """The calibration anchor's [open, middle, close] walls ride the
+    line (1-decimal), never enter "queries"/total, and the byte
+    budget still holds unconditionally with the anchor present."""
+    timings, samples = _fleet(10)
+    line = bench.render_line(
+        timings, {}, 0.1, samples, spread_top=8, anchor=[1.01, 0.64, 0.9]
+    )
+    d = json.loads(line)
+    assert d["anchor"] == [1.0, 0.6, 0.9]
+    assert "anchor" not in d["queries"]
+    assert d["value"] == round(sum(timings.values()), 2)
+    # absent/empty anchor -> no key (old-line consumers unaffected)
+    d2 = json.loads(bench.render_line(timings, {}, 0.1, samples, spread_top=8))
+    assert "anchor" not in d2
+    # the hard budget holds with the anchor riding along
+    timings, samples = _fleet(200)
+    for budget in (1900, 120):
+        line = bench.render_line(
+            timings, {}, 0.1, samples, spread_top=8, budget=budget,
+            anchor=[1.01, 0.64, 0.9],
+        )
+        assert len(line) <= budget, (budget, len(line), line)
+        assert json.loads(line)["anchor"] == [1.0, 0.6, 0.9]
+
+
 def test_budget_is_a_hard_guarantee():
     """r13 advisor ask: when folding + spread-shedding still leaves
     the line over budget, the formerly spread-exempt heavy rows must
