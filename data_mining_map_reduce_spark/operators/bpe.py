@@ -73,6 +73,17 @@ __all__ = [
 # the vocabulary is 10-100 M words — the distributed per-iteration
 # loop runs unchanged. 0 disables the local path.
 BPE_LOCAL_WORDS_CAP = 2_000_000
+# Element-budget companion gate (r18, ADVICE r17): the word-count cap
+# alone ignores symbol-array size — near the cap, collect() of
+# (w, c, per-char syms) is tens of bytes per SYMBOL of Python objects,
+# so a degenerate long-word vocabulary could fit the row cap yet be
+# multi-GB on the driver. The materializing aggregate below returns
+# Σ length(w) alongside the row count for free; the local path now
+# requires BOTH. 16 M symbols ≈ 1-1.5 GB worst-case of driver heap —
+# roomy for any natural-language vocabulary at the row cap (~8 chars/
+# word average) while refusing the pathological shape. Env
+# ``SPARK_GRAFT_BPE_LOCAL_ELEMS``; 0 disables the element gate.
+BPE_LOCAL_ELEMS_CAP = 16_000_000
 
 
 def _local_bpe_learn(
@@ -202,9 +213,21 @@ def bpe_learn(
     cap = int(
         os.environ.get("SPARK_GRAFT_BPE_LOCAL_WORDS", str(BPE_LOCAL_WORDS_CAP))
     )
-    # count() materializes the lazy checkpoint, so the collect below
-    # (and, on the distributed path, the first argmax) reads blocks
-    if cap and words.count() <= cap:
+    elems_cap = int(
+        os.environ.get("SPARK_GRAFT_BPE_LOCAL_ELEMS", str(BPE_LOCAL_ELEMS_CAP))
+    )
+    # the sizing aggregate materializes the lazy checkpoint, so the
+    # collect below (and, on the distributed path, the first argmax)
+    # reads blocks; Σ length(w) rides the same job as the row count
+    # (the element gate — see BPE_LOCAL_ELEMS_CAP)
+    n_words, n_syms = 0, 0
+    if cap:
+        sizing = words.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum(F.length("w")), F.lit(0)).alias("s"),
+        ).collect()[0]
+        n_words, n_syms = int(sizing["n"]), int(sizing["s"])
+    if cap and n_words <= cap and (not elems_cap or n_syms <= elems_cap):
         merges, final = _local_bpe_learn(words.collect(), n_merges)
         out = spark.createDataFrame(
             final, "w string, c long, syms array<string>"

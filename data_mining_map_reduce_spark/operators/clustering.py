@@ -598,8 +598,19 @@ def bfr(
             else:
                 state.ds[r.cluster] = BFRState._merge(state.ds[r.cluster], (n, s, sq))
 
+        # NULL-consistent with the -1 group above (r18, ADVICE r17):
+        # the when/otherwise routes NULL-condition rows (null/ragged
+        # vectors make the _md element null) into the -1 count, while
+        # a bare ~(md < threshold) would DROP them (NULL negates to
+        # NULL) — n_left could then exceed the actual leftover rows
+        # and kmeans(leftovers, k=min(k, n_left)) would see an
+        # emptier-than-promised input. coalesce(cond, False) makes
+        # both sides route NULLs identically; on corpora without null
+        # vectors the predicate is unchanged.
         leftovers = with_dist.where(
-            ~(F.element_at("_md", F.col("_best") + 1) < threshold)
+            ~F.coalesce(
+                F.element_at("_md", F.col("_best") + 1) < threshold, F.lit(False)
+            )
         ).select(id_col, vec_col)
         if n_left > 0:
             # RS: tag as outliers unless enough mass to form CS —

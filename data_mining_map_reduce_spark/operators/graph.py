@@ -415,25 +415,42 @@ def edge_betweenness(
         # self-join) — without this the lineage re-executes per read.
         adj_df = grouped_adjacency(edges).localCheckpoint(eager=True)
 
+    if n_roots is not None and n_roots < 1:
+        raise ValueError(f"n_roots must be >= 1, got {n_roots}")
+    # Local fast-path probe FIRST (r18): limit(cap+1) bounds the probe
+    # itself — on a huge graph this reads one partition's first rows,
+    # never the full adjacency — and when the graph fits, the
+    # collected head doubles as (a) the vertex count the sampling
+    # logic needs (the old roots.count() job re-read the checkpoint
+    # for a number the driver already held) and (b) the unsampled
+    # root set (the old roots.collect() job, same partition order).
+    head = None
+    if local_cap > 0:
+        head = adj_df.limit(local_cap + 1).collect()
+        if len(head) > local_cap:
+            head = None
+
     # Symmetrized adjacency contains every non-isolated vertex as a
     # key, so its id set IS the vertex set — no second edge scan.
     roots = adj_df.select("id")
+    root_ids = None if head is None else [r["id"] for r in head]
     scale = 1.0
-    if n_roots is not None and n_roots < 1:
-        raise ValueError(f"n_roots must be >= 1, got {n_roots}")
     if n_roots is not None:
         # Fixed-size seeded sample: order by a salted hash and take k.
         # TakeOrderedAndProject keeps only k rows per partition then k
         # on the driver — no full sort, deterministic across partition
         # counts, and |roots| stays k no matter how large V grows.
-        n_total = roots.count()
+        n_total = len(head) if head is not None else roots.count()
         if n_total > n_roots:
             roots = roots.orderBy(
                 F.xxhash64(F.col("id").cast("string"), F.lit(seed)),
                 F.col("id"),
             ).limit(n_roots)
             scale = n_total / n_roots
+            root_ids = None  # genuinely sampled — collected below
     elif sample_fraction is not None and sample_fraction < 1.0:
+        # legacy fraction knob: Spark-side sampling kept verbatim (the
+        # seeded .sample draw is not reproducible on the driver)
         n_total = roots.count()
         roots = roots.sample(fraction=sample_fraction, seed=seed)
         n_sampled = roots.count()
@@ -441,25 +458,25 @@ def edge_betweenness(
             roots = adj_df.select("id").limit(1)
             n_sampled = 1
         scale = n_total / n_sampled
+        root_ids = None
 
     id_type = dict(edges.select("src", "dst").dtypes)["src"]
-    if local_cap > 0:
-        head = adj_df.limit(local_cap + 1).collect()
-        if len(head) <= local_cap:
-            a = {r["id"]: list(r["nbrs"]) for r in head}
-            credits: dict[tuple, float] = {}
-            # the root set (possibly Spark-sampled above, so the
-            # sampled variant picks the same roots on either path) is
+    if head is not None:
+        a = {r["id"]: list(r["nbrs"]) for r in head}
+        if root_ids is None:
+            # the Spark-sampled root set (same rows on either path) is
             # bounded by the vertex cap
-            for r in roots.collect():
-                for key, c in _bfs_edge_credits(a, r["id"]).items():
-                    credits[key] = credits.get(key, 0.0) + c
-            rows = [
-                (u, v, c * scale / 2.0) for (u, v), c in sorted(credits.items())
-            ]
-            return spark.createDataFrame(
-                rows, f"src {id_type}, dst {id_type}, betweenness double"
-            )
+            root_ids = [r["id"] for r in roots.collect()]
+        credits: dict[tuple, float] = {}
+        for rid in root_ids:
+            for key, c in _bfs_edge_credits(a, rid).items():
+                credits[key] = credits.get(key, 0.0) + c
+        rows = [
+            (u, v, c * scale / 2.0) for (u, v), c in sorted(credits.items())
+        ]
+        return spark.createDataFrame(
+            rows, f"src {id_type}, dst {id_type}, betweenness double"
+        )
 
     n_batches = num_batches or spark.sparkContext.defaultParallelism
     adj_rep = adj_df.select(

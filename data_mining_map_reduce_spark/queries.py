@@ -3932,7 +3932,13 @@ def _ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cf_item_similarities(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.recommend import item_similarities
 
-    return item_similarities(_ratings(spark, sf_dir), min_co=3).orderBy("i1", "i2")
+    # cache like the sibling cf_* queries (r18, VERDICT task 3): the
+    # Pearson self-join references the ratings aggregate on BOTH
+    # sides, and Catalyst plans — and executes — the full scan + join
+    # + avg aggregate once per side (plans/r18/cf_item_similarities
+    # _before.txt nodes 1-12 vs 13-24, no cross-alias ReusedExchange).
+    ratings = _ratings(spark, sf_dir).cache()
+    return item_similarities(ratings, min_co=3).orderBy("i1", "i2")
 
 
 @query(

@@ -30,6 +30,9 @@ def main() -> int:
     reps = 1
     if "--reps" in args:
         i = args.index("--reps")
+        if i + 1 >= len(args):
+            print("usage: --reps N (missing N)", file=sys.stderr)
+            return 2
         reps = int(args[i + 1])
         del args[i : i + 2]
     names = args
